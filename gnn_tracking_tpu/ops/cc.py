@@ -1,0 +1,81 @@
+"""On-device connected components via min-label propagation + pointer jumping.
+
+TPU-native replacement for the reference's host-side ``networkx``
+connected-components calls (``analysis/graphs.py:316-343``,
+``graph_construction/k_scanner.py:237``) and the backbone of the on-device
+DBSCAN. Converges in O(log N) pointer-jumping sweeps under a
+``lax.while_loop`` — fully jittable, static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes",))
+def connected_components(
+    edge_index: jax.Array,
+    num_nodes: int,
+    *,
+    edge_mask: jax.Array | None = None,
+    node_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Label connected components of an undirected graph.
+
+    Returns ``labels [N]`` where each component's label is the *minimum node
+    index* in the component. Masked nodes keep their own index as label
+    (singletons); masked edges are ignored. Edges are treated as undirected.
+    """
+    e = edge_index.shape[1]
+    if edge_mask is None:
+        edge_mask = jnp.ones((e,), dtype=bool)
+    if node_mask is not None:
+        edge_mask = edge_mask & node_mask[edge_index[0]] & node_mask[edge_index[1]]
+
+    src, dst = edge_index[0], edge_index[1]
+    sentinel = jnp.int32(num_nodes)
+    init = jnp.arange(num_nodes, dtype=jnp.int32)
+
+    def propagate(labels):
+        l_src = jnp.where(edge_mask, labels[src], sentinel)
+        l_dst = jnp.where(edge_mask, labels[dst], sentinel)
+        m = jax.ops.segment_min(l_src, dst, num_segments=num_nodes)
+        m = jnp.minimum(m, jax.ops.segment_min(l_dst, src, num_segments=num_nodes))
+        labels = jnp.minimum(labels, m)
+        # pointer jumping: hop to the label's label (path halving)
+        labels = jnp.minimum(labels, labels[labels])
+        labels = jnp.minimum(labels, labels[labels])
+        return labels
+
+    def cond(state):
+        labels, prev, it = state
+        return jnp.any(labels != prev) & (it < num_nodes)
+
+    def body(state):
+        labels, _, it = state
+        return propagate(labels), labels, it + 1
+
+    labels0 = propagate(init)
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
+    return labels
+
+
+def compact_labels(
+    labels: jax.Array, *, valid: jax.Array | None = None, noise_value: int = -1
+) -> jax.Array:
+    """Renumber labels to consecutive ints ordered by minimum representative.
+
+    Invalid nodes get ``noise_value``. Matches sklearn DBSCAN's cluster
+    numbering (clusters ordered by their first/seed point index).
+    """
+    num_nodes = labels.shape[0]
+    if valid is None:
+        valid = jnp.ones((num_nodes,), dtype=bool)
+    # A label is "used" if some valid node carries it.
+    used = jnp.zeros((num_nodes,), dtype=jnp.int32).at[labels].max(valid.astype(jnp.int32))
+    ranks = jnp.cumsum(used) - 1  # rank of each label value among used labels
+    out = ranks[labels]
+    return jnp.where(valid, out, noise_value)

@@ -1,0 +1,165 @@
+"""Fixed-degree kNN and radius graphs on TPU.
+
+TPU-native replacement for the ``torch_cluster`` C++/CUDA kernels used by the
+reference (``knn_graph`` at ``models/graph_construction.py:14,233``;
+``radius_graph`` at ``metrics/losses/oc.py:115`` and
+``metrics/losses/metric_learning.py:97``). Design:
+
+* Brute-force blocked pairwise distances: query blocks of ``block_size`` rows
+  against all points — the inner product rides the MXU, the block never
+  materialises the full N² matrix in HBM.
+* Output is a fixed-degree edge list ``[2, N*k]`` + validity mask — static
+  shapes, jittable, maskable.
+* Edge direction convention matches torch_cluster: for each query node ``i``
+  its neighbors ``j`` produce edges ``(j, i)`` (source=neighbor,
+  target=query). Since neighborhood relations are symmetric, both directions
+  are present unless truncated by the degree cap.
+
+For very large N, the Pallas kernel in ``ops/pallas/pairwise_topk.py`` fuses
+the distance computation with a running top-k to cut HBM traffic further.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.inf
+
+
+def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
+    n = x.shape[0]
+    target = -(-n // multiple) * multiple
+    return jnp.pad(x, [(0, target - n)] + [(0, 0)] * (x.ndim - 1))
+
+
+def _blocked_neighbor_topk(
+    x: jax.Array,
+    k: int,
+    *,
+    node_mask: jax.Array | None,
+    batch: jax.Array | None,
+    loop: bool,
+    block_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """For every node, squared distances and indices of its k nearest valid
+    neighbors. Returns (``dists_sq [N, k]``, ``idx [N, k]``); entries with
+    infinite distance are invalid (fewer than k valid neighbors exist).
+    """
+    n, _ = x.shape
+    if node_mask is None:
+        node_mask = jnp.ones((n,), dtype=bool)
+    if batch is None:
+        batch = jnp.zeros((n,), dtype=jnp.int32)
+
+    x = jnp.where(node_mask[:, None], x, 0)
+    sq_norms = jnp.sum(x * x, axis=-1)
+
+    xq = _pad_rows(x, block_size)
+    q_norms = _pad_rows(sq_norms, block_size)
+    q_batch = _pad_rows(batch, block_size)
+    q_index = _pad_rows(jnp.arange(n, dtype=jnp.int32), block_size)
+    n_blocks = xq.shape[0] // block_size
+
+    def one_block(args):
+        bq, bnorm, bbatch, bidx = args
+        # [B, N] squared euclidean distances via the MXU-friendly expansion
+        d = bnorm[:, None] + sq_norms[None, :] - 2.0 * bq @ x.T
+        d = jnp.maximum(d, 0.0)
+        invalid = ~node_mask[None, :] | (bbatch[:, None] != batch[None, :])
+        if not loop:
+            invalid |= bidx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+        d = jnp.where(invalid, _BIG, d)
+        neg_top, idx = jax.lax.top_k(-d, k)
+        return -neg_top, idx
+
+    blocks = (
+        xq.reshape(n_blocks, block_size, -1),
+        q_norms.reshape(n_blocks, block_size),
+        q_batch.reshape(n_blocks, block_size),
+        q_index.reshape(n_blocks, block_size),
+    )
+    dists, idx = jax.lax.map(one_block, blocks)
+    return dists.reshape(-1, k)[:n], idx.reshape(-1, k)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "loop", "block_size"))
+def knn_graph(
+    x: jax.Array,
+    k: int,
+    *,
+    node_mask: jax.Array | None = None,
+    batch: jax.Array | None = None,
+    loop: bool = False,
+    block_size: int = 512,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """k-nearest-neighbor graph (fixed degree, padded).
+
+    Returns ``(edge_index [2, N*k], edge_mask [N*k], dists [N*k])`` where
+    ``dists`` are Euclidean (not squared) distances. Invalid entries (masked
+    query node or fewer than k valid neighbors) are masked.
+    """
+    n = x.shape[0]
+    dists_sq, idx = _blocked_neighbor_topk(
+        x, k, node_mask=node_mask, batch=batch, loop=loop, block_size=block_size
+    )
+    query = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    valid = jnp.isfinite(dists_sq)
+    if node_mask is not None:
+        valid &= node_mask[:, None]
+    source = jnp.where(valid, idx, 0)
+    edge_index = jnp.stack([source.reshape(-1), query.reshape(-1)])
+    dists = jnp.sqrt(jnp.where(valid, dists_sq, 0.0))
+    return edge_index, valid.reshape(-1), dists.reshape(-1)
+
+
+def knn_with_max_radius(
+    x: jax.Array,
+    k: int,
+    *,
+    max_radius: float | None = None,
+    node_mask: jax.Array | None = None,
+    batch: jax.Array | None = None,
+    block_size: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """kNN graph with edges beyond ``max_radius`` dropped (masked).
+
+    Capability parity: reference ``models/graph_construction.py:222-237``.
+    Returns ``(edge_index [2, N*k], edge_mask [N*k])``.
+    """
+    edge_index, mask, dists = knn_graph(
+        x, k, node_mask=node_mask, batch=batch, loop=False, block_size=block_size
+    )
+    if max_radius is not None:
+        mask = mask & (dists <= max_radius)
+    return edge_index, mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_num_neighbors", "loop", "block_size"))
+def radius_graph(
+    x: jax.Array,
+    r: float,
+    *,
+    max_num_neighbors: int = 256,
+    node_mask: jax.Array | None = None,
+    batch: jax.Array | None = None,
+    loop: bool = False,
+    block_size: int = 512,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-degree radius graph: up to ``max_num_neighbors`` *nearest*
+    neighbors within radius ``r`` per node.
+
+    Returns ``(edge_index [2, N*cap], edge_mask [N*cap], dists [N*cap])``.
+    Note: where torch_cluster truncates by an arbitrary order when the cap is
+    hit, we keep the *nearest* neighbors (strictly better for the losses that
+    consume this).
+    """
+    k = min(max_num_neighbors, x.shape[0])
+    edge_index, mask, dists = knn_graph(
+        x, k, node_mask=node_mask, batch=batch, loop=loop, block_size=block_size
+    )
+    r_arr = jnp.asarray(r, dtype=dists.dtype)
+    mask = mask & (dists <= r_arr)
+    return edge_index, mask, dists

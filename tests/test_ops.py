@@ -1,0 +1,141 @@
+"""Equivalence tests for the TPU-native graph kernels against host references
+(sklearn / networkx / numpy) — the analog of the reference's
+``tests/test_fastrescanner.py`` exact-equality strategy."""
+
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+import pytest
+from sklearn.cluster import DBSCAN
+from sklearn.neighbors import NearestNeighbors
+
+from gnn_tracking_tpu.ops import (
+    connected_components,
+    dbscan,
+    knn_graph,
+    radius_graph,
+)
+from gnn_tracking_tpu.ops.segment import (
+    masked_segment_max,
+    masked_segment_mean,
+    masked_segment_sum,
+)
+
+
+def _edge_set(edge_index, mask):
+    ei = np.asarray(edge_index)[:, np.asarray(mask)]
+    return {(int(a), int(b)) for a, b in ei.T}
+
+
+@pytest.mark.parametrize("n,k", [(50, 3), (200, 7)])
+def test_knn_graph_matches_sklearn(n, k):
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(n, 3))
+    edge_index, mask, dists = knn_graph(jnp.asarray(x), k)
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(x)
+    _, idx = nn.kneighbors(x)
+    expected = {(int(j), int(i)) for i, row in enumerate(idx) for j in row[1:]}
+    assert _edge_set(edge_index, mask) == expected
+    # distances match
+    d = np.asarray(dists).reshape(n, k)
+    dref = np.sort(nn.kneighbors(x)[0][:, 1:], axis=1)
+    np.testing.assert_allclose(np.sort(d, axis=1), dref, rtol=1e-6)
+
+
+def test_knn_graph_with_padding_mask():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(30, 3))
+    x_pad = np.concatenate([x, np.zeros((10, 3))])
+    node_mask = np.arange(40) < 30
+    ei_pad, m_pad, _ = knn_graph(jnp.asarray(x_pad), 4, node_mask=jnp.asarray(node_mask))
+    ei, m, _ = knn_graph(jnp.asarray(x), 4)
+    assert _edge_set(ei_pad, m_pad) == _edge_set(ei, m)
+
+
+@pytest.mark.parametrize("r", [0.5, 1.0])
+def test_radius_graph_matches_sklearn(r):
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(100, 3))
+    edge_index, mask, _ = radius_graph(jnp.asarray(x), r, max_num_neighbors=100)
+    nn = NearestNeighbors(radius=r).fit(x)
+    idx = nn.radius_neighbors(x, return_distance=False)
+    expected = {
+        (int(j), int(i)) for i, row in enumerate(idx) for j in row if j != i
+    }
+    assert _edge_set(edge_index, mask) == expected
+
+
+def test_batched_knn_respects_batch_boundaries():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(60, 2))
+    batch = np.repeat([0, 1, 2], 20)
+    ei, mask, _ = knn_graph(jnp.asarray(x), 5, batch=jnp.asarray(batch))
+    ei_np, mask_np = np.asarray(ei), np.asarray(mask)
+    src_b = batch[ei_np[0, mask_np]]
+    dst_b = batch[ei_np[1, mask_np]]
+    assert (src_b == dst_b).all()
+
+
+def test_connected_components_matches_networkx():
+    rng = np.random.default_rng(11)
+    n = 200
+    edges = rng.integers(0, n, size=(2, 150))
+    labels = np.asarray(connected_components(jnp.asarray(edges, dtype=jnp.int32), n))
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(edges.T)
+    for comp in nx.connected_components(g):
+        comp = sorted(comp)
+        assert len({labels[c] for c in comp}) == 1
+        assert labels[comp[0]] == comp[0]
+
+
+def test_connected_components_edge_mask():
+    edges = jnp.asarray([[0, 2], [1, 3]], dtype=jnp.int32)
+    mask = jnp.asarray([True, False])
+    labels = np.asarray(connected_components(edges, 4, edge_mask=mask))
+    assert labels[0] == labels[1]
+    assert labels[2] != labels[3]
+
+
+@pytest.mark.parametrize("eps,min_samples", [(0.1, 1), (0.2, 3), (0.15, 5)])
+def test_dbscan_matches_sklearn_exactly(eps, min_samples):
+    rng = np.random.default_rng(23)
+    x = rng.uniform(size=(300, 2))
+    ours = np.asarray(dbscan(jnp.asarray(x), eps=eps, min_samples=min_samples, max_num_neighbors=300))
+    ref = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(x)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_dbscan_with_padding():
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(100, 2))
+    x_pad = np.concatenate([x, np.zeros((28, 2))])
+    node_mask = np.arange(128) < 100
+    ours = np.asarray(
+        dbscan(
+            jnp.asarray(x_pad),
+            eps=0.15,
+            min_samples=3,
+            max_num_neighbors=128,
+            node_mask=jnp.asarray(node_mask),
+        )
+    )
+    ref = DBSCAN(eps=0.15, min_samples=3).fit_predict(x)
+    np.testing.assert_array_equal(ours[:100], ref)
+    assert (ours[100:] == -1).all()
+
+
+def test_masked_segment_ops():
+    vals = jnp.asarray([[1.0], [2.0], [3.0], [100.0]])
+    seg = jnp.asarray([0, 0, 1, 1])
+    mask = jnp.asarray([True, True, True, False])
+    np.testing.assert_allclose(
+        np.asarray(masked_segment_sum(vals, seg, 3, mask)), [[3.0], [3.0], [0.0]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked_segment_max(vals, seg, 3, mask)), [[2.0], [3.0], [0.0]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked_segment_mean(vals, seg, 3, mask)), [[1.5], [3.0], [0.0]]
+    )
