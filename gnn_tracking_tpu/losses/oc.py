@@ -27,38 +27,10 @@ import jax.numpy as jnp
 
 from gnn_tracking_tpu.losses import MultiLossFct, MultiLossFctReturn
 from gnn_tracking_tpu.ops.knn import radius_graph
+from gnn_tracking_tpu.ops.unique import dense_unique as dense_object_index
 from gnn_tracking_tpu.utils.graph_masks import get_good_node_mask_tensors
 
 _EPS = 1e-9
-
-
-def dense_object_index(
-    object_id: jax.Array,
-    object_mask: jax.Array,
-    max_n_objects: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Static-shape replacement for ``torch.unique(object_id[object_mask])``.
-
-    Returns ``(unique_ids [K], obj_valid [K], n_objects)`` where the first
-    ``n_objects`` entries of ``unique_ids`` are the sorted unique ids of
-    masked nodes and the rest are a fill value that matches no real id.
-    """
-    k = max_n_objects
-    big = jnp.asarray(jnp.iinfo(object_id.dtype).max, dtype=object_id.dtype)
-    masked = jnp.where(object_mask, object_id, big)
-    sorted_ids = jnp.sort(masked)
-    prev = jnp.concatenate([jnp.full((1,), big, dtype=sorted_ids.dtype), sorted_ids[:-1]])
-    is_first = (sorted_ids != prev) & (sorted_ids != big)
-    # Handle the corner case of the first element being valid
-    is_first = is_first.at[0].set(sorted_ids[0] != big)
-    rank = jnp.cumsum(is_first) - 1
-    n_objects = is_first.sum()
-    fill = jnp.asarray(-jnp.iinfo(object_id.dtype).max, dtype=object_id.dtype)
-    unique_ids = jnp.full((k,), fill, dtype=object_id.dtype)
-    scatter_idx = jnp.where(is_first, rank, k)
-    unique_ids = unique_ids.at[scatter_idx].set(sorted_ids, mode="drop")
-    obj_valid = jnp.arange(k) < n_objects
-    return unique_ids, obj_valid, n_objects
 
 
 @functools.partial(

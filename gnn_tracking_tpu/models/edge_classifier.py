@@ -1,0 +1,113 @@
+"""Edge-classification models (capability parity: reference
+``models/edge_classifier.py``)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_tracking_tpu.graphs import EventGraph
+from gnn_tracking_tpu.models.mlp import MLP
+from gnn_tracking_tpu.models.resin import ResIN
+
+
+class ECForGraphTCN(nn.Module):
+    """Edge classifier for the Graph TCN (reference
+    ``edge_classifier.py:15-121``): node/edge encoder MLPs → ResIN stack →
+    final MLP over concatenated intermediate edge embeddings + endpoint node
+    embeddings, with eps-clipped sigmoid output.
+    """
+
+    interaction_node_dim: int = 5
+    interaction_edge_dim: int = 4
+    hidden_dim: int | None = None
+    L_ec: int = 3
+    alpha: float = 0.5
+    residual_type: str = "skip1"
+    use_intermediate_edge_embeddings: bool = True
+    use_node_embedding: bool = True
+
+    @property
+    def latent_dim(self) -> tuple[int, int]:
+        return (self.interaction_node_dim, self.interaction_edge_dim)
+
+    @nn.compact
+    def __call__(self, data: EventGraph) -> dict[str, jax.Array]:
+        x, edge_index, edge_attr = data.x, data.edge_index, data.edge_attr
+        h_ec = nn.relu(
+            MLP(
+                output_size=self.interaction_node_dim,
+                hidden_dim=self.hidden_dim,
+                L=2,
+                bias=False,
+                name="ec_node_encoder",
+            )(x)
+        )
+        edge_attr_ec = nn.relu(
+            MLP(
+                output_size=self.interaction_edge_dim,
+                hidden_dim=self.hidden_dim,
+                L=2,
+                bias=False,
+                name="ec_edge_encoder",
+            )(edge_attr)
+        )
+        h_ec, edge_attr_ec, edge_attrs_ec = ResIN(
+            node_dim=self.interaction_node_dim,
+            edge_dim=self.interaction_edge_dim,
+            object_hidden_dim=self.hidden_dim,
+            relational_hidden_dim=self.hidden_dim,
+            alpha=self.alpha,
+            n_layers=self.L_ec,
+            residual_type=self.residual_type,
+            collect_hidden_edge_embeds=self.use_intermediate_edge_embeddings,
+            name="ec_resin",
+        )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
+
+        w_input = edge_attr_ec
+        if self.use_intermediate_edge_embeddings:
+            w_input = jnp.concatenate(edge_attrs_ec, axis=1)
+        if self.use_node_embedding:
+            w_input = jnp.concatenate(
+                [h_ec[edge_index[0]], h_ec[edge_index[1]], w_input], axis=1
+            )
+        eps = 0.001
+        logits = MLP(output_size=1, hidden_dim=self.hidden_dim, L=3, name="W")(w_input)
+        edge_weights = eps + (1 - 2 * eps) * nn.sigmoid(logits)
+        return {
+            "W": edge_weights.squeeze(-1),
+            "node_embedding": h_ec,
+            "edge_embedding": edge_attr_ec,
+        }
+
+
+class PerfectEdgeClassification(nn.Module):
+    """Truth-based oracle edge classifier with optional TPR/TNR noise
+    (reference ``edge_classifier.py:124-163``). Doubles as controlled fault
+    injection for ablation studies.
+
+    When ``tpr`` or ``tnr`` differ from 1, requires an rng under the
+    ``"perfect_ec"`` collection.
+    """
+
+    tpr: float = 1.0
+    tnr: float = 1.0
+    false_below_pt: float = 0.0
+
+    @nn.compact
+    def __call__(self, data: EventGraph) -> dict[str, jax.Array]:
+        assert 0.0 <= self.tpr <= 1.0
+        assert 0.0 <= self.tnr <= 1.0
+        r = data.y.astype(bool)
+        if not math.isclose(self.tpr, 1.0):
+            rand = jax.random.uniform(self.make_rng("perfect_ec"), r.shape)
+            r = jnp.where(r, rand <= self.tpr, r)
+        if not math.isclose(self.tnr, 1.0):
+            rand = jax.random.uniform(self.make_rng("perfect_ec"), r.shape)
+            r = jnp.where(~r, ~(rand <= self.tnr), r)
+        if self.false_below_pt > 0.0:
+            r = jnp.where(data.pt[data.edge_index[0]] < self.false_below_pt, False, r)
+        return {"W": r.astype(jnp.float32)}

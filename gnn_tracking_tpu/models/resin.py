@@ -1,0 +1,138 @@
+"""Stacked interaction networks with residual connections.
+
+Capability parity: reference ``models/resin.py``. Three skip schemes
+(``skip1``, ``skip2``, ``skip_top``) with the sqrt-convex combination
+``x = sqrt(alpha)*residue + sqrt(1-alpha)*delta`` (reference ``resin.py:17-42``)
+and optional collection of per-layer edge embeddings for the EC head.
+
+Note: the reference's ``Skip2ResidualNetwork`` iterates ``pairwise(range(L))``
+(reference ``resin.py:157``), which overlaps blocks for L > 2 and disagrees
+with its own ``concat_edge_embeddings_length`` formula; we implement the
+documented non-overlapping two-layer blocks, which coincide for L == 2.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_tracking_tpu.models.interaction_network import InteractionNetwork
+
+
+def sqconvex_combination(
+    *, delta: jax.Array, residue: jax.Array | None, alpha_residue: float
+) -> jax.Array:
+    """``sqrt(alpha)*residue + sqrt(1-alpha)*delta`` (reference resin.py:17-42)."""
+    if residue is None or math.isclose(alpha_residue, 0.0):
+        return delta
+    assert 0 <= alpha_residue <= 1
+    return math.sqrt(alpha_residue) * residue + math.sqrt(1 - alpha_residue) * delta
+
+
+class ResIN(nn.Module):
+    """Stack of identical interaction networks with residual connections
+    (reference ``resin.py:226-295`` plus the three ResidualNetwork subclasses).
+
+    Returns (node embedding, last edge embedding, list of edge embeddings
+    from all levels — including the input — or None).
+    """
+
+    node_dim: int
+    edge_dim: int
+    object_hidden_dim: int | None = 40
+    relational_hidden_dim: int | None = 40
+    alpha: float = 0.5
+    n_layers: int = 1
+    residual_type: str = "skip1"
+    collect_hidden_edge_embeds: bool = True
+    #: for skip_top: index of the layer whose input receives the residual
+    connect_to: int = 1
+    #: for skip2: add (masked) batch norm
+    add_bn: bool = False
+
+    @property
+    def concat_edge_embeddings_length(self) -> int:
+        """Width of the concatenated per-level edge embeddings
+        (reference ``resin.py:284-290``)."""
+        if self.residual_type == "skip2":
+            return self.edge_dim * (self.n_layers // 2 + 1)
+        return self.edge_dim * (self.n_layers + 1)
+
+    def _make_layer(self, i: int) -> InteractionNetwork:
+        return InteractionNetwork(
+            node_outdim=self.node_dim,
+            edge_outdim=self.edge_dim,
+            node_hidden_dim=self.object_hidden_dim,
+            edge_hidden_dim=self.relational_hidden_dim,
+            name=f"layer_{i}",
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        edge_index: jax.Array,
+        edge_attr: jax.Array,
+        edge_mask: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array, list[jax.Array] | None]:
+        collect = self.collect_hidden_edge_embeds
+        edge_attrs: list[jax.Array] | None = [edge_attr] if collect else None
+
+        if self.residual_type == "skip1":
+            for i in range(self.n_layers):
+                act = nn.relu if i > 0 else (lambda v: v)
+                delta_x, edge_attr = self._make_layer(i)(
+                    act(x), edge_index, act(edge_attr), edge_mask
+                )
+                x = sqconvex_combination(
+                    delta=delta_x, residue=x, alpha_residue=self.alpha
+                )
+                if collect:
+                    edge_attrs.append(edge_attr)
+        elif self.residual_type == "skip2":
+            if self.n_layers % 2 != 0:
+                msg = "skip2 requires an even number of layers"
+                raise ValueError(msg)
+            if self.add_bn:
+                msg = "add_bn not implemented for the TPU build yet"
+                raise NotImplementedError(msg)
+            for b in range(self.n_layers // 2):
+                i0, i1 = 2 * b, 2 * b + 1
+                act0 = nn.relu if i0 > 0 else (lambda v: v)
+                hidden_x, hidden_e = self._make_layer(i0)(
+                    act0(x), edge_index, act0(edge_attr), edge_mask
+                )
+                delta_x, edge_attr = self._make_layer(i1)(
+                    nn.relu(hidden_x), edge_index, nn.relu(hidden_e), edge_mask
+                )
+                x = sqconvex_combination(
+                    delta=delta_x, residue=x, alpha_residue=self.alpha
+                )
+                if collect:
+                    edge_attrs.append(edge_attr)
+        elif self.residual_type == "skip_top":
+            assert self.connect_to <= self.n_layers
+            x_residue = None
+            for i in range(self.n_layers):
+                if i == self.connect_to:
+                    x_residue = x
+                act = nn.relu if i > 0 else (lambda v: v)
+                delta_x, edge_attr = self._make_layer(i)(
+                    act(x), edge_index, act(edge_attr), edge_mask
+                )
+                if x_residue is not None:
+                    x = sqconvex_combination(
+                        delta=delta_x, residue=x_residue, alpha_residue=self.alpha
+                    )
+                else:
+                    x = delta_x
+                if collect:
+                    edge_attrs.append(edge_attr)
+        else:
+            msg = f"Unknown residual type: {self.residual_type}"
+            raise ValueError(msg)
+
+        return x, edge_attr, edge_attrs

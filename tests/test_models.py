@@ -1,0 +1,312 @@
+"""Model smoke + property tests (analog of reference tests/test_tcn_training.py
+model zoo, plus padding-invariance properties unique to the masked design)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tracking_tpu.graphs import EventGraph
+from gnn_tracking_tpu.models.dynamic_edge_conv import DynamicEdgeConv
+from gnn_tracking_tpu.models.edge_classifier import (
+    ECForGraphTCN,
+    PerfectEdgeClassification,
+)
+from gnn_tracking_tpu.models.edge_filter import EFMLP, EFDeepSet, GeometricEF
+from gnn_tracking_tpu.models.graph_construction import (
+    GraphConstructionFCNN,
+    GraphConstructionHeteroEncResFCNN,
+    GraphConstructionHeteroResFCNN,
+    GraphConstructionResIN,
+    MLGraphConstruction,
+    MLPCTransformer,
+)
+from gnn_tracking_tpu.models.interaction_network import InteractionNetwork
+from gnn_tracking_tpu.models.meta import (
+    TruthNoiseClassifierModel,
+    WithNoiseClassification,
+)
+from gnn_tracking_tpu.models.mlp import MLP, HeterogeneousResFCNN, ResFCNN
+from gnn_tracking_tpu.models.resin import ResIN
+from gnn_tracking_tpu.models.track_condensation_networks import (
+    GraphTCN,
+    GraphTCNForMLGCPipeline,
+    ModularGraphTCN,
+    PerfectECGraphTCN,
+    PointCloudTCN,
+    PreTrainedECGraphTCN,
+)
+
+N_NODES, N_EDGES = 60, 200
+NODE_DIM, EDGE_DIM = 14, 4
+
+
+def make_graph(rng_seed=0, n=N_NODES, e=N_EDGES) -> EventGraph:
+    rng = np.random.default_rng(rng_seed)
+    pid = rng.integers(0, 10, size=n)
+    edge_index = rng.integers(0, n, size=(2, e))
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(n, NODE_DIM)),
+        edge_index=edge_index,
+        edge_attr=rng.normal(size=(e, EDGE_DIM)),
+        y=(pid[edge_index[0]] == pid[edge_index[1]]) & (pid[edge_index[0]] > 0),
+        particle_id=pid,
+        pt=2 * rng.random(n),
+        eta=8 * (rng.random(n) - 0.5),
+        reconstructable=rng.integers(0, 2, size=n).astype(float),
+        layer=rng.integers(0, 30, size=n),
+    )
+    return g
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return make_graph()
+
+
+def test_mlp_shapes():
+    m = MLP(output_size=7, hidden_dim=16, L=3)
+    x = jnp.ones((5, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (5, 7)
+    # reference: L layers means max(L, 2) linear layers
+    assert len(jax.tree_util.tree_leaves(params)) == 2 * 3  # kernel+bias each
+
+
+def test_resfcnn_shapes_and_norm():
+    m = ResFCNN(out_dim=8, hidden_dim=32, depth=3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(10, 14)))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (10, 8)
+    # input normalization: scaling the input must not change the output
+    out_scaled = m.apply(params, 100 * x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_scaled), atol=1e-10)
+
+
+def test_hetero_resfcnn():
+    m = HeterogeneousResFCNN(out_dim=8, hidden_dim=32, depth=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(10, 14)))
+    layer = jnp.asarray(rng.integers(0, 30, size=10))
+    params = m.init(jax.random.PRNGKey(0), x, layer)
+    out = m.apply(params, x, layer)
+    assert out.shape == (10, 8)
+
+
+def test_interaction_network_matches_manual_segment_sum(graph):
+    m = InteractionNetwork(node_outdim=5, edge_outdim=4)
+    params = m.init(
+        jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr
+    )
+    x_out, e_out = m.apply(
+        params, graph.x, graph.edge_index, graph.edge_attr, graph.edge_mask
+    )
+    assert x_out.shape == (N_NODES, 5)
+    assert e_out.shape == (N_EDGES, 4)
+
+
+def test_interaction_network_edge_mask_zeroes_contribution(graph):
+    """A masked edge must not influence any node embedding."""
+    m = InteractionNetwork(node_outdim=5, edge_outdim=4)
+    params = m.init(jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr)
+    mask = graph.edge_mask.at[0].set(False)
+    x1, _ = m.apply(params, graph.x, graph.edge_index, graph.edge_attr, mask)
+    # perturb the masked edge's features wildly: output must be unchanged
+    edge_attr2 = graph.edge_attr.at[0].set(1e6)
+    x2, _ = m.apply(params, graph.x, graph.edge_index, edge_attr2, mask)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))
+
+
+@pytest.mark.parametrize("residual_type", ["skip1", "skip2", "skip_top"])
+def test_resin(graph, residual_type):
+    n_layers = 4 if residual_type == "skip2" else 3
+    m = ResIN(
+        node_dim=NODE_DIM,
+        edge_dim=EDGE_DIM,
+        n_layers=n_layers,
+        residual_type=residual_type,
+    )
+    params = m.init(jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr)
+    x, e, e_list = m.apply(params, graph.x, graph.edge_index, graph.edge_attr, graph.edge_mask)
+    assert x.shape == (N_NODES, NODE_DIM)
+    assert e.shape == (N_EDGES, EDGE_DIM)
+    total = sum(a.shape[1] for a in e_list)
+    assert total == m.concat_edge_embeddings_length
+
+
+def test_ec_for_graph_tcn(graph):
+    m = ECForGraphTCN(interaction_node_dim=5, interaction_edge_dim=4, L_ec=3)
+    params = m.init(jax.random.PRNGKey(0), graph)
+    out = m.apply(params, graph)
+    w = out["W"]
+    assert w.shape == (N_EDGES,)
+    assert (np.asarray(w) > 0).all() and (np.asarray(w) < 1).all()
+
+
+def test_perfect_ec(graph):
+    m = PerfectEdgeClassification()
+    out = m.apply({}, graph)
+    np.testing.assert_array_equal(np.asarray(out["W"]), np.asarray(graph.y, dtype=np.float32))
+
+
+def test_perfect_ec_noisy(graph):
+    m = PerfectEdgeClassification(tpr=0.8, tnr=0.7)
+    out = m.apply({}, graph, rngs={"perfect_ec": jax.random.PRNGKey(0)})
+    w = np.asarray(out["W"])
+    y = np.asarray(graph.y)
+    assert w[y].mean() < 1.0
+    assert (1 - w[~y]).mean() < 1.0
+
+
+@pytest.mark.parametrize(
+    "model_factory",
+    [
+        lambda: GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2),
+        lambda: GraphTCN(h_dim=4, e_dim=4, hidden_dim=12, L_ec=2, L_hc=2, mask_orphan_nodes=True),
+        lambda: GraphTCN(h_dim=4, e_dim=4, hidden_dim=12, L_ec=2, L_hc=2, use_ec_embeddings_for_hc=True),
+        lambda: GraphTCN(h_dim=4, e_dim=4, hidden_dim=12, L_ec=2, L_hc=2, feed_edge_weights=True),
+        lambda: PerfectECGraphTCN(h_dim=4, e_dim=4, hidden_dim=12, L_hc=2),
+        lambda: GraphTCNForMLGCPipeline(h_dim=4, e_dim=4, hidden_dim=12, L_hc=2),
+    ],
+)
+def test_tcn_variants_forward(graph, model_factory):
+    m = model_factory()
+    params = m.init(jax.random.PRNGKey(0), graph)
+    out = m.apply(params, graph)
+    assert out["H"].shape == (N_NODES, 2)
+    assert out["B"].shape == (N_NODES,)
+    b = np.asarray(out["B"])
+    assert (b > 0).all() and (b < 1).all()
+    assert out["ec_hit_mask"].shape == (N_NODES,)
+    assert out["ec_edge_mask"].shape == (N_EDGES,)
+
+
+def test_pretrained_ec_graph_tcn(graph):
+    ec = ECForGraphTCN(interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12)
+    m = PreTrainedECGraphTCN(ec=ec, h_dim=4, e_dim=4, hidden_dim=12, L_hc=2)
+    params = m.init(jax.random.PRNGKey(0), graph)
+    out = m.apply(params, graph)
+    assert out["W"].shape == (N_EDGES,)
+
+
+def test_modular_tcn_grad_flows(graph):
+    m = GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2)
+    params = m.init(jax.random.PRNGKey(0), graph)
+
+    def loss(p):
+        out = m.apply(p, graph)
+        return jnp.sum(out["H"] ** 2) + jnp.sum(out["B"]) + jnp.sum(out["W"])
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least some gradients nonzero
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_edge_filters(graph):
+    for m in [EFDeepSet(hidden_dim=16, depth=2), EFMLP(node_indim=NODE_DIM, edge_indim=EDGE_DIM, hidden_dim=16, depth=3)]:
+        params = m.init(jax.random.PRNGKey(0), graph)
+        w = m.apply(params, graph)["W"]
+        assert w.shape == (N_EDGES,)
+        assert (np.asarray(w) > 0).all() and (np.asarray(w) < 1).all()
+    gef = GeometricEF(phi_slope_max=0.1, z0_max=100.0, dR_max=2.0)
+    mask = gef(graph)
+    assert mask.shape == (N_EDGES,)
+    assert mask.dtype == bool
+
+
+def test_graph_construction_models(graph):
+    for m in [
+        GraphConstructionFCNN(in_dim=NODE_DIM, hidden_dim=16, out_dim=8, depth=2),
+        GraphConstructionHeteroResFCNN(in_dim=NODE_DIM, hidden_dim=16, out_dim=8, depth=2),
+        GraphConstructionHeteroEncResFCNN(
+            in_dim=NODE_DIM, hidden_dim_enc=16, hidden_dim=16, out_dim=8, depth_enc=2, depth=2
+        ),
+    ]:
+        params = m.init(jax.random.PRNGKey(0), graph)
+        out = m.apply(params, graph)
+        assert out["H"].shape == (N_NODES, 8)
+
+
+def test_graph_construction_resin():
+    g = make_graph()
+    m = GraphConstructionResIN(node_indim=NODE_DIM, edge_indim=EDGE_DIM, h_outdim=8, hidden_dim=16)
+    params = m.init(jax.random.PRNGKey(0), g)
+    out = m.apply(params, g)
+    assert out["H"].shape == (N_NODES, 8)
+
+
+def test_ml_graph_construction(graph):
+    ml = GraphConstructionFCNN(in_dim=NODE_DIM, hidden_dim=16, out_dim=8, depth=2)
+    m = MLGraphConstruction(ml=ml, max_radius=10.0, max_num_neighbors=8)
+    params = m.init(jax.random.PRNGKey(0), graph)
+    out = m.apply(params, graph)
+    assert out.edge_index.shape[0] == 2
+    assert out.edge_attr.shape[1] == 2 * NODE_DIM
+    # truth labels consistent with particle ids
+    ei = np.asarray(out.edge_index)
+    mask = np.asarray(out.edge_mask)
+    pid = np.asarray(out.particle_id)
+    y = np.asarray(out.y)
+    expect = (pid[ei[0]] == pid[ei[1]]) & (pid[ei[0]] > 0)
+    np.testing.assert_array_equal(y[mask], expect[mask])
+
+
+def test_mlpc_transformer(graph):
+    ml = GraphConstructionFCNN(in_dim=NODE_DIM, hidden_dim=16, out_dim=8, depth=2)
+    m = MLPCTransformer(model=ml, original_features=True)
+    params = m.init(jax.random.PRNGKey(0), graph)
+    out = m.apply(params, graph)
+    assert out.x.shape == (N_NODES, 8 + NODE_DIM)
+
+
+def test_noise_classification(graph):
+    wrapped = WithNoiseClassification(
+        noise_model=TruthNoiseClassifierModel(),
+        model=GraphTCNForMLGCPipeline(h_dim=4, e_dim=4, hidden_dim=12, L_hc=2),
+    )
+    params = wrapped.init(jax.random.PRNGKey(0), graph)
+    out = wrapped.apply(params, graph)
+    hm = np.asarray(out["hit_mask"])
+    np.testing.assert_array_equal(hm, np.asarray(graph.particle_id) != 0)
+
+
+def test_point_cloud_tcn():
+    g = make_graph(n=40, e=10)
+    m = PointCloudTCN(node_indim=NODE_DIM, h_dim=6, e_dim=6, h_outdim=3, hidden_dim=16, N_blocks=2, L=2)
+    params = m.init(jax.random.PRNGKey(0), g)
+    out = m.apply(params, g)
+    assert out["H"].shape == (40, 3)
+    assert out["B"].shape == (40,)
+
+
+def test_dynamic_edge_conv():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(30, 6)))
+    m = DynamicEdgeConv(mlp=MLP(output_size=8, hidden_dim=16), k=4)
+    params = m.init(jax.random.PRNGKey(0), x)
+    h, ei, mask = m.apply(params, x)
+    assert h.shape == (30, 8)
+    assert ei.shape == (2, 30 * 4)
+
+
+def test_tcn_padding_invariance():
+    """Padded nodes/edges must not change outputs for valid entries."""
+    g = make_graph()
+    gp = g.pad_to(N_NODES + 20, N_EDGES + 50)
+    m = GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2)
+    params = m.init(jax.random.PRNGKey(0), g)
+    out = m.apply(params, g)
+    out_p = m.apply(params, gp)
+    np.testing.assert_allclose(
+        np.asarray(out["H"]), np.asarray(out_p["H"])[:N_NODES], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["W"]), np.asarray(out_p["W"])[:N_EDGES], rtol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["ec_edge_mask"]), np.asarray(out_p["ec_edge_mask"])[:N_EDGES]
+    )
