@@ -66,33 +66,31 @@ class BinaryClassificationStats:
     ``binary_classification.py:14-137``). Computes all counts in one pass."""
 
     def __init__(self, output, y, thld, mask=None):
-        counts = jax.tree.map(
-            lambda v: v[0], binary_classification_counts(output, y, thld, mask)
-        )
-        self._counts = counts
-        self._stats = jax.tree.map(lambda v: float(v), stats_from_counts(
-            {k: jnp.atleast_1d(v) for k, v in counts.items()}
-        ))
-        n = output.shape[0] if mask is None else None
-        y = jnp.asarray(y).astype(bool)
+        output = jnp.asarray(output)
+        y_arr = jnp.asarray(y).astype(bool)
+        counts = binary_classification_counts(output, y_arr, thld, mask)
+        self._counts = {k: float(v[0]) for k, v in counts.items()}
+        self._stats = {
+            k: float(v[0]) for k, v in stats_from_counts(counts).items()
+        }
         if mask is None:
-            mask = jnp.ones_like(y)
-        self.n_true = float((y & mask).sum())
-        self.n_false = float((~y & mask).sum())
-        self.n_predicted_true = float(self._counts["TP"] + self._counts["FP"])
-        self.n_predicted_false = float(self._counts["TN"] + self._counts["FN"])
+            mask = jnp.ones_like(y_arr)
+        self.n_true = float((y_arr & mask).sum())
+        self.n_false = float((~y_arr & mask).sum())
+        self.n_predicted_true = self._counts["TP"] + self._counts["FP"]
+        self.n_predicted_false = self._counts["TN"] + self._counts["FN"]
 
     def __getattr__(self, name):
         stats = object.__getattribute__(self, "_stats")
         if name in stats:
-            return float(jnp.asarray(stats[name]).reshape(-1)[0])
+            return stats[name]
         counts = object.__getattribute__(self, "_counts")
         if name in counts:
-            return float(counts[name])
+            return counts[name]
         raise AttributeError(name)
 
     def get_all(self) -> dict[str, float]:
-        out = {k: float(jnp.asarray(v).reshape(-1)[0]) for k, v in self._stats.items()}
+        out = dict(self._stats)
         out.update(
             n_true=self.n_true,
             n_false=self.n_false,

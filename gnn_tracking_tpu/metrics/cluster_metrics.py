@@ -1,0 +1,269 @@
+"""Tracking (cluster) metrics — the headline figures of merit — on device.
+
+Capability parity: reference ``metrics/cluster_metrics.py``. The reference
+computes per-cluster majority particles with pandas ``value_counts``/groupby
+chains on the host (``cluster_metrics.py:76-149``, HOT LOOP #4 in SURVEY
+§3.2); here the whole computation is segment ops over a sort-grouped
+(cluster, particle) pairing with static shapes — it runs under ``jit`` on
+TPU right after clustering, so validation never ships arrays to the host.
+
+Semantics matched to the reference (verified against its hand-constructed
+test cases):
+
+* majority PID per cluster = most frequent PID, ties broken toward the
+  smaller PID (pandas ``value_counts`` order in the pinned tests);
+* ``valid_cluster``: label >= 0 and >= ``predicted_count_thld`` hits;
+* perfect / double-majority / LHC definitions as in
+  ``cluster_metrics.py:140-148``;
+* per-pt-threshold cluster and hit masks as in ``cluster_metrics.py:244-255``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tracking_tpu.ops.segment import masked_segment_mean, masked_segment_sum
+from gnn_tracking_tpu.ops.unique import dense_index_of, dense_unique
+from gnn_tracking_tpu.utils.nomenclature import denote_pt
+
+
+class TrackingMetrics(TypedDict):
+    n_particles: int
+    n_cleaned_clusters: int
+    perfect: float
+    double_majority: float
+    lhc: float
+    fake_perfect: float
+    fake_double_majority: float
+    fake_lhc: float
+
+
+_tracking_metrics_nan_results: TrackingMetrics = {
+    "n_particles": 0,
+    "n_cleaned_clusters": 0,
+    "perfect": float("nan"),
+    "lhc": float("nan"),
+    "double_majority": float("nan"),
+    "fake_perfect": float("nan"),
+    "fake_lhc": float("nan"),
+    "fake_double_majority": float("nan"),
+}
+
+
+def _nan_divide(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.where(b == 0, jnp.nan, a / jnp.where(b == 0, 1.0, b))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("predicted_count_thld", "pt_thlds", "max_eta")
+)
+def tracking_metrics_jit(
+    *,
+    truth: jax.Array,
+    predicted: jax.Array,
+    pts: jax.Array,
+    reconstructable: jax.Array,
+    eta: jax.Array,
+    pt_thlds: tuple[float, ...],
+    node_mask: jax.Array | None = None,
+    predicted_count_thld: int = 3,
+    max_eta: float = 4.0,
+) -> dict[float, dict[str, jax.Array]]:
+    """Fully jitted tracking metrics. See module docstring."""
+    n = truth.shape[0]
+    if node_mask is None:
+        node_mask = jnp.ones((n,), dtype=bool)
+    truth = truth.astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+
+    # --- dense particle ids over all valid hits ---
+    pid_unique, pid_valid, _ = dense_unique(truth, node_mask, n)
+    pid_idx = dense_index_of(truth, pid_unique)
+    # hits of each pid (any cluster, incl. noise)
+    pid_total = masked_segment_sum(jnp.ones(n), pid_idx, n, node_mask)
+    pid_pt = masked_segment_mean(pts, pid_idx, n, node_mask)
+    pid_reco = masked_segment_mean(reconstructable.astype(pts.dtype), pid_idx, n, node_mask)
+    pid_eta = masked_segment_mean(eta, pid_idx, n, node_mask)
+
+    # --- dense cluster labels (>= 0 only) ---
+    clustered = node_mask & (predicted >= 0)
+    c_unique, c_valid, _ = dense_unique(
+        predicted.astype(truth.dtype), clustered, n
+    )
+    c_idx = dense_index_of(predicted.astype(truth.dtype), c_unique)
+    cluster_size = masked_segment_sum(jnp.ones(n), c_idx, n, clustered)
+
+    # --- (cluster, pid) pair grouping via stable two-key sort ---
+    # Sanitize keys first: unclustered hits sort to the end and never
+    # interleave with (and thereby split) a real (cluster, pid) run.
+    c_key = jnp.where(clustered, c_idx, n)
+    p_key = jnp.where(clustered, pid_idx, n)
+    order_p = jnp.argsort(p_key, stable=True)
+    order = order_p[jnp.argsort(c_key[order_p], stable=True)]
+    c_s = c_key[order]
+    p_s = p_key[order]
+    valid_s = clustered[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1]),
+        ]
+    ) & valid_s
+    gid = jnp.where(valid_s, jnp.cumsum(first) - 1, n)
+    pair_count = jax.ops.segment_sum(valid_s.astype(pts.dtype), gid, num_segments=n)
+    pair_c = jax.ops.segment_max(jnp.where(valid_s, c_s, -1), gid, num_segments=n)
+    pair_p = jax.ops.segment_max(jnp.where(valid_s, p_s, -1), gid, num_segments=n)
+    pair_valid = pair_count > 0
+    pair_c_safe = jnp.where(pair_valid, pair_c, n - 1).astype(jnp.int32)
+
+    # majority: max count per cluster, ties toward the smaller pid
+    maj_hits = jax.ops.segment_max(
+        jnp.where(pair_valid, pair_count, -1.0), pair_c_safe, num_segments=n
+    )
+    is_max = pair_valid & (pair_count == maj_hits[pair_c_safe])
+    maj_pid = jax.ops.segment_min(
+        jnp.where(is_max, pair_p, n), pair_c_safe, num_segments=n
+    )
+    maj_pid = jnp.clip(maj_pid, 0, n - 1)
+
+    maj_pid_hits = pid_total[maj_pid]
+    maj_frac = _nan_divide(maj_hits, cluster_size)
+    maj_frac = jnp.where(jnp.isnan(maj_frac), 0.0, maj_frac)
+    maj_pid_frac = _nan_divide(maj_hits, maj_pid_hits)
+    maj_pid_frac = jnp.where(jnp.isnan(maj_pid_frac), 0.0, maj_pid_frac)
+
+    valid_cluster = c_valid & (cluster_size >= predicted_count_thld)
+    perfect_match = (maj_pid_hits == maj_hits) & (maj_frac > 0.99) & valid_cluster
+    double_majority = (maj_pid_frac > 0.5) & (maj_frac > 0.5) & valid_cluster
+    lhc_match = (maj_frac > 0.75) & valid_cluster
+
+    maj_pt = pid_pt[maj_pid]
+    maj_reco = pid_reco[maj_pid]
+    maj_eta = pid_eta[maj_pid]
+
+    result: dict[float, dict[str, jax.Array]] = {}
+    for pt in pt_thlds:
+        c_mask = (
+            (maj_pt >= pt)
+            & (maj_reco > 0)
+            & (jnp.abs(maj_eta) < max_eta)
+            & valid_cluster
+        )
+        h_mask = (
+            (pts >= pt)
+            & (reconstructable > 0)
+            & (jnp.abs(eta) < max_eta)
+            & node_mask
+        )
+        # number of distinct truth pids among masked hits
+        pid_present = jax.ops.segment_max(
+            h_mask.astype(jnp.int32), pid_idx, num_segments=n
+        )
+        n_particles = jnp.sum(jnp.where(pid_valid, pid_present, 0))
+        n_clusters = jnp.sum(c_mask)
+        n_pm = jnp.sum(perfect_match & c_mask)
+        n_dm = jnp.sum(double_majority & c_mask)
+        n_lhc = jnp.sum(lhc_match & c_mask)
+        result[pt] = {
+            "n_particles": n_particles,
+            "n_cleaned_clusters": n_clusters,
+            "perfect": _nan_divide(n_pm, n_particles),
+            "double_majority": _nan_divide(n_dm, n_particles),
+            "lhc": _nan_divide(n_lhc, n_clusters),
+            "fake_perfect": _nan_divide(n_clusters - n_pm, n_clusters),
+            "fake_double_majority": _nan_divide(n_clusters - n_dm, n_clusters),
+            "fake_lhc": _nan_divide(n_clusters - n_lhc, n_clusters),
+        }
+    return result
+
+
+def tracking_metrics(
+    *,
+    truth: np.ndarray,
+    predicted: np.ndarray,
+    pts: np.ndarray,
+    reconstructable: np.ndarray,
+    eta: np.ndarray,
+    pt_thlds: Iterable[float],
+    node_mask: np.ndarray | None = None,
+    predicted_count_thld: int = 3,
+    max_eta: float = 4.0,
+) -> dict[float, TrackingMetrics]:
+    """Host-facing wrapper mirroring the reference signature
+    (``cluster_metrics.py:190-259``)."""
+    pt_thlds = tuple(pt_thlds)
+    if len(np.asarray(truth)) == 0:
+        return {pt: dict(_tracking_metrics_nan_results) for pt in pt_thlds}
+    raw = tracking_metrics_jit(
+        truth=jnp.asarray(np.asarray(truth).astype(np.int64)),
+        predicted=jnp.asarray(np.asarray(predicted).astype(np.int64)),
+        pts=jnp.asarray(np.asarray(pts, dtype=float)),
+        reconstructable=jnp.asarray(np.asarray(reconstructable, dtype=float)),
+        eta=jnp.asarray(np.asarray(eta, dtype=float)),
+        pt_thlds=pt_thlds,
+        node_mask=None if node_mask is None else jnp.asarray(node_mask),
+        predicted_count_thld=predicted_count_thld,
+        max_eta=max_eta,
+    )
+    out: dict[float, TrackingMetrics] = {}
+    for pt, dct in raw.items():
+        out[pt] = {
+            k: (int(v) if k.startswith("n_") else float(v)) for k, v in dct.items()
+        }
+    return out
+
+
+def tracking_metrics_data(
+    data,
+    labels,
+    pt_thlds: Iterable[float],
+    predicted_count_thld: int = 3,
+    max_eta: float = 4.0,
+) -> dict[float, TrackingMetrics]:
+    """`tracking_metrics` applied to an `EventGraph`
+    (reference ``cluster_metrics.py:262-289``)."""
+    return tracking_metrics(
+        truth=np.asarray(data.particle_id),
+        predicted=np.asarray(labels),
+        pts=np.asarray(data.pt),
+        reconstructable=np.asarray(data.reconstructable),
+        eta=np.asarray(data.eta),
+        pt_thlds=pt_thlds,
+        node_mask=np.asarray(data.node_mask),
+        predicted_count_thld=predicted_count_thld,
+        max_eta=max_eta,
+    )
+
+
+def flatten_track_metrics(
+    custom_metrics_result: dict[float, dict[str, float]],
+) -> dict[str, float]:
+    """``{pt: {metric: v}} → {metric_pt: v}`` (reference
+    ``cluster_metrics.py:387-397``)."""
+    return {
+        denote_pt(k, pt): v
+        for pt, results in custom_metrics_result.items()
+        for k, v in results.items()
+    }
+
+
+def count_hits_per_cluster(predicted: np.ndarray) -> np.ndarray:
+    """Histogram of cluster sizes (reference ``cluster_metrics.py:400-404``)."""
+    _, counts = np.unique(predicted, return_counts=True)
+    hist_counts, _ = np.histogram(counts, bins=np.arange(0.5, counts.max() + 1.5))
+    return hist_counts
+
+
+def hits_per_cluster_count_to_flat_dict(counts: np.ndarray, min_max=10) -> dict[str, float]:
+    """Cumulative cluster-size counts as a flat dict
+    (reference ``cluster_metrics.py:407-424``)."""
+    cumulative = np.cumsum(np.pad(counts, (0, max(0, min_max - len(counts)))))
+    total = cumulative[-1]
+    return {
+        f"hitcountgeq_{i:04}": c / total
+        for i, c in enumerate(reversed(cumulative), start=1)
+    }

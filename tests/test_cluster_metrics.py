@@ -1,0 +1,298 @@
+"""Tracking-metric tests: the reference's hand-constructed pinned cases
+(``/root/reference/tests/test_cluster_metrics.py``) must pass identically on
+the on-device segment-op implementation."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from pytest import approx
+
+from gnn_tracking_tpu.metrics.cluster_metrics import (
+    count_hits_per_cluster,
+    flatten_track_metrics,
+    tracking_metrics,
+)
+
+
+@dataclasses.dataclass
+class Case:
+    def __init__(
+        self,
+        *,
+        truth,
+        predicted,
+        pts=None,
+        reconstructable=None,
+        etas=None,
+        pt_thld=-1.0,
+        predicted_count_thld=1,
+        max_eta=4,
+        **kwargs,
+    ):
+        self.truth = np.array(truth)
+        self.predicted = np.array(predicted)
+        self.expected = kwargs
+        self.pts = np.zeros_like(self.predicted, dtype=float) if pts is None else np.array(pts, dtype=float)
+        self.reconstructable = (
+            np.full(self.predicted.shape, True) if reconstructable is None else np.array(reconstructable)
+        )
+        self.etas = np.zeros(self.predicted.shape) if etas is None else np.array(etas)
+        self.pt_thld = pt_thld
+        self.predicted_count_thld = predicted_count_thld
+        self.max_eta = max_eta
+
+    def run(self):
+        metrics = tracking_metrics(
+            truth=self.truth,
+            predicted=self.predicted,
+            pts=self.pts,
+            eta=self.etas,
+            pt_thlds=[self.pt_thld],
+            reconstructable=self.reconstructable,
+            predicted_count_thld=self.predicted_count_thld,
+            max_eta=self.max_eta,
+        )
+        got = {k: v for k, v in metrics[self.pt_thld].items() if k in self.expected}
+        assert got == approx(self.expected, nan_ok=True)
+
+
+nan = float("nan")
+
+test_cases = [
+    Case(truth=[], predicted=[], n_particles=0, n_cleaned_clusters=0, perfect=nan, lhc=nan, double_majority=nan),
+    Case(truth=[1, 2], predicted=[-1, -1], n_particles=2, n_cleaned_clusters=0, perfect=0, lhc=nan, double_majority=0),
+    Case(truth=[0], predicted=[0], pt_thld=1.0, n_particles=0, n_cleaned_clusters=0, perfect=nan, lhc=nan, double_majority=nan),
+    Case(truth=[0], predicted=[1], n_particles=1, n_cleaned_clusters=1, perfect=1.0, lhc=1.0, double_majority=1.0),
+    Case(truth=[0, 0, 0, 0], predicted=[1, -1, -1, -1], n_particles=1, n_cleaned_clusters=1, perfect=0.0, lhc=1.0, double_majority=0.0),
+    Case(truth=[0], predicted=[0], n_particles=1, n_cleaned_clusters=1, perfect=1.0, lhc=1.0, double_majority=1.0),
+    Case(truth=[0, 1], predicted=[1, 0], n_particles=2, n_cleaned_clusters=2, perfect=1.0, lhc=1.0, double_majority=1.0),
+    Case(truth=[0, 0], predicted=[1, 0], n_particles=1, n_cleaned_clusters=2, perfect=0.0, lhc=1.0, double_majority=0.0),
+    Case(truth=[1, 0], predicted=[0, 0], n_particles=2, n_cleaned_clusters=1, perfect=0.0, lhc=0.0, double_majority=0.0),
+    Case(truth=[0, 0, 0, 0, 1], predicted=[0, 0, 0, 0, 0], n_particles=2, n_cleaned_clusters=1, perfect=0, lhc=1.0, double_majority=0.5),
+    Case(truth=[0, 0, 0, 0, 0], predicted=[0, 0, 0, 0, 1], n_particles=1, n_cleaned_clusters=2, perfect=0, lhc=1.0, double_majority=1.0),
+    Case(
+        # fmt: off
+        truth=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 5,
+            0, 1, 1, 2,
+            0, 1, 2, 3,
+            4, 4,
+            5,
+        ],
+        predicted=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 1,
+            2, 2, 2, 2,
+            3, 3, 3, 3,
+            4, 4,
+            5,
+        ],
+        # fmt: on
+        n_particles=6,
+        n_cleaned_clusters=6,
+        perfect=1 / 6,
+        lhc=4 / 6,
+        double_majority=3 / 6,
+    ),
+    Case(
+        # fmt: off
+        truth=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 5,
+            0, 1, 1, 2,
+            0, 1, 2, 3,
+            4, 4,
+            5,
+        ],
+        pts=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 1,
+            0, 1, 1, 1,
+            0, 1, 1, 1,
+            0, 0,
+            1,
+        ],
+        predicted=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 1,
+            2, 2, 2, 2,
+            3, 3, 3, 3,
+            4, 4,
+            5,
+        ],
+        # fmt: on
+        pt_thld=0.5,
+        n_particles=4,
+        n_cleaned_clusters=3,
+        perfect=0 / 4,
+        lhc=2 / 3,
+        double_majority=1 / 4,
+    ),
+    Case(
+        # fmt: off
+        truth=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 5,
+            0, 1, 1, 2,
+            0, 1, 1, 3,
+            4, 4,
+            5,
+        ],
+        pts=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 1,
+            0, 1, 1, 1,
+            0, 1, 1, 1,
+            0, 0,
+            1,
+        ],
+        reconstructable=[
+            True, True, True, True, True, True,
+            False, False, False, False, False, True,
+            True, False, False, True,
+            True, False, False, True,
+            True, True,
+            True,
+        ],
+        predicted=[
+            0, 0, 0, 0, 0, 0,
+            1, 1, 1, 1, 1, 1,
+            2, 2, 2, 2,
+            3, 3, 3, 3,
+            4, 4,
+            5,
+        ],
+        # fmt: on
+        pt_thld=0.5,
+        n_particles=3,
+        n_cleaned_clusters=1,
+        perfect=0 / 2,
+        lhc=1 / 1,
+        double_majority=0 / 1,
+    ),
+]
+
+
+@pytest.mark.parametrize("test_case", test_cases)
+def test_custom_metrics(test_case):
+    test_case.run()
+
+
+def _numpy_tracking_metrics(truth, predicted, pts, reco, eta, pt_thlds, count_thld=3, max_eta=4.0):
+    """Independent host oracle. Majority ties break toward the smaller pid
+    (the reference's pandas value_counts tie order is quicksort-unstable —
+    its own random regression test is xfailed on CI — so we pin a
+    deterministic rule instead)."""
+    out = {}
+    clusters = np.unique(predicted[predicted >= 0])
+    rows = []
+    for c in clusters:
+        in_c = predicted == c
+        pids, counts = np.unique(truth[in_c], return_counts=True)
+        best = counts.max()
+        maj_pid = pids[counts == best].min()
+        maj_hits = best
+        cluster_size = in_c.sum()
+        maj_pid_hits = (truth == maj_pid).sum()
+        maj_frac = maj_hits / cluster_size
+        maj_pid_frac = maj_hits / maj_pid_hits
+        valid = cluster_size >= count_thld
+        rows.append(
+            dict(
+                maj_pid=maj_pid,
+                maj_pt=pts[truth == maj_pid].mean(),
+                maj_reco=reco[truth == maj_pid].mean(),
+                maj_eta=eta[truth == maj_pid].mean(),
+                perfect=(maj_pid_hits == maj_hits) and maj_frac > 0.99 and valid,
+                dm=maj_pid_frac > 0.5 and maj_frac > 0.5 and valid,
+                lhc=maj_frac > 0.75 and valid,
+                valid=valid,
+            )
+        )
+    for pt in pt_thlds:
+        c_sel = [
+            r
+            for r in rows
+            if r["valid"] and r["maj_pt"] >= pt and r["maj_reco"] > 0 and abs(r["maj_eta"]) < max_eta
+        ]
+        h_mask = (pts >= pt) & (reco > 0) & (np.abs(eta) < max_eta)
+        n_particles = len(np.unique(truth[h_mask]))
+        n_c = len(c_sel)
+        n_pm = sum(r["perfect"] for r in c_sel)
+        n_dm = sum(r["dm"] for r in c_sel)
+        n_lhc = sum(r["lhc"] for r in c_sel)
+        div = lambda a, b: float("nan") if b == 0 else a / b
+        out[pt] = {
+            "n_particles": n_particles,
+            "n_cleaned_clusters": n_c,
+            "perfect": div(n_pm, n_particles),
+            "double_majority": div(n_dm, n_particles),
+            "lhc": div(n_lhc, n_c),
+            "fake_perfect": div(n_c - n_pm, n_c),
+            "fake_double_majority": div(n_c - n_dm, n_c),
+            "fake_lhc": div(n_c - n_lhc, n_c),
+        }
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_cases_match_numpy_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_samples, n_particles = 50, 20
+    truth = rng.integers(0, n_particles, size=n_samples)
+    predicted = truth + rng.integers(0, 4, size=n_samples)
+    pts = rng.uniform(0, 3, size=n_samples)[truth]
+    reconstructable = rng.choice([True, False], size=n_particles)[truth].astype(float)
+    eta = rng.uniform(-5, 5, size=n_particles)[truth]
+    r = tracking_metrics(
+        truth=truth,
+        predicted=predicted,
+        eta=eta,
+        pts=pts,
+        reconstructable=reconstructable,
+        pt_thlds=[0, 0.5, 0.9],
+        predicted_count_thld=3,
+    )
+    expected = _numpy_tracking_metrics(
+        truth, predicted, pts, reconstructable, eta, [0, 0.5, 0.9]
+    )
+    for thld in expected:
+        assert r[thld] == approx(expected[thld], nan_ok=True)
+
+
+def test_padding_invariance():
+    rng = np.random.default_rng(1)
+    n = 40
+    truth = rng.integers(0, 8, size=n)
+    predicted = rng.integers(-1, 6, size=n)
+    pts = rng.uniform(0, 2, size=n)
+    reco = rng.choice([0.0, 1.0], size=n)
+    eta = rng.uniform(-5, 5, size=n)
+    base = tracking_metrics(
+        truth=truth, predicted=predicted, pts=pts, reconstructable=reco, eta=eta,
+        pt_thlds=[0.0, 0.9],
+    )
+    pad = 17
+    padded = tracking_metrics(
+        truth=np.concatenate([truth, np.full(pad, -1)]),
+        predicted=np.concatenate([predicted, np.full(pad, -1)]),
+        pts=np.concatenate([pts, np.zeros(pad)]),
+        reconstructable=np.concatenate([reco, np.zeros(pad)]),
+        eta=np.concatenate([eta, np.zeros(pad)]),
+        node_mask=np.arange(n + pad) < n,
+        pt_thlds=[0.0, 0.9],
+    )
+    for pt in base:
+        assert padded[pt] == approx(base[pt], nan_ok=True)
+
+
+def test_count_cluster_hits():
+    r = count_hits_per_cluster(np.array([0, 0, 0, 1, 1, 2, 3, 3, 3]))
+    assert (r == np.array([1, 1, 2])).all()
+
+
+def test_flatten_track_metrics():
+    flat = flatten_track_metrics({0.9: {"perfect": 1.0}, 0.0: {"perfect": 0.5}})
+    assert flat == {"perfect_pt0.9": 1.0, "perfect": 0.5}
