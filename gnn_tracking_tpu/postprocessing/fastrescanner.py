@@ -1,0 +1,71 @@
+"""Fast DBSCAN eps-rescanning, on device.
+
+Capability parity: reference ``postprocessing/fastrescanner.py`` (sklearn
+``NearestNeighbors`` + Cython ``dbscan_inner``). Here the radius-neighbor
+graph is built once at ``max_eps`` with the TPU radius-graph kernel and every
+re-clustering at a smaller eps is a single jitted call with *traced*
+``eps``/``min_pts`` — scanning hyperparameters reuses one compiled program
+and never leaves the device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
+from gnn_tracking_tpu.ops.knn import radius_graph
+
+
+class DBSCANFastRescan:
+    """Cluster with DBSCAN, cheaply rescanning different eps values
+    (reference ``fastrescanner.py:6-66``)."""
+
+    def __init__(
+        self,
+        x: np.ndarray,
+        max_eps: float = 1.0,
+        *,
+        max_num_neighbors: int = 128,
+        node_mask: np.ndarray | None = None,
+    ):
+        """
+        Args:
+            x: Data to cluster [N, D]
+            max_eps: Maximum epsilon usable during rescanning (radius of the
+                precomputed neighbor graph). Keep as low as possible.
+            max_num_neighbors: Degree cap of the neighbor graph. Must exceed
+                the densest eps-neighborhood for exact DBSCAN semantics.
+            node_mask: Validity mask for padded inputs.
+        """
+        self._x = jnp.asarray(x)
+        self._max_eps = max_eps
+        self._max_num_neighbors = max_num_neighbors
+        self._node_mask = None if node_mask is None else jnp.asarray(node_mask)
+        self._reset_graph(max_eps)
+
+    def _reset_graph(self, max_eps: float) -> None:
+        self._edge_index, self._edge_mask, self._dists = radius_graph(
+            self._x,
+            max_eps,
+            max_num_neighbors=self._max_num_neighbors,
+            node_mask=self._node_mask,
+            loop=False,
+        )
+        self._max_eps = max_eps
+
+    def cluster(self, eps: float = 1.0, min_pts: int = 1) -> np.ndarray:
+        """DBSCAN labels at ``eps <= max_eps`` (cheap; jitted with traced
+        eps/min_pts, so repeated calls hit the compile cache)."""
+        if eps > self._max_eps:
+            self._reset_graph(eps)
+        labels = dbscan_from_graph(
+            self._edge_index,
+            self._dists,
+            self._x.shape[0],
+            eps=jnp.asarray(eps, dtype=self._dists.dtype),
+            min_samples=jnp.asarray(min_pts, dtype=jnp.int32),
+            edge_mask=self._edge_mask,
+            node_mask=self._node_mask,
+        )
+        return np.asarray(labels)
