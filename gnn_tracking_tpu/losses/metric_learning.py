@@ -38,7 +38,12 @@ def _hinge_loss_components(
     normalization: str,
 ) -> tuple[jax.Array, jax.Array]:
     """Masked version of reference ``metric_learning.py:14-54``."""
-    d_att = jnp.linalg.norm(x[att_edges[0]] - x[att_edges[1]], axis=-1)
+    diff = x[att_edges[0]] - x[att_edges[1]]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    # Safe norm: padded edges are (0, 0) self-pairs with zero distance whose
+    # sqrt gradient would be NaN and poison the masked sum.
+    safe = att_mask & (d2 > 0)
+    d_att = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
     norm_att = att_mask.sum() + _EPS
     v_att = jnp.sum(jnp.where(att_mask, d_att**p_attr, 0.0)) / norm_att
 

@@ -111,7 +111,9 @@ def knn_graph(
         valid &= node_mask[:, None]
     source = jnp.where(valid, idx, 0)
     edge_index = jnp.stack([source.reshape(-1), query.reshape(-1)])
-    dists = jnp.sqrt(jnp.where(valid, dists_sq, 0.0))
+    # Double-where so d(sqrt)/dx stays finite at masked/zero entries.
+    safe = valid & (dists_sq > 0)
+    dists = jnp.where(safe, jnp.sqrt(jnp.where(safe, dists_sq, 1.0)), 0.0)
     return edge_index, valid.reshape(-1), dists.reshape(-1)
 
 

@@ -1,0 +1,170 @@
+"""Minimal training loop with checkpointing and console metric tables.
+
+Replaces the reference's delegation to PyTorch Lightning's ``Trainer``
+(reference ``training/run.py``) with an explicit loop: jitted steps, host
+metric accumulation with standard errors (``ImprovedLogLM`` analog),
+orbax checkpoints carrying the full config tree
+(reference checkpoint semantics: ``utils/lightning.py:97-153``), and the
+epoch-end validation table (reference ``training/callbacks.py:17-84``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from gnn_tracking_tpu.training.logging_utils import MetricAccumulator
+from gnn_tracking_tpu.utils.log import logger
+from gnn_tracking_tpu.utils.nomenclature import random_trial_name
+
+
+def format_results_table(
+    metrics: dict[str, float], *, highlight: Any = None, max_rows: int = 60
+) -> str:
+    """Plain-text epoch results table (reference ``callbacks.py:17-54``)."""
+    lines = ["", f"{'Metric':<50} {'Value':>12} {'Error':>12}"]
+    lines.append("-" * 76)
+    shown = 0
+    for k in sorted(metrics):
+        if k.endswith("_std"):
+            continue
+        err = metrics.get(f"{k}_std", float("nan"))
+        mark = ">>" if highlight and highlight(k) else "  "
+        lines.append(f"{mark} {k:<48} {metrics[k]:>12.5f} {err:>12.5f}")
+        shown += 1
+        if shown >= max_rows:
+            lines.append(f"... ({len(metrics) - shown} more)")
+            break
+    return "\n".join(lines)
+
+
+class Checkpointer:
+    """Orbax-backed checkpointing of (params, opt_state, step) + JSON config."""
+
+    def __init__(self, log_dir: Path):
+        import orbax.checkpoint as ocp
+
+        self._dir = Path(log_dir).absolute() / "checkpoints"
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, module, config: dict | None = None, tag: str | None = None) -> Path:
+        tag = tag if tag is not None else f"{module.step:08d}"
+        path = self._dir / f"checkpoint_{tag}"
+        state = {"params": module.params, "opt_state": module.opt_state}
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        meta = {"step": module.step, "config": config or {}}
+        (self._dir / f"checkpoint_{tag}_meta.json").write_text(json.dumps(meta, default=str))
+        return path
+
+    def restore(self, module, path: str | Path) -> None:
+        state = {"params": module.params, "opt_state": module.opt_state}
+        restored = self._ckptr.restore(Path(path).absolute(), state)
+        module.params = restored["params"]
+        module.opt_state = restored["opt_state"]
+        meta_path = Path(str(path) + "_meta.json")
+        if meta_path.exists():
+            module.step = json.loads(meta_path.read_text())["step"]
+
+
+class Trainer:
+    """Explicit train/validate loop for `TrackingModule` tasks."""
+
+    def __init__(
+        self,
+        *,
+        max_epochs: int = 1,
+        max_steps: int | None = None,
+        log_dir: str | Path = "runs",
+        name: str | None = None,
+        checkpoint_every_epoch: bool = True,
+        log_every_n_steps: int = 50,
+        print_validation_results: bool = True,
+    ):
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.name = name or random_trial_name()
+        self.log_dir = Path(log_dir) / self.name
+        self.checkpoint_every_epoch = checkpoint_every_epoch
+        self.log_every_n_steps = log_every_n_steps
+        self.print_validation_results = print_validation_results
+        self._checkpointer: Checkpointer | None = None
+        self.metrics_history: list[dict[str, float]] = []
+
+    @property
+    def checkpointer(self) -> Checkpointer:
+        if self._checkpointer is None:
+            self._checkpointer = Checkpointer(self.log_dir)
+        return self._checkpointer
+
+    def fit(self, module, datamodule, config: dict | None = None) -> dict[str, float]:
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        try:
+            val_loader = datamodule.val_dataloader()
+        except ValueError:
+            val_loader = None
+
+        last_val: dict[str, float] = {}
+        for epoch in range(self.max_epochs):
+            t0 = time.perf_counter()
+            acc = MetricAccumulator()
+            n_steps = 0
+            for batch in train_loader:
+                module.setup_params(batch)
+                metrics = module.training_step(batch)
+                acc.update(metrics)
+                n_steps += 1
+                if module.step % self.log_every_n_steps == 0:
+                    logger.info(
+                        "epoch %d step %d: total=%.5f", epoch, module.step,
+                        metrics.get("total", float("nan")),
+                    )
+                if self.max_steps is not None and module.step >= self.max_steps:
+                    break
+            train_metrics = {f"{k}_train": v for k, v in acc.compute().items()}
+            logger.info(
+                "epoch %d done in %.1fs (%d steps)",
+                epoch,
+                time.perf_counter() - t0,
+                n_steps,
+            )
+            if val_loader is not None:
+                last_val = self.validate(module, loader=val_loader)
+            self.metrics_history.append({**train_metrics, **last_val})
+            if self.checkpoint_every_epoch:
+                self.checkpointer.save(module, config=config)
+            if self.max_steps is not None and module.step >= self.max_steps:
+                break
+        return last_val
+
+    def validate(self, module, datamodule=None, loader=None) -> dict[str, float]:
+        if loader is None:
+            datamodule.setup("validate")
+            loader = datamodule.val_dataloader()
+        acc = MetricAccumulator()
+        for i, batch in enumerate(loader):
+            module.setup_params(batch)
+            acc.update(module.validation_step(batch, i))
+        metrics = acc.compute()
+        metrics |= module.on_validation_epoch_end()
+        if self.print_validation_results:
+            print(format_results_table(metrics, highlight=module.highlight_metric))
+        return metrics
+
+    def test(self, module, datamodule) -> dict[str, float]:
+        datamodule.setup("test")
+        loader = datamodule.test_dataloader()
+        acc = MetricAccumulator()
+        for i, batch in enumerate(loader):
+            module.setup_params(batch)
+            acc.update(module.validation_step(batch, i))
+        metrics = acc.compute()
+        metrics |= module.on_validation_epoch_end()
+        return metrics

@@ -1,0 +1,169 @@
+"""Training smoke tests (analog of reference tests/test_tcn_training.py:
+model zoo × one training step, plus checkpoint round-trip)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gnn_tracking_tpu.graphs import EventGraph
+from gnn_tracking_tpu.losses.ec import EdgeWeightBCELoss, EdgeWeightFocalLoss
+from gnn_tracking_tpu.losses.metric_learning import GraphConstructionHingeEmbeddingLoss
+from gnn_tracking_tpu.losses.oc import CondensationLossRG, CondensationLossTiger
+from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+from gnn_tracking_tpu.models.graph_construction import GraphConstructionFCNN
+from gnn_tracking_tpu.models.track_condensation_networks import (
+    GraphTCN,
+    GraphTCNForMLGCPipeline,
+    PerfectECGraphTCN,
+)
+from gnn_tracking_tpu.postprocessing.dbscanscanner import DBSCANHyperParamScanner
+from gnn_tracking_tpu.training.module import ECModule, MLModule, TCModule
+from gnn_tracking_tpu.training.trainer import Trainer
+from gnn_tracking_tpu.utils.loading import (
+    PaddingConfig,
+    TestTrackingDataModule,
+    load_graph,
+    save_graph,
+)
+
+N, E = 80, 240
+NODE_DIM, EDGE_DIM = 14, 4
+
+
+def make_graph(seed):
+    rng = np.random.default_rng(seed)
+    pid = rng.integers(0, 12, size=N)
+    ei = rng.integers(0, N, size=(2, E))
+    same = (pid[ei[0]] == pid[ei[1]]) & (pid[ei[0]] > 0)
+    iu = np.triu_indices(N, k=1)
+    keep = (pid[iu[0]] == pid[iu[1]]) & (pid[iu[0]] != 0)
+    te = np.stack([iu[0][keep], iu[1][keep]])
+    return EventGraph.from_arrays(
+        x=rng.normal(size=(N, NODE_DIM)),
+        edge_index=ei,
+        edge_attr=rng.normal(size=(E, EDGE_DIM)),
+        y=same,
+        particle_id=pid,
+        pt=(2 * rng.random(12))[pid],
+        eta=(8 * (rng.random(12) - 0.5))[pid],
+        reconstructable=np.ones(N),
+        layer=rng.integers(0, 30, size=N),
+        true_edge_index=te,
+    )
+
+
+@pytest.fixture(scope="module")
+def datamodule():
+    padding = PaddingConfig(node_bucket=128, edge_bucket=512, true_edge_bucket=512)
+    return TestTrackingDataModule([make_graph(0), make_graph(1)], padding=padding)
+
+
+def _losses_decrease(history, key="total_train"):
+    vals = [h[key] for h in history if key in h]
+    return len(vals) < 2 or vals[-1] <= vals[0] * 1.5  # loose: just not exploding
+
+
+@pytest.mark.parametrize("loss_cls", [CondensationLossTiger, CondensationLossRG])
+def test_tc_training(datamodule, loss_cls):
+    module = TCModule(
+        model=GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2),
+        loss_fct=loss_cls(lw_noise=1.0, lw_coward=1.0, max_n_objects=32),
+        lr=1e-3,
+    )
+    trainer = Trainer(max_epochs=2, log_dir="/tmp/gnntest", print_validation_results=False)
+    metrics = trainer.fit(module, datamodule)
+    assert "attractive" in metrics
+    assert np.isfinite(metrics["total"])
+    assert _losses_decrease(trainer.metrics_history)
+
+
+def test_tc_training_with_cluster_scanner(datamodule):
+    module = TCModule(
+        model=PerfectECGraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_hc=2),
+        loss_fct=CondensationLossTiger(max_n_objects=32),
+        cluster_scanner=DBSCANHyperParamScanner(n_trials=2, keep_best=1, seed=0),
+    )
+    trainer = Trainer(max_epochs=1, log_dir="/tmp/gnntest", print_validation_results=False)
+    metrics = trainer.fit(module, datamodule)
+    assert "trk.double_majority_pt0.9" in metrics
+
+
+@pytest.mark.parametrize("loss_cls", [EdgeWeightBCELoss, EdgeWeightFocalLoss])
+def test_ec_training(datamodule, loss_cls):
+    module = ECModule(
+        model=ECForGraphTCN(interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12),
+        loss_fct=loss_cls(),
+    )
+    trainer = Trainer(max_epochs=1, log_dir="/tmp/gnntest", print_validation_results=False)
+    metrics = trainer.fit(module, datamodule)
+    assert "roc_auc" in metrics
+    assert 0 <= metrics["roc_auc"] <= 1
+    assert "max_mcc_pt0.9" in metrics
+
+
+def test_ml_training(datamodule):
+    module = MLModule(
+        model=GraphConstructionFCNN(in_dim=NODE_DIM, hidden_dim=16, out_dim=8, depth=2),
+        loss_fct=GraphConstructionHingeEmbeddingLoss(max_num_neighbors=32),
+    )
+    trainer = Trainer(max_epochs=1, log_dir="/tmp/gnntest", print_validation_results=False)
+    metrics = trainer.fit(module, datamodule)
+    assert "attractive" in metrics
+    assert "repulsive" in metrics
+
+
+def test_checkpoint_roundtrip(datamodule, tmp_path):
+    module = TCModule(
+        model=GraphTCNForMLGCPipeline(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_hc=2),
+        loss_fct=CondensationLossTiger(max_n_objects=32),
+    )
+    trainer = Trainer(max_epochs=1, log_dir=tmp_path, print_validation_results=False)
+    trainer.fit(module, datamodule, config={"model": "GraphTCNForMLGCPipeline"})
+    ckpts = list((trainer.log_dir / "checkpoints").glob("checkpoint_*"))
+    assert ckpts
+
+    module2 = TCModule(
+        model=GraphTCNForMLGCPipeline(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_hc=2),
+        loss_fct=CondensationLossTiger(max_n_objects=32),
+    )
+    # init params then restore
+    g = next(iter(datamodule.val_dataloader()))
+    module2.setup_params(g)
+    ckpt_dirs = [c for c in ckpts if c.is_dir()]
+    trainer.checkpointer.restore(module2, ckpt_dirs[0])
+    out1 = module.forward(g)
+    out2 = module2.forward(g)
+    np.testing.assert_allclose(np.asarray(out1["H"]), np.asarray(out2["H"]), rtol=1e-6)
+
+
+def test_graph_save_load_roundtrip(tmp_path):
+    g = make_graph(3)
+    save_graph(g, tmp_path / "g.npz")
+    g2 = load_graph(tmp_path / "g.npz")
+    np.testing.assert_allclose(np.asarray(g.x), np.asarray(g2.x))
+    np.testing.assert_array_equal(np.asarray(g.edge_index), np.asarray(g2.edge_index))
+    np.testing.assert_array_equal(np.asarray(g.particle_id), np.asarray(g2.particle_id))
+
+
+def test_frozen_prefixes(datamodule):
+    module = ECModule(
+        model=ECForGraphTCN(interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12),
+        loss_fct=EdgeWeightBCELoss(),
+        frozen_prefixes=("model/ec_node_encoder",),
+    )
+    g = next(iter(datamodule.train_dataloader()))
+    module.setup_params(g)
+    import flax
+
+    before = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, module.params))
+    module.training_step(g)
+    after = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, module.params))
+    frozen_same = [
+        np.array_equal(before[k], after[k]) for k in before if k[0].startswith("model") and "ec_node_encoder" in str(k)
+    ]
+    trainable_changed = [
+        not np.array_equal(before[k], after[k]) for k in before if "W" in str(k)
+    ]
+    assert frozen_same and all(frozen_same)
+    assert any(trainable_changed)
