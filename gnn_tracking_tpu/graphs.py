@@ -191,6 +191,48 @@ class EventGraph:
         )
 
     # ------------------------------------------------------------------
+    def compact(self) -> "EventGraph":
+        """Host-side: physically drop masked nodes/edges (inverse of padding).
+
+        Useful before serializing transformed graphs; NOT jittable (dynamic
+        output shapes). Node indices are relabeled.
+        """
+        node_mask = np.asarray(self.node_mask)
+        edge_mask = np.asarray(self.edge_mask)
+        te_mask = np.asarray(self.true_edge_mask)
+        new_index = np.cumsum(node_mask) - 1
+        ei = np.asarray(self.edge_index)[:, edge_mask]
+        te = np.asarray(self.true_edge_index)[:, te_mask]
+
+        def _nodes(arr):
+            return jnp.asarray(np.asarray(arr)[node_mask])
+
+        return self.__class__(
+            x=_nodes(self.x),
+            particle_id=_nodes(self.particle_id),
+            pt=_nodes(self.pt),
+            eta=_nodes(self.eta),
+            reconstructable=_nodes(self.reconstructable),
+            node_mask=jnp.ones(int(node_mask.sum()), dtype=bool),
+            layer=_nodes(self.layer),
+            sector=_nodes(self.sector),
+            batch=_nodes(self.batch),
+            edge_index=jnp.asarray(new_index[ei]),
+            edge_attr=jnp.asarray(np.asarray(self.edge_attr)[edge_mask]),
+            y=jnp.asarray(np.asarray(self.y)[edge_mask]),
+            edge_mask=jnp.ones(int(edge_mask.sum()), dtype=bool),
+            true_edge_index=jnp.asarray(new_index[te]),
+            true_edge_mask=jnp.ones(int(te_mask.sum()), dtype=bool),
+            extras={
+                k: jnp.asarray(
+                    np.asarray(v)[node_mask]
+                    if v.shape[0] == self.num_nodes
+                    else np.asarray(v)[edge_mask]
+                )
+                for k, v in self.extras.items()
+            },
+        )
+
     def mask_edges(self, keep: jax.Array) -> "EventGraph":
         """TPU-native analog of PyG ``Data.edge_subgraph`` — masks instead of
         reshaping (reference ``track_condensation_networks.py:252``)."""

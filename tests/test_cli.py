@@ -1,0 +1,53 @@
+"""CLI smoke tests: YAML-config training round trip (analog of reference
+tests/test_lightning_from_config_training.py) and data transformer."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gnn_tracking_tpu.graph_construction.data_transformer import DataTransformer, ECCut
+from gnn_tracking_tpu.training.run import cli_main
+from gnn_tracking_tpu.utils.loading import load_graph, save_graph
+
+from .test_training import make_graph
+
+
+@pytest.fixture(scope="module")
+def data_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    for split, seeds in [("train", [0, 1]), ("val", [2])]:
+        d = root / split
+        d.mkdir()
+        for s in seeds:
+            save_graph(make_graph(s), d / f"data{s}_s0.npz")
+    return root
+
+
+def test_cli_fit_from_yaml(data_dirs, tmp_path):
+    template = Path(__file__).parent / "test_configs" / "tc.yml"
+    config_text = template.read_text().replace("__TMPDIR__", str(data_dirs))
+    cfg = tmp_path / "tc.yml"
+    cfg.write_text(config_text)
+    metrics = cli_main(["fit", "--config", str(cfg)])
+    assert "total" in metrics
+    assert np.isfinite(metrics["total"])
+
+
+def test_data_transformer_ec_cut(data_dirs, tmp_path):
+    def fake_ec(graph):
+        rng = np.random.default_rng(0)
+        return {"W": rng.random(graph.num_edges)}
+
+    transformer = DataTransformer(ECCut(fake_ec, thld=0.5))
+    out_dir = tmp_path / "transformed"
+    transformer.process_directories([data_dirs / "train"], [out_dir])
+    files = sorted(out_dir.glob("*.npz"))
+    assert len(files) == 2
+    g_in = load_graph(sorted((data_dirs / "train").glob("*.npz"))[0])
+    g_out = load_graph(files[0])
+    # cut keeps roughly half the edges, graph was compacted
+    assert 0 < g_out.num_edges < g_in.num_edges
+    assert bool(np.asarray(g_out.edge_mask).all())
+    assert "ec_score" in g_out.extras
+    assert (out_dir / "transform_config.yml").exists()
