@@ -1,0 +1,230 @@
+"""Intra-event graph partitioning over the ``graph`` mesh axis.
+
+The reference scales to full-detector events only by *offline* azimuthal
+sectorization (``preprocessing/point_cloud_builder.py:242``: cut the event
+into wedges with overlap and train on wedges independently). The TPU-native
+equivalent keeps the event whole and **shards one graph across chips** — the
+graph analog of sequence/context parallelism (SURVEY §2.10/§5.7):
+
+* hits are partitioned into P contiguous shards (sorted by azimuth so
+  boundary traffic is small, mirroring the sectorization geometry);
+* each edge lives on the shard owning its *target* hit, so the
+  segment-sum aggregation is local;
+* source hits owned by other shards become *halo* entries: during message
+  passing each shard fetches the halo features via an ``all_gather`` over
+  the ``graph`` axis (XLA rides the ICI). A ppermute ring that exchanges
+  only boundary hits and overlaps with local aggregation is the planned
+  refinement; the all-gather version is exact and simple.
+
+Everything is static-shape: per-shard node/edge/halo arrays are padded to
+common sizes at partition time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_tracking_tpu.graphs import EventGraph
+
+
+@struct.dataclass
+class ShardedGraph:
+    """One event partitioned into P shards (leading axis = shard).
+
+    Edge sources are encoded in *extended local* coordinates: indices
+    ``< n_local`` refer to the shard's own hits, indices ``>= n_local`` into
+    its halo block. ``halo_index`` holds, for each halo slot, the *global*
+    index of the hit it mirrors (used to fetch features after all-gather).
+    """
+
+    # per-shard node data [P, N_loc, ...]
+    x: jax.Array
+    node_mask: jax.Array  # [P, N_loc]
+    global_index: jax.Array  # [P, N_loc] global hit index of each local slot
+    # per-shard halo [P, H]: owner shard + local slot of each mirrored hit
+    halo_shard: jax.Array
+    halo_local: jax.Array
+    halo_mask: jax.Array  # [P, H]
+    # per-shard edges [P, 2, E_loc] — src in extended-local, dst in local coords
+    edge_index: jax.Array
+    edge_attr: jax.Array  # [P, E_loc, Fe]
+    edge_mask: jax.Array  # [P, E_loc]
+
+    @property
+    def n_shards(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_local(self) -> int:
+        return self.x.shape[1]
+
+
+def partition_event(
+    graph: EventGraph,
+    n_shards: int,
+    *,
+    sort_key: np.ndarray | None = None,
+) -> ShardedGraph:
+    """Host-side partitioner: sort hits (default: by azimuth φ of the second
+    feature column as produced by the point-cloud builder), split into P
+    contiguous shards, build halo tables.
+    """
+    n = graph.num_nodes
+    x = np.asarray(graph.x)
+    node_mask = np.asarray(graph.node_mask)
+    ei = np.asarray(graph.edge_index)
+    ea = np.asarray(graph.edge_attr)
+    em = np.asarray(graph.edge_mask)
+
+    if sort_key is None:
+        sort_key = x[:, 1] if x.shape[1] > 1 else np.arange(n, dtype=float)
+    # stable sort: valid nodes first, then by key — padding goes last
+    order = np.lexsort((sort_key, ~node_mask))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+
+    n_loc = -(-n // n_shards)
+    shard_of = rank // n_loc  # shard of each global hit
+    local_of = rank % n_loc
+
+    # assign edges to the shard of their target
+    dst_shard = shard_of[ei[1]]
+    per_shard_edges = [np.where(em & (dst_shard == s))[0] for s in range(n_shards)]
+    e_loc = max((len(e) for e in per_shard_edges), default=1)
+    e_loc = max(e_loc, 1)
+
+    # halo: per shard, unique remote sources
+    halos = []
+    for s in range(n_shards):
+        idx = per_shard_edges[s]
+        src = ei[0, idx]
+        remote = np.unique(src[shard_of[src] != s])
+        halos.append(remote)
+    h_max = max((len(h) for h in halos), default=1)
+    h_max = max(h_max, 1)
+
+    P_ = n_shards
+    sx = np.zeros((P_, n_loc) + x.shape[1:], dtype=x.dtype)
+    smask = np.zeros((P_, n_loc), dtype=bool)
+    sglobal = np.zeros((P_, n_loc), dtype=np.int32)
+    shalo_shard = np.zeros((P_, h_max), dtype=np.int32)
+    shalo_local = np.zeros((P_, h_max), dtype=np.int32)
+    shalo_mask = np.zeros((P_, h_max), dtype=bool)
+    sei = np.zeros((P_, 2, e_loc), dtype=np.int32)
+    sea = np.zeros((P_, e_loc) + ea.shape[1:], dtype=ea.dtype)
+    sem = np.zeros((P_, e_loc), dtype=bool)
+
+    for s in range(P_):
+        own = order[s * n_loc : (s + 1) * n_loc]
+        k = len(own)
+        sx[s, :k] = x[own]
+        smask[s, :k] = node_mask[own]
+        sglobal[s, :k] = own
+        halo = halos[s]
+        shalo_shard[s, : len(halo)] = shard_of[halo]
+        shalo_local[s, : len(halo)] = local_of[halo]
+        shalo_mask[s, : len(halo)] = True
+        # remote source → extended local index n_loc + halo slot
+        halo_slot = {g: n_loc + j for j, g in enumerate(halo)}
+        idx = per_shard_edges[s]
+        src, dst = ei[0, idx], ei[1, idx]
+        src_local = np.array(
+            [
+                local_of[g] if shard_of[g] == s else halo_slot[g]
+                for g in src
+            ],
+            dtype=np.int32,
+        )
+        sei[s, 0, : len(idx)] = src_local
+        sei[s, 1, : len(idx)] = local_of[dst]
+        sea[s, : len(idx)] = ea[idx]
+        sem[s, : len(idx)] = True
+
+    return ShardedGraph(
+        x=jnp.asarray(sx),
+        node_mask=jnp.asarray(smask),
+        global_index=jnp.asarray(sglobal),
+        halo_shard=jnp.asarray(shalo_shard),
+        halo_local=jnp.asarray(shalo_local),
+        halo_mask=jnp.asarray(shalo_mask),
+        edge_index=jnp.asarray(sei),
+        edge_attr=jnp.asarray(sea),
+        edge_mask=jnp.asarray(sem),
+    )
+
+
+def gather_halo(x_local: jax.Array, sg: "ShardedGraph", axis_name: str = "graph"):
+    """Inside ``shard_map``: extend the local node features with the halo
+    block fetched from peer shards (all-gather over ICI)."""
+    # x_local: [N_loc, F] (this shard)
+    all_x = jax.lax.all_gather(x_local, axis_name)  # [P, N_loc, F]
+    halo_x = all_x[sg.halo_shard, sg.halo_local]  # [H, F]
+    halo_x = jnp.where(sg.halo_mask[:, None], halo_x, 0)
+    return jnp.concatenate([x_local, halo_x], axis=0)  # [N_loc + H, F]
+
+
+def make_sharded_apply(
+    mesh: Mesh,
+    n_local: int,
+    layer_fn: Callable,
+    n_layers: int,
+    axis_name: str = "graph",
+):
+    """Build a ``shard_map``-ped message-passing stack over a ShardedGraph.
+
+    ``layer_fn(params_i, x_ext, edge_index, edge_attr, edge_mask, n_local)``
+    must return ``(x_local_new [N_loc, F], edge_attr_new)``; the wrapper
+    handles the halo exchange before every layer.
+    """
+    from jax import shard_map
+
+    spec_sharded = P(axis_name)
+
+    def _run(params, sg: ShardedGraph):
+        def per_shard(params, sg_shard: ShardedGraph):
+            # inside: all leading [P, ...] axes are sliced away
+            sg_local = jax.tree.map(lambda v: v[0], sg_shard)
+            x = sg_local.x
+            edge_attr = sg_local.edge_attr
+            for i in range(n_layers):
+                x_ext = gather_halo(x, sg_local, axis_name)
+                x, edge_attr = layer_fn(
+                    params[i] if isinstance(params, (list, tuple)) else params,
+                    x_ext,
+                    sg_local.edge_index,
+                    edge_attr,
+                    sg_local.edge_mask,
+                    n_local,
+                )
+            return x[None], edge_attr[None]
+
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), spec_sharded),
+            out_specs=(spec_sharded, spec_sharded),
+            check_rep=False,
+        )(params, sg)
+
+    return jax.jit(_run)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes",))
+def unpartition_nodes(
+    values: jax.Array, sg: ShardedGraph, num_nodes: int
+) -> jax.Array:
+    """Scatter per-shard node values [P, N_loc, ...] back to global order."""
+    flat_idx = sg.global_index.reshape(-1)
+    flat_vals = values.reshape((-1,) + values.shape[2:])
+    flat_mask = sg.node_mask.reshape(-1)
+    out = jnp.zeros((num_nodes,) + values.shape[2:], dtype=values.dtype)
+    return out.at[jnp.where(flat_mask, flat_idx, num_nodes)].set(
+        flat_vals, mode="drop"
+    )
