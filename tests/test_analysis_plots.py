@@ -1,0 +1,96 @@
+"""Smoke tests for EC analysis + plotting (analog of reference
+tests/test_plotutils.py, test_plotting.py, test_latent_analysis.py,
+test_efficiency_plots.py)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gnn_tracking_tpu.analysis.edge_classification import (
+    ThresholdTrackInfoPlot,
+    collect_all_ec_stats,
+    get_all_ec_stats,
+)
+from gnn_tracking_tpu.analysis.efficiencies import (
+    PerformanceComparisonPlot,
+    PerformancePlot,
+    TracksVsDBSCANPlot,
+)
+from gnn_tracking_tpu.analysis.latent import SelectedPidsPlot
+from gnn_tracking_tpu.analysis.plotutils import Plot, add_watermark
+from gnn_tracking_tpu.utils.plotting import GraphPlotter, plot_rz
+
+from .test_models import make_graph
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return make_graph(0)
+
+
+def test_get_all_ec_stats(graph):
+    rng = np.random.default_rng(0)
+    w = rng.random(graph.num_edges)
+    stats = get_all_ec_stats(0.5, w, graph)
+    assert stats["threshold"] == 0.5
+    assert "TPR" in stats
+    assert "TPR_thld" in stats
+    assert "frac_segment50" in stats
+    assert "n_orphan_total" in stats
+
+
+def test_collect_all_ec_stats(graph):
+    rng = np.random.default_rng(0)
+
+    def model_fn(data):
+        return {"W": rng.random(data.num_edges)}
+
+    df = collect_all_ec_stats(model_fn, [graph, graph], thresholds=[0.3, 0.7])
+    assert len(df) == 2
+    assert "TPR_err" in df.columns
+    plot = ThresholdTrackInfoPlot(df)
+    plot.plot()
+
+
+def test_plot_base():
+    p = Plot(watermark="test")
+    add_watermark(p.ax)
+    p.ax.plot([0, 1], [0, 1])
+
+
+def test_efficiency_plots():
+    df = pd.DataFrame(
+        {
+            "pt_min": [0.5, 1.0],
+            "pt_max": [1.0, 1.5],
+            "double_majority": [0.8, 0.9],
+            "double_majority_err": [0.02, 0.02],
+        }
+    )
+    p = PerformancePlot(var="pt")
+    p.plot_metric(df, "double_majority")
+    c = PerformanceComparisonPlot("double_majority", var="pt")
+    c.add_run(df, label="run1")
+
+    df_eps = pd.DataFrame(
+        {"eps": [0.1, 0.2], "double_majority_pt0.9": [0.7, 0.8]}
+    )
+    t = TracksVsDBSCANPlot(df_eps)
+    t.plot_var("double_majority_pt0.9")
+
+
+def test_latent_plot(graph):
+    rng = np.random.default_rng(0)
+    latent = rng.normal(size=(graph.num_nodes, 2))
+    p = SelectedPidsPlot(graph, latent, n_pids=3)
+    p.plot_latent()
+    p.plot_phi_eta()
+
+
+def test_graph_plotter(graph):
+    plot_rz(graph, max_edges=50)
+    GraphPlotter(graph).plot_3d(max_edges=20)
