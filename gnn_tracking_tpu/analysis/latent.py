@@ -12,10 +12,10 @@ from gnn_tracking_tpu.utils.graph_masks import get_good_node_mask
 
 def get_color_mapper(values, cmap: str = "tab10"):
     """Map discrete values to colors (reference ``latent.py:14-36``)."""
-    
+    import matplotlib
 
     unique = sorted(set(np.asarray(values).tolist()))
-    colormap = __import__("matplotlib").colormaps[cmap]
+    colormap = matplotlib.colormaps[cmap]
     mapping = {v: colormap(i % colormap.N) for i, v in enumerate(unique)}
     return lambda v: mapping[v]
 
