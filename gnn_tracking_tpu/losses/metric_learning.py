@@ -164,3 +164,74 @@ class GraphConstructionHingeEmbeddingLoss(MultiLossFct):
         return MultiLossFctReturn(
             loss_dct=losses, weight_dct=weights, extra_metrics=extra
         )
+
+
+class OldGraphConstructionHingeEmbeddingLoss(MultiLossFct):
+    """Legacy hinge embedding loss (reference ``metric_learning.py:206-273``):
+    one merged edge set (high-pt true edges ∪ radius graph); attraction over
+    true edges, repulsion over non-true edges, both normalized by the number
+    of high-pt true edges."""
+
+    def __init__(
+        self,
+        *,
+        r_emb: float = 1.0,
+        max_num_neighbors: int = 256,
+        attr_pt_thld: float = 0.9,
+        p_attr: float = 1.0,
+        p_rep: float = 1.0,
+        lw_repulsive: float = 1.0,
+    ):
+        self.r_emb = r_emb
+        self.max_num_neighbors = max_num_neighbors
+        self.attr_pt_thld = attr_pt_thld
+        self.p_attr = p_attr
+        self.p_rep = p_rep
+        self.lw_repulsive = lw_repulsive
+
+    def __call__(
+        self,
+        *,
+        x: jax.Array,
+        particle_id: jax.Array,
+        batch: jax.Array | None = None,
+        true_edge_index: jax.Array,
+        pt: jax.Array,
+        node_mask: jax.Array | None = None,
+        true_edge_mask: jax.Array | None = None,
+        **kwargs: Any,
+    ) -> MultiLossFctReturn:
+        # merged edge set as concatenation with masks (duplicates between the
+        # two sources keep the same loss value up to the reference's unique())
+        te_mask = pt[true_edge_index[0]] > self.attr_pt_thld
+        if true_edge_mask is not None:
+            te_mask = te_mask & true_edge_mask
+        near_edges, near_mask, _ = radius_graph(
+            x,
+            self.r_emb,
+            max_num_neighbors=self.max_num_neighbors,
+            node_mask=node_mask,
+            batch=batch,
+            loop=False,
+        )
+        edges = jnp.concatenate([true_edge_index, near_edges], axis=1)
+        mask = jnp.concatenate([te_mask, near_mask])
+
+        pid0, pid1 = particle_id[edges[0]], particle_id[edges[1]]
+        true_edge = (pid0 == pid1) & (pid0 > 0)
+        true_high_pt = true_edge & (pt[edges[0]] > self.attr_pt_thld)
+        diff = x[edges[0]] - x[edges[1]]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        safe = mask & (d2 > 0)
+        dists = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
+        normalization = (true_high_pt & mask).sum() + 1e-8
+        attr = (
+            jnp.sum(jnp.where(true_high_pt & mask, dists**self.p_attr, 0.0))
+            / normalization
+        )
+        hinge = jax.nn.relu(self.r_emb - dists**self.p_rep)
+        rep = jnp.sum(jnp.where(~true_edge & mask, hinge, 0.0)) / normalization
+        return MultiLossFctReturn(
+            loss_dct={"attractive": attr, "repulsive": rep},
+            weight_dct={"attractive": 1.0, "repulsive": self.lw_repulsive},
+        )

@@ -21,7 +21,7 @@ test cases):
 from __future__ import annotations
 
 import functools
-from typing import Iterable, TypedDict
+from typing import Callable, Iterable, TypedDict
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +236,128 @@ def tracking_metrics_data(
         node_mask=np.asarray(data.node_mask),
         predicted_count_thld=predicted_count_thld,
         max_eta=max_eta,
+    )
+
+
+def _binned_tracking_metrics(
+    events: list[dict[str, np.ndarray]],
+    bins: list[float],
+    *,
+    bin_var: str,
+    fixed_masks: Callable[[dict[str, np.ndarray]], np.ndarray],
+    predicted_count_thld: int = 3,
+) -> "pd.DataFrame":
+    """Shared implementation of pt-/eta-binned tracking metrics
+    (reference ``cluster_metrics.py:292-384``): per bin, clusters are
+    selected by their majority particle's property, hits by their own."""
+    import itertools
+
+    import pandas as pd
+
+    results = []
+    for lo, hi in itertools.pairwise(bins):
+        per_event = []
+        for ev in events:
+            truth, predicted = ev["truth"], ev["predicted"]
+            pts, reco, eta = ev["pts"], ev["reconstructable"], ev["eta"]
+            # per-cluster majority properties (host, small arrays)
+            clusters = np.unique(predicted[predicted >= 0])
+            n_pm = n_dm = n_lhc = n_c = 0
+            for c in clusters:
+                in_c = predicted == c
+                if in_c.sum() < predicted_count_thld:
+                    continue
+                pids, counts = np.unique(truth[in_c], return_counts=True)
+                best = counts.max()
+                maj_pid = pids[counts == best].min()
+                sel = truth == maj_pid
+                props = {
+                    "pt": pts[sel].mean(),
+                    "eta": eta[sel].mean(),
+                    "reco": reco[sel].mean(),
+                }
+                if not (lo <= props[bin_var] < hi):
+                    continue
+                if props["reco"] <= 0 or not fixed_masks(props):
+                    continue
+                maj_frac = best / in_c.sum()
+                maj_pid_frac = best / sel.sum()
+                n_c += 1
+                n_pm += int((sel.sum() == best) and maj_frac > 0.99)
+                n_dm += int(maj_pid_frac > 0.5 and maj_frac > 0.5)
+                n_lhc += int(maj_frac > 0.75)
+            hvar = {"pt": pts, "eta": eta}[bin_var]
+            h_mask = (
+                (hvar >= lo)
+                & (hvar < hi)
+                & (reco > 0)
+                & fixed_masks({"pt": pts, "eta": eta, "reco": reco}, hits=True)
+            )
+            n_particles = len(np.unique(truth[h_mask]))
+            div = lambda a, b: float("nan") if b == 0 else a / b
+            per_event.append(
+                {
+                    "n_particles": n_particles,
+                    "n_cleaned_clusters": n_c,
+                    "perfect": div(n_pm, n_particles),
+                    "double_majority": div(n_dm, n_particles),
+                    "lhc": div(n_lhc, n_c),
+                    "fake_perfect": div(n_c - n_pm, n_c),
+                    "fake_double_majority": div(n_c - n_dm, n_c),
+                    "fake_lhc": div(n_c - n_lhc, n_c),
+                }
+            )
+        df = pd.DataFrame.from_records(per_event)
+        row = df.mean().to_dict()
+        for k in list(row):
+            row[k + "_err"] = float(df[k].std() / np.sqrt(max(len(df), 1)))
+        row[f"{bin_var}_min"], row[f"{bin_var}_max"] = lo, hi
+        results.append(row)
+    return pd.DataFrame.from_records(results)
+
+
+def tracking_metrics_vs_pt(
+    events: list[dict[str, np.ndarray]],
+    pts: list[float],
+    *,
+    max_eta: float = 4.0,
+    predicted_count_thld: int = 3,
+):
+    """Tracking metrics in pt slices (reference ``cluster_metrics.py:292-337``).
+
+    ``events`` is a list of dicts with keys truth/predicted/pts/
+    reconstructable/eta (one entry per event/batch).
+    """
+
+    def masks(props, hits=False):
+        if hits:
+            return np.abs(props["eta"]) < max_eta
+        return abs(props["eta"]) < max_eta
+
+    return _binned_tracking_metrics(
+        events, pts, bin_var="pt", fixed_masks=masks,
+        predicted_count_thld=predicted_count_thld,
+    )
+
+
+def tracking_metrics_vs_eta(
+    events: list[dict[str, np.ndarray]],
+    etas: list[float],
+    *,
+    pt_thld: float = 0.9,
+    predicted_count_thld: int = 3,
+):
+    """Tracking metrics in eta slices (reference
+    ``cluster_metrics.py:340-384``)."""
+
+    def masks(props, hits=False):
+        if hits:
+            return props["pt"] >= pt_thld
+        return props["pt"] >= pt_thld
+
+    return _binned_tracking_metrics(
+        events, etas, bin_var="eta", fixed_masks=masks,
+        predicted_count_thld=predicted_count_thld,
     )
 
 
