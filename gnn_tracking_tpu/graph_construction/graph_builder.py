@@ -110,6 +110,16 @@ class GraphBuilder:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _intersect_layer_r(layer1: int, layer2: int) -> float | None:
+        """Radius of the barrel layer an edge must not intersect, or None
+        (reference ``graph_builder.py:192-206``)."""
+        if layer1 == 7 and layer2 in (6, 11):
+            return 71.56298065185547
+        if layer1 == 8 and layer2 in (6, 11):
+            return 115.37811279296875
+        return None
+
     def select_edges(
         self,
         idx1: np.ndarray,
@@ -119,9 +129,35 @@ class GraphBuilder:
         z: np.ndarray,
         layer1: int,
         layer2: int,
+        *,
+        use_native: bool | None = None,
     ) -> dict[str, np.ndarray]:
         """Cross-join two layers and apply the geometric cuts
-        (reference ``select_edges``, ``graph_builder.py:162-227``)."""
+        (reference ``select_edges``, ``graph_builder.py:162-227``).
+
+        Dispatches to the native C++/OpenMP join (``csrc/edge_join.cpp``)
+        when available; the numpy path is the fallback and parity oracle.
+        """
+        from gnn_tracking_tpu import native
+
+        if use_native is None:
+            use_native = native.available()
+        if use_native:
+            return native.select_edges_native(
+                idx1,
+                idx2,
+                r,
+                phi,
+                z,
+                phi_slope_max=self.phi_slope_max,
+                z0_max=self.z0_max,
+                dR_max=self.dR_max,
+                intersect_layer_r=(
+                    self._intersect_layer_r(layer1, layer2)
+                    if self._remove_intersecting
+                    else None
+                ),
+            )
         i1 = np.repeat(idx1, len(idx2))
         i2 = np.tile(idx2, len(idx1))
 
