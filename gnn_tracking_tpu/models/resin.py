@@ -22,6 +22,32 @@ from flax import linen as nn
 from gnn_tracking_tpu.models.interaction_network import InteractionNetwork
 
 
+class MaskedBatchNorm(nn.Module):
+    """Batch normalization over valid (unmasked) rows only.
+
+    TPU-native replacement for the reference's ``nn.BatchNorm1d`` in
+    ``Skip2ResidualNetwork`` (``resin.py:143-151``): on padded graphs, batch
+    statistics must exclude padding or they are diluted. Uses per-call batch
+    statistics (training-mode semantics); running averages are not kept
+    (stateless / jit-pure).
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+        if mask is None:
+            mask = jnp.ones(x.shape[0], dtype=bool)
+        w = mask.astype(x.dtype)[:, None]
+        n = jnp.maximum(w.sum(), 1.0)
+        mean = jnp.sum(x * w, axis=0, keepdims=True) / n
+        var = jnp.sum(w * (x - mean) ** 2, axis=0, keepdims=True) / n
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[:, None], y, x)
+
+
 def sqconvex_combination(
     *, delta: jax.Array, residue: jax.Array | None, alpha_residue: float
 ) -> jax.Array:
@@ -77,6 +103,7 @@ class ResIN(nn.Module):
         edge_index: jax.Array,
         edge_attr: jax.Array,
         edge_mask: jax.Array | None = None,
+        node_mask: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, list[jax.Array] | None]:
         collect = self.collect_hidden_edge_embeds
         edge_attrs: list[jax.Array] | None = [edge_attr] if collect else None
@@ -96,15 +123,19 @@ class ResIN(nn.Module):
             if self.n_layers % 2 != 0:
                 msg = "skip2 requires an even number of layers"
                 raise ValueError(msg)
-            if self.add_bn:
-                msg = "add_bn not implemented for the TPU build yet"
-                raise NotImplementedError(msg)
             for b in range(self.n_layers // 2):
                 i0, i1 = 2 * b, 2 * b + 1
                 act0 = nn.relu if i0 > 0 else (lambda v: v)
+                x_in, e_in = x, edge_attr
+                if self.add_bn:
+                    x_in = MaskedBatchNorm(name=f"node_bn_{i0}")(x_in, node_mask)
+                    e_in = MaskedBatchNorm(name=f"edge_bn_{i0}")(e_in, edge_mask)
                 hidden_x, hidden_e = self._make_layer(i0)(
-                    act0(x), edge_index, act0(edge_attr), edge_mask
+                    act0(x_in), edge_index, act0(e_in), edge_mask
                 )
+                if self.add_bn:
+                    hidden_x = MaskedBatchNorm(name=f"node_bn_{i1}")(hidden_x, node_mask)
+                    hidden_e = MaskedBatchNorm(name=f"edge_bn_{i1}")(hidden_e, edge_mask)
                 delta_x, edge_attr = self._make_layer(i1)(
                     nn.relu(hidden_x), edge_index, nn.relu(hidden_e), edge_mask
                 )

@@ -95,6 +95,7 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.print_validation_results = print_validation_results
         self._checkpointer: Checkpointer | None = None
+        self._run_logger = None
         self.metrics_history: list[dict[str, float]] = []
 
     @property
@@ -137,7 +138,13 @@ class Trainer:
             )
             if val_loader is not None:
                 last_val = self.validate(module, loader=val_loader)
-            self.metrics_history.append({**train_metrics, **last_val})
+            epoch_metrics = {**train_metrics, **last_val}
+            self.metrics_history.append(epoch_metrics)
+            if self._run_logger is None:
+                from gnn_tracking_tpu.training.loggers import RunLogger
+
+                self._run_logger = RunLogger(self.log_dir, config=config)
+            self._run_logger.log(module.step, epoch_metrics)
             if self.checkpoint_every_epoch:
                 self.checkpointer.save(module, config=config)
             if self.max_steps is not None and module.step >= self.max_steps:

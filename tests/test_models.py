@@ -310,3 +310,20 @@ def test_tcn_padding_invariance():
     np.testing.assert_array_equal(
         np.asarray(out["ec_edge_mask"]), np.asarray(out_p["ec_edge_mask"])[:N_EDGES]
     )
+
+
+def test_resin_skip2_with_batchnorm(graph):
+    m = ResIN(
+        node_dim=NODE_DIM,
+        edge_dim=EDGE_DIM,
+        n_layers=4,
+        residual_type="skip2",
+        add_bn=True,
+    )
+    params = m.init(jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr)
+    x, e, _ = m.apply(
+        params, graph.x, graph.edge_index, graph.edge_attr, graph.edge_mask,
+        graph.node_mask,
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(np.asarray(e)).all()
