@@ -35,7 +35,12 @@ _EPS = 1e-9
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_n_objects", "max_n_rep", "noise_threshold"),
+    static_argnames=(
+        "max_n_objects",
+        "max_n_rep",
+        "noise_threshold",
+        "object_block_size",
+    ),
 )
 def condensation_loss(
     *,
@@ -49,6 +54,7 @@ def condensation_loss(
     noise_threshold: int = 0,
     max_n_rep: int = 0,
     rng: jax.Array | None = None,
+    object_block_size: int | None = None,
 ) -> tuple[dict[str, jax.Array], dict[str, Any]]:
     """Dense ("tiger") condensation loss. Semantics: reference ``oc.py:252-347``.
 
@@ -75,29 +81,44 @@ def condensation_loss(
     unique_ids, obj_valid, n_objects = dense_object_index(
         object_id, object_mask, max_n_objects
     )
-
-    # [N, K]: hits of object k attract each other — note this includes hits of
-    # the object that fail the mask (reference oc.py:286 matches all hits).
-    attractive_mask = (
-        (object_id[:, None] == unique_ids[None, :])
-        & node_mask[:, None]
-        & obj_valid[None, :]
-    )
-
     q = jnp.arctanh(beta) ** 2 + q_min
 
-    # Condensation point of each object: hit with maximum charge (oc.py:292).
-    alphas = jnp.argmax(q[:, None] * attractive_mask, axis=0)  # [K]
-    q_k = q[alphas][None, :]  # [1, K]
-    qw = q[:, None] * q_k  # [N, K]
+    def block_terms(uids_blk, valid_blk, sample_rng, sampling_freq):
+        """Partial loss terms for one block of objects; [N, B] matrices.
 
-    x_k = x[alphas]  # [K, D]
-    diff = x[:, None, :] - x_k[None, :, :]
-    dist_sq = jnp.sum(diff * diff, axis=-1)  # [N, K]
-    # Safe norm: zero-distance pairs (each CP to itself) must have zero
-    # gradient, like torch.cdist's backward, not NaN from d(sqrt)/dx at 0.
-    nonzero = dist_sq > 0
-    dist = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, dist_sq, 1.0)), 0.0)
+        The [hits × objects] matrices are the memory hot spot
+        (SURVEY §2.9: torch.cdist n² — never materialize on HBM for big
+        events); blocking bounds them to N×B.
+        """
+        # hits of object k attract each other — note this includes hits of
+        # the object that fail the mask (reference oc.py:286 matches all).
+        attractive_mask = (
+            (object_id[:, None] == uids_blk[None, :])
+            & node_mask[:, None]
+            & valid_blk[None, :]
+        )
+        # Condensation point: hit with maximum charge (oc.py:292).
+        alphas = jnp.argmax(q[:, None] * attractive_mask, axis=0)  # [B]
+        q_k = q[alphas][None, :]
+        qw = q[:, None] * q_k
+        diff = x[:, None, :] - x[alphas][None, :, :]
+        dist_sq = jnp.sum(diff * diff, axis=-1)
+        # Safe norm: zero-distance pairs (each CP to itself) must have zero
+        # gradient, like torch.cdist's backward, not NaN from sqrt'(0).
+        nonzero = dist_sq > 0
+        dist = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, dist_sq, 1.0)), 0.0)
+
+        v_att = jnp.sum(jnp.where(attractive_mask, qw * dist_sq, 0.0))
+        repulsive_mask = (
+            (~attractive_mask) & (dist < 1) & node_mask[:, None] & valid_blk[None, :]
+        )
+        n_rep_blk = repulsive_mask.sum()
+        if max_n_rep > 0:
+            sample = jax.random.uniform(sample_rng, repulsive_mask.shape) < sampling_freq
+            repulsive_mask = repulsive_mask & sample
+        v_rep = jnp.sum(jnp.where(repulsive_mask, qw * (1 - dist), 0.0))
+        coward = jnp.sum(jnp.where(valid_blk, 1 - beta[alphas], 0.0))
+        return v_att, v_rep, n_rep_blk, coward
 
     n_hits = node_mask.sum()
     n_hits_oi = object_mask.sum()
@@ -106,24 +127,60 @@ def condensation_loss(
     # subtract n_objects to avoid double counting (oc.py:311)
     norm_att = _EPS + n_hits_oi - n_objects
 
-    v_att = jnp.sum(jnp.where(attractive_mask, qw * dist_sq, 0.0)) / norm_att
+    if max_n_rep > 0 and rng is None:
+        msg = "max_n_rep > 0 requires an rng key"
+        raise ValueError(msg)
 
-    repulsive_mask = (~attractive_mask) & (dist < 1) & node_mask[:, None] & obj_valid[None, :]
-    n_rep = repulsive_mask.sum()
-    if max_n_rep > 0:
-        if rng is None:
-            msg = "max_n_rep > 0 requires an rng key"
+    if object_block_size is None or object_block_size >= max_n_objects:
+        sampling_freq = 1.0
+        n_rep = 0
+        if max_n_rep > 0:
+            # count pass without sampling to determine the frequency
+            _, _, n_rep, _ = block_terms(unique_ids, obj_valid, rng, 1.0)
+            sampling_freq = jnp.minimum(max_n_rep / jnp.maximum(n_rep, 1), 1.0)
+            sampling_freq = jnp.where(n_rep > max_n_rep, sampling_freq, 1.0)
+        v_att, v_rep, n_rep_r, coward_sum = block_terms(
+            unique_ids,
+            obj_valid,
+            rng if rng is not None else jax.random.PRNGKey(0),
+            sampling_freq if max_n_rep > 0 else 1.0,
+        )
+        n_rep = n_rep_r if max_n_rep == 0 else n_rep
+    else:
+        if max_n_objects % object_block_size != 0:
+            msg = "max_n_objects must be divisible by object_block_size"
             raise ValueError(msg)
-        sampling_freq = jnp.minimum(max_n_rep / jnp.maximum(n_rep, 1), 1.0)
-        apply = n_rep > max_n_rep
-        sample = jax.random.uniform(rng, repulsive_mask.shape) < sampling_freq
-        repulsive_mask = repulsive_mask & jnp.where(apply, sample, True)
-        norm_rep = norm_rep * jnp.where(apply, sampling_freq, 1.0)
-    v_rep = jnp.sum(jnp.where(repulsive_mask, qw * (1 - dist), 0.0)) / norm_rep
+        n_blocks = max_n_objects // object_block_size
+        uids_b = unique_ids.reshape(n_blocks, object_block_size)
+        valid_b = obj_valid.reshape(n_blocks, object_block_size)
+        base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rngs_b = jax.random.split(base_rng, n_blocks)
 
-    l_coward = jnp.sum(jnp.where(obj_valid, 1 - beta[alphas], 0.0)) / jnp.maximum(
-        n_objects, 1
-    )
+        if max_n_rep > 0:
+            counts = jax.lax.map(
+                lambda args: block_terms(args[0], args[1], args[2], 1.0)[2],
+                (uids_b, valid_b, rngs_b),
+            )
+            n_rep = counts.sum()
+            sampling_freq = jnp.minimum(max_n_rep / jnp.maximum(n_rep, 1), 1.0)
+            sampling_freq = jnp.where(n_rep > max_n_rep, sampling_freq, 1.0)
+        else:
+            sampling_freq = 1.0
+
+        partials = jax.lax.map(
+            lambda args: block_terms(args[0], args[1], args[2], sampling_freq),
+            (uids_b, valid_b, rngs_b),
+        )
+        v_att = partials[0].sum()
+        v_rep = partials[1].sum()
+        n_rep = partials[2].sum() if max_n_rep == 0 else n_rep
+        coward_sum = partials[3].sum()
+
+    if max_n_rep > 0:
+        norm_rep = norm_rep * sampling_freq
+    v_att = v_att / norm_att
+    v_rep = v_rep / norm_rep
+    l_coward = coward_sum / jnp.maximum(n_objects, 1)
     is_noise = (object_id <= noise_threshold) & (object_id >= 0) & node_mask
     l_noise = jnp.sum(jnp.where(is_noise, beta, 0.0)) / jnp.maximum(is_noise.sum(), 1)
 
@@ -281,9 +338,12 @@ class CondensationLossTiger(_CondensationLossBase):
     """Dense condensation loss (reference ``CondensationLossTiger``,
     ``oc.py:350-436``)."""
 
-    def __init__(self, *, max_n_rep: int = 0, **kwargs):
+    def __init__(
+        self, *, max_n_rep: int = 0, object_block_size: int | None = None, **kwargs
+    ):
         super().__init__(**kwargs)
         self.max_n_rep = max_n_rep
+        self.object_block_size = object_block_size
 
     def __call__(
         self,
@@ -322,6 +382,7 @@ class CondensationLossTiger(_CondensationLossBase):
             max_n_rep=self.max_n_rep,
             max_n_objects=self.max_n_objects,
             rng=rng,
+            object_block_size=self.object_block_size,
         )
         return MultiLossFctReturn(
             loss_dct=losses, weight_dct=self._weights(), extra_metrics=extra

@@ -62,9 +62,13 @@ class TrackingModule:
         preproc: nn.Module | None = None,
         frozen_prefixes: tuple[str, ...] = (),
         rng_seed: int = 42,
+        precision: str = "f32",
     ):
+        from gnn_tracking_tpu.training.precision import get_policy
+
         self.model = model
         self.preproc = preproc
+        self.policy = get_policy(precision)
         self.full_model = _PreprocModel(model=model, preproc=preproc)
         if optimizer is None:
             optimizer = optax.adam(lr)
@@ -114,13 +118,22 @@ class TrackingModule:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
+    def _model_and_losses(self, p, data: EventGraph, rngs, rng):
+        """Forward + loss with the precision policy applied: model compute in
+        ``compute_dtype``, loss inputs cast back to ``output_dtype``."""
+        cp = self.policy.cast_to_compute(p)
+        cdata = self.policy.cast_to_compute(data)
+        out, pdata = self.full_model.apply({"params": cp}, cdata, rngs=rngs)
+        out = self.policy.cast_to_output(out)
+        pdata = self.policy.cast_to_output(pdata)
+        return self.get_losses(out, pdata, rng), out, pdata
+
     def _build_train_step(self) -> Callable:
         def step(params, opt_state, data: EventGraph, rng):
             rngs = self._apply_rngs(rng)
 
             def loss_fn(p):
-                out, pdata = self.full_model.apply({"params": p}, data, rngs=rngs)
-                loss, metrics = self.get_losses(out, pdata, rng)
+                (loss, metrics), _, _ = self._model_and_losses(p, data, rngs, rng)
                 return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -134,8 +147,9 @@ class TrackingModule:
     def _build_val_step(self) -> Callable:
         def step(params, data: EventGraph, rng):
             rngs = self._apply_rngs(rng)
-            out, pdata = self.full_model.apply({"params": params}, data, rngs=rngs)
-            loss, metrics = self.get_losses(out, pdata, rng)
+            (loss, metrics), out, pdata = self._model_and_losses(
+                params, data, rngs, rng
+            )
             metrics["total"] = loss
             return out, pdata, metrics
 

@@ -269,3 +269,30 @@ def test_pin_hinge_loss_grad_finite():
 
     g = jax.grad(scalar_loss)(td1.x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_condensation_loss_object_blocking():
+    """Chunked (memory-safe) object blocks must reproduce the pinned values."""
+    assert get_condensation_loss(td2, object_block_size=4) == approx(_td2_c_losses)
+    assert get_condensation_loss(td1, object_block_size=8) == approx(_td1_c_losses)
+
+
+def test_condensation_loss_max_n_rep(td=td2):
+    """Repulsive-pair subsampling: expectation stays near the full value."""
+    import jax
+
+    full = get_condensation_loss(td)
+    loss_fct = CondensationLossTiger(max_n_objects=16, max_n_rep=500)
+    vals = []
+    for seed in range(5):
+        r = loss_fct(
+            beta=td.beta,
+            x=td.x,
+            particle_id=td.particle_id,
+            reconstructable=td.reconstructable,
+            pt=td.pt,
+            eta=td.eta,
+            rng=jax.random.PRNGKey(seed),
+        )
+        vals.append(float(r.loss_dct["repulsive"]))
+    assert np.mean(vals) == approx(full["repulsive"], rel=0.3)

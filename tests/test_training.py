@@ -167,3 +167,19 @@ def test_frozen_prefixes(datamodule):
     ]
     assert frozen_same and all(frozen_same)
     assert any(trainable_changed)
+
+
+def test_bf16_training(datamodule):
+    module = TCModule(
+        model=GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2),
+        loss_fct=CondensationLossTiger(max_n_objects=32),
+        precision="bf16",
+    )
+    trainer = Trainer(max_epochs=1, log_dir="/tmp/gnntest", print_validation_results=False)
+    metrics = trainer.fit(module, datamodule)
+    assert np.isfinite(metrics["total"])
+    # params stay fp32
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(module.params)[0]
+    assert leaf.dtype in (jnp.float32, jnp.float64)
