@@ -47,9 +47,16 @@ class DataTransformer:
         *,
         redo: bool = True,
         seed_hparams: dict | None = None,
+        max_workers: int | None = None,
     ) -> None:
         """Transform all graphs from ``input_dirs`` into ``output_dirs``,
-        writing a ``transform_config.yml`` into each output directory."""
+        writing a ``transform_config.yml`` into each output directory.
+
+        ``max_workers`` enables thread-pool parallelism over files (the
+        reference uses ``process_map`` — ``data_transformer.py:116-121``;
+        threads suffice here since the heavy work releases the GIL in
+        XLA/numpy).
+        """
         assert len(input_dirs) == len(output_dirs)
         for in_dir, out_dir in zip(input_dirs, output_dirs):
             in_dir, out_dir = Path(in_dir), Path(out_dir)
@@ -65,8 +72,19 @@ class DataTransformer:
             )
             files = sorted(in_dir.glob("*.npz"))
             logger.info("Transforming %d files from %s", len(files), in_dir)
-            for f in files:
-                self.process(f, out_dir / f.name, redo=redo)
+            if max_workers:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    list(
+                        pool.map(
+                            lambda f: self.process(f, out_dir / f.name, redo=redo),
+                            files,
+                        )
+                    )
+            else:
+                for f in files:
+                    self.process(f, out_dir / f.name, redo=redo)
 
 
 class ECCut:

@@ -373,6 +373,60 @@ def flatten_track_metrics(
     }
 
 
+def _sklearn_signature_wrap(func):
+    """Adapt an sklearn cluster metric to the ClusterMetricType signature
+    (reference ``cluster_metrics.py:427-437``)."""
+    import functools
+
+    from gnn_tracking_tpu.utils.signature import tolerate_additional_kwargs
+
+    @functools.wraps(func)
+    @tolerate_additional_kwargs
+    def wrapped(predicted: np.ndarray, truth: np.ndarray):
+        return func(truth, predicted)
+
+    return wrapped
+
+
+def _get_common_metrics():
+    from sklearn import metrics as skm
+
+    return {
+        "v_measure": _sklearn_signature_wrap(skm.v_measure_score),
+        "homogeneity": _sklearn_signature_wrap(skm.homogeneity_score),
+        "completeness": _sklearn_signature_wrap(skm.completeness_score),
+        "trk": lambda *args, **kwargs: flatten_track_metrics(
+            tracking_metrics(*args, **kwargs)
+        ),
+        "adjusted_rand": _sklearn_signature_wrap(skm.adjusted_rand_score),
+        "fowlkes_mallows": _sklearn_signature_wrap(skm.fowlkes_mallows_score),
+    }
+
+
+class _CommonMetrics(dict):
+    """Lazily-populated registry of common clustering metrics
+    (reference ``cluster_metrics.py:441-456``)."""
+
+    def _ensure(self):
+        if not self:
+            self.update(_get_common_metrics())
+
+    def __getitem__(self, key):
+        self._ensure()
+        return super().__getitem__(key)
+
+    def items(self):
+        self._ensure()
+        return super().items()
+
+    def keys(self):
+        self._ensure()
+        return super().keys()
+
+
+common_metrics = _CommonMetrics()
+
+
 def count_hits_per_cluster(predicted: np.ndarray) -> np.ndarray:
     """Histogram of cluster sizes (reference ``cluster_metrics.py:400-404``)."""
     _, counts = np.unique(predicted, return_counts=True)
