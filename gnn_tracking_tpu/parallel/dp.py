@@ -91,14 +91,35 @@ def make_dp_eval_step(module, mesh) -> Callable:
 
 
 class DPTrainer:
-    """Thin data-parallel fit loop reusing `TrackingModule` semantics."""
+    """Data-parallel fit loop reusing `TrackingModule` semantics.
+
+    Consumes per-event graphs from a `GraphLoader`, groups them into
+    device-count-sized stacked batches, shards them over the mesh's ``data``
+    axis, and steps. All events in a stack must share a padding bucket (use a
+    single-bucket `PaddingConfig` or sort your stream).
+    """
 
     def __init__(self, module, mesh):
         self.module = module
         self.mesh = mesh
         self._step = make_dp_train_step(module, mesh)
 
+    @property
+    def events_per_step(self) -> int:
+        return self.mesh.shape["data"]
+
+    def _stacked_batches(self, loader):
+        from gnn_tracking_tpu.parallel.mesh import shard_batch
+
+        group: list[EventGraph] = []
+        for g in loader:
+            group.append(g)
+            if len(group) == self.events_per_step:
+                yield shard_batch(stack_graphs(group), self.mesh)
+                group = []
+
     def fit_steps(self, batches, n_steps: int | None = None) -> dict[str, Any]:
+        """Step over pre-stacked (and optionally pre-sharded) batches."""
         metrics = {}
         for i, batch in enumerate(batches):
             if n_steps is not None and i >= n_steps:
@@ -111,3 +132,14 @@ class DPTrainer:
             )
             self.module.step += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, datamodule, *, max_epochs: int = 1) -> dict[str, Any]:
+        """Epoch loop over a `TrackingDataModule`."""
+        datamodule.setup("fit")
+        metrics: dict[str, Any] = {}
+        for _epoch in range(max_epochs):
+            loader = datamodule.train_dataloader()
+            first = next(iter(loader))
+            self.module.setup_params(first)
+            metrics = self.fit_steps(self._stacked_batches(datamodule.train_dataloader()))
+        return metrics
