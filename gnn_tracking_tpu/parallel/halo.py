@@ -210,7 +210,6 @@ def make_sharded_apply(
             mesh=mesh,
             in_specs=(P(), spec_sharded),
             out_specs=(spec_sharded, spec_sharded),
-            check_rep=False,
         )(params, sg)
 
     return jax.jit(_run)

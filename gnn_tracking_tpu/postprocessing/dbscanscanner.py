@@ -58,7 +58,11 @@ class OCScanResults:
         return self._df_mean
 
     def get_foms(self, guide: str = "double_majority_pt0.9") -> dict[str, float]:
-        fom_cols = [c for c in self._df_mean if c not in self._parameters]
+        fom_cols = [
+            c
+            for c in self._df_mean
+            if c not in self._parameters and not str(c).startswith("i_batch")
+        ]
         assert guide in fom_cols
         best_idx = self._df_mean[guide].idxmax()
         best_series = self._df_mean.iloc[best_idx]
