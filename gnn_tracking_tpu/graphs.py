@@ -191,6 +191,30 @@ class EventGraph:
         )
 
     # ------------------------------------------------------------------
+    def sort_edges_by_target(self) -> "EventGraph":
+        """Reorder edges so ``edge_index[1]`` is non-decreasing (valid edges
+        first). Enables the ``sorted_edges`` fast scatter path in the models.
+        Host-friendly (uses a sort, jittable too)."""
+        key = jnp.where(self.edge_mask, self.edge_index[1], self.num_nodes)
+        order = jnp.argsort(key, stable=True)
+        ei = self.edge_index[:, order]
+        mask = self.edge_mask[order]
+        # masked edges go last and are re-pointed at the LAST node so the
+        # target sequence stays non-decreasing (their contributions are
+        # zeroed by the mask either way)
+        last = jnp.int32(self.num_nodes - 1)
+        ei = jnp.stack([ei[0], jnp.where(mask, ei[1], last)])
+        return self.replace(
+            edge_index=ei,
+            edge_attr=self.edge_attr[order],
+            y=self.y[order],
+            edge_mask=mask,
+            extras={
+                k: (v[order] if v.shape[0] == self.num_edges else v)
+                for k, v in self.extras.items()
+            },
+        )
+
     def compact(self) -> "EventGraph":
         """Host-side: physically drop masked nodes/edges (inverse of padding).
 

@@ -29,6 +29,8 @@ class ECForGraphTCN(nn.Module):
     residual_type: str = "skip1"
     use_intermediate_edge_embeddings: bool = True
     use_node_embedding: bool = True
+    #: promise that edge_index[1] is non-decreasing
+    sorted_edges: bool = False
 
     @property
     def latent_dim(self) -> tuple[int, int]:
@@ -64,6 +66,7 @@ class ECForGraphTCN(nn.Module):
             n_layers=self.L_ec,
             residual_type=self.residual_type,
             collect_hidden_edge_embeds=self.use_intermediate_edge_embeddings,
+            sorted_edges=self.sorted_edges,
             name="ec_resin",
         )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
 

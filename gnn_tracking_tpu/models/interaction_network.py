@@ -32,6 +32,8 @@ class InteractionNetwork(nn.Module):
     node_hidden_dim: int | None = 40
     edge_hidden_dim: int | None = 40
     aggr: str = "add"
+    #: promise that edge_index[1] is non-decreasing (cheaper scatter lowering)
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(
@@ -54,7 +56,9 @@ class InteractionNetwork(nn.Module):
         if self.aggr != "add":
             msg = f"Unsupported aggregation: {self.aggr}"
             raise NotImplementedError(msg)
-        agg = masked_segment_sum(e_tilde, dst, num_nodes, edge_mask)
+        agg = masked_segment_sum(
+            e_tilde, dst, num_nodes, edge_mask, indices_are_sorted=self.sorted_edges
+        )
         x_tilde = MLP(
             output_size=self.node_outdim,
             hidden_dim=self.node_hidden_dim,

@@ -78,6 +78,8 @@ class ResIN(nn.Module):
     connect_to: int = 1
     #: for skip2: add (masked) batch norm
     add_bn: bool = False
+    #: promise that edge_index[1] is non-decreasing
+    sorted_edges: bool = False
 
     @property
     def concat_edge_embeddings_length(self) -> int:
@@ -93,6 +95,7 @@ class ResIN(nn.Module):
             edge_outdim=self.edge_dim,
             node_hidden_dim=self.object_hidden_dim,
             edge_hidden_dim=self.relational_hidden_dim,
+            sorted_edges=self.sorted_edges,
             name=f"layer_{i}",
         )
 

@@ -32,11 +32,22 @@ def masked_segment_sum(
     segment_ids: jax.Array,
     num_segments: int,
     mask: jax.Array | None = None,
+    indices_are_sorted: bool = False,
 ) -> jax.Array:
-    """Segment-sum with an optional validity mask zeroing masked contributions."""
+    """Segment-sum with an optional validity mask zeroing masked contributions.
+
+    Pass ``indices_are_sorted=True`` when edges are sorted by target (e.g.
+    kNN-built graphs, or `EventGraph.sort_edges_by_target`): XLA can then use
+    a cheaper scatter lowering.
+    """
     if mask is not None:
         values = jnp.where(mask.reshape((-1,) + (1,) * (values.ndim - 1)), values, 0)
-    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(
+        values,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
 
 
 def masked_segment_max(

@@ -1,0 +1,197 @@
+"""One-claim TPU performance experiment battery.
+
+The axon-tunneled chip serializes claims across processes (a killed waiter
+wedges the claim for ~25 min), so ALL experiments run in this single process:
+
+1. component timings: gather, segment-sum (±sorted hint), matmul;
+2. EC train step: fp32 / bf16 / sorted-edges variants;
+3. Pallas pairwise-topk vs XLA kNN (correctness + timing);
+4. full GraphTCN (EC + OC) train step: events/s;
+5. on-device DBSCAN scan timing.
+
+Results printed as one JSON dict per line, tagged by experiment.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf)  # D2H fetch = reliable sync through the tunnel
+    return x
+
+
+def timeit(f, *args, iters=10, warmup=1):
+    for _ in range(warmup):
+        out = sync(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(tag, **kwargs):
+    print(json.dumps({"experiment": tag, **kwargs}), flush=True)
+
+
+def main():
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+    N_NODES, N_EDGES = 32768, 262144
+    IDIM, HDIM, L = 32, 128, 6
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N_NODES, 14)).astype(np.float32)
+    ei = rng.integers(0, N_NODES, size=(2, N_EDGES)).astype(np.int32)
+    ea = rng.normal(size=(N_EDGES, 4)).astype(np.float32)
+    y = (rng.random(N_EDGES) < 0.3).astype(np.float32)
+
+    print("devices:", jax.devices(), flush=True)
+
+    # ------------------------------------------------------- components
+    h = jnp.asarray(rng.normal(size=(N_NODES, IDIM)).astype(np.float32))
+    msgs = jnp.asarray(rng.normal(size=(N_EDGES, IDIM)).astype(np.float32))
+    order = np.argsort(ei[1], kind="stable")
+    ei_s = jnp.asarray(ei[:, order])
+    ei_j = jnp.asarray(ei)
+    W1 = jnp.asarray(rng.normal(size=(3 * IDIM, HDIM)).astype(np.float32))
+
+    t = timeit(jax.jit(lambda h: (h[ei_j[0]] + h[ei_j[1]]).sum()), h)
+    report("gather_2x", ms=t * 1e3)
+    t = timeit(jax.jit(lambda m: jax.ops.segment_sum(m, ei_j[1], num_segments=N_NODES).sum()), msgs)
+    report("segment_sum", ms=t * 1e3)
+    t = timeit(jax.jit(lambda m: jax.ops.segment_sum(m, ei_s[1], num_segments=N_NODES, indices_are_sorted=True).sum()), msgs)
+    report("segment_sum_sorted", ms=t * 1e3)
+    mm_in = jnp.concatenate([msgs] * 3, axis=1)
+    t = timeit(jax.jit(lambda a: (a @ W1).sum()), mm_in)
+    report("matmul_E_96_128", ms=t * 1e3)
+
+    # ------------------------------------------------------- EC variants
+    def bench_ec(graph, sorted_edges, dtype, tag):
+        model = ECForGraphTCN(
+            interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+            hidden_dim=HDIM, L_ec=L, sorted_edges=sorted_edges,
+        )
+        g = jax.tree.map(
+            lambda v: v.astype(dtype) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+            graph,
+        )
+        params = model.init(jax.random.PRNGKey(0), g)
+        params = jax.tree.map(lambda v: v.astype(dtype), params)
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, g):
+            def loss_fn(p):
+                w = model.apply(p, g)["W"].astype(jnp.float32)
+                return binary_focal_loss(inpt=w, target=g.y.astype(jnp.float32))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        state = [params, opt_state]
+
+        def once():
+            state[0], state[1], loss = step(state[0], state[1], g)
+            return loss
+
+        t = timeit(once, iters=15)
+        report(tag, ms=t * 1e3, edges_per_s=N_EDGES / t)
+
+    graph = EventGraph.from_arrays(x=x, edge_index=ei, edge_attr=ea, y=y)
+    graph_sorted = graph.sort_edges_by_target()
+    bench_ec(graph, False, jnp.float32, "ec_step_f32")
+    bench_ec(graph_sorted, True, jnp.float32, "ec_step_f32_sorted")
+    bench_ec(graph, False, jnp.bfloat16, "ec_step_bf16")
+    bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_sorted")
+
+    # ------------------------------------------------------- pallas knn
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
+
+    emb = jnp.asarray(rng.normal(size=(N_NODES, 8)).astype(np.float32))
+    k = 8
+    try:
+        d_pl, i_pl = sync(pairwise_topk(emb, k=k, block_q=256, block_c=1024))
+        d_x, i_x = sync(
+            _blocked_neighbor_topk(emb, k, node_mask=None, batch=None, loop=False, block_size=512)
+        )
+        match = bool(
+            np.allclose(
+                np.sort(np.asarray(d_pl), axis=1),
+                np.sort(np.asarray(d_x), axis=1),
+                rtol=1e-3,
+                atol=1e-3,
+            )
+        )
+        t_pl = timeit(lambda: pairwise_topk(emb, k=k, block_q=256, block_c=1024), iters=5)
+        t_x = timeit(
+            lambda: _blocked_neighbor_topk(emb, k, node_mask=None, batch=None, loop=False, block_size=512),
+            iters=5,
+        )
+        report("knn_pallas_vs_xla", pallas_ms=t_pl * 1e3, xla_ms=t_x * 1e3, match=match)
+    except Exception as e:  # noqa: BLE001
+        report("knn_pallas_vs_xla", error=str(e)[:200])
+
+    # ------------------------------------------------------- full TCN step
+    from gnn_tracking_tpu.losses.oc import CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.module import TCModule
+
+    pid = rng.integers(0, 2048, size=N_NODES)
+    tcn_graph = EventGraph.from_arrays(
+        x=x, edge_index=ei, edge_attr=ea,
+        y=(pid[ei[0]] == pid[ei[1]]) & (pid[ei[0]] > 0),
+        particle_id=pid,
+        pt=(2 * rng.random(2048))[pid],
+        eta=(8 * (rng.random(2048) - 0.5))[pid],
+        reconstructable=np.ones(N_NODES),
+    )
+    for precision in ("f32", "bf16"):
+        module = TCModule(
+            model=GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3),
+            loss_fct=CondensationLossTiger(max_n_objects=2048, object_block_size=256),
+            precision=precision,
+        )
+        module.setup_params(tcn_graph)
+
+        def once():
+            return module.training_step(tcn_graph)["total"]
+
+        t = timeit(lambda: once(), iters=5)
+        report(f"tcn_step_{precision}", ms=t * 1e3, events_per_s=1 / t, edges_per_s=N_EDGES / t)
+
+    # ------------------------------------------------------- dbscan scan
+    from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
+
+    latent = np.asarray(rng.normal(size=(N_NODES, 8)).astype(np.float32))
+    t0 = time.perf_counter()
+    scanner = DBSCANFastRescan(latent, max_eps=1.0, max_num_neighbors=64)
+    labels = scanner.cluster(0.5, 3)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for eps in (0.2, 0.4, 0.6, 0.8):
+        labels = scanner.cluster(eps, 3)
+    t_rescan = (time.perf_counter() - t0) / 4
+    report("dbscan_scan", build_ms=t_build * 1e3, rescan_ms=t_rescan * 1e3, n_clusters=int(labels.max() + 1))
+
+
+if __name__ == "__main__":
+    main()

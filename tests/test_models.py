@@ -327,3 +327,21 @@ def test_resin_skip2_with_batchnorm(graph):
     )
     assert np.isfinite(np.asarray(x)).all()
     assert np.isfinite(np.asarray(e)).all()
+
+
+def test_sorted_edges_path_matches(graph):
+    """sorted_edges promise + sort_edges_by_target must not change outputs."""
+    gs = graph.sort_edges_by_target()
+    ei = np.asarray(gs.edge_index)
+    assert (np.diff(ei[1]) >= 0).all()
+    m = ECForGraphTCN(interaction_node_dim=5, interaction_edge_dim=4, L_ec=2)
+    ms = ECForGraphTCN(
+        interaction_node_dim=5, interaction_edge_dim=4, L_ec=2, sorted_edges=True
+    )
+    params = m.init(jax.random.PRNGKey(0), graph)
+    w_ref = np.asarray(m.apply(params, graph)["W"])
+    w_sorted = np.asarray(ms.apply(params, gs)["W"])
+    # outputs are per-edge: compare through the permutation
+    key = np.where(np.asarray(graph.edge_mask), np.asarray(graph.edge_index)[1], graph.num_nodes)
+    order = np.argsort(key, kind="stable")
+    np.testing.assert_allclose(w_ref[order], w_sorted, rtol=1e-6)
