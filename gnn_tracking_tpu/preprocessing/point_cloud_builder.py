@@ -109,6 +109,7 @@ class PointCloudBuilder:
         feature_names: tuple = DEFAULT_FEATURES,
         feature_scale: tuple = _DEFAULT_FEATURE_SCALE,
         add_true_edges: bool = False,
+        relabel_pids: bool = True,
     ):
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
@@ -126,6 +127,11 @@ class PointCloudBuilder:
         self.feature_scale = np.asarray(feature_scale, dtype=float)
         assert len(self.feature_names) == len(self.feature_scale)
         self.add_true_edges = add_true_edges
+        #: Relabel 64-bit TrackML particle ids to dense per-event int32
+        #: (0 stays noise). TPU default integer width is 32 bits; raw TrackML
+        #: ids (~9e17) would overflow. Original ids go to
+        #: ``extras["particle_id_original"]``.
+        self.relabel_pids = relabel_pids
         self.stats: dict[int, dict[str, Any]] = {}
         self.measurements: list[dict[str, Any]] = []
         self.data_list: list[EventGraph] = []
@@ -284,6 +290,15 @@ class PointCloudBuilder:
         """Build the EventGraph (reference ``to_pyg_data``,
         ``point_cloud_builder.py:336-353``)."""
         pid = hits["particle_id"].to_numpy()
+        extras = {
+            "n_hits": np.asarray(hits["n_hits"].to_numpy()),
+            "n_layers_hit": np.asarray(hits["n_layers_hit"].to_numpy()),
+        }
+        if self.relabel_pids:
+            extras["particle_id_original"] = pid.astype(np.int64)
+            unique = np.unique(pid[pid != 0])
+            dense = np.searchsorted(unique, pid) + 1
+            pid = np.where(pid == 0, 0, dense).astype(np.int32)
         true_edges = (
             get_truth_edge_index(pid) if self.add_true_edges else np.zeros((2, 0), int)
         )
@@ -297,10 +312,7 @@ class PointCloudBuilder:
             layer=hits["layer"].to_numpy(),
             sector=hits["sector"].to_numpy(),
             true_edge_index=true_edges,
-            extras={
-                "n_hits": np.asarray(hits["n_hits"].to_numpy()),
-                "n_layers_hit": np.asarray(hits["n_layers_hit"].to_numpy()),
-            },
+            extras=extras,
         )
 
     def get_measurements(self) -> dict[str, float]:

@@ -166,3 +166,16 @@ def test_graph_builder_edge_attrs(built_graphs_path):
     # dr, dphi, dz flip sign under edge reversal; dR does not
     np.testing.assert_allclose(ea[:e, :3], -ea[e:, :3], rtol=1e-6)
     np.testing.assert_allclose(ea[:e, 3], ea[e:, 3], rtol=1e-6)
+
+
+def test_pid_relabeling(point_clouds_path):
+    from gnn_tracking_tpu.utils.loading import load_graph
+
+    g = load_graph(sorted(point_clouds_path.glob("*.npz"))[0])
+    pid = np.asarray(g.particle_id)
+    orig = np.asarray(g.extras["particle_id_original"])
+    # dense int32 labels; noise stays 0; mapping is a bijection
+    assert pid.max() < 2**31
+    assert ((pid == 0) == (orig == 0)).all()
+    pairs = set(zip(pid.tolist(), orig.tolist()))
+    assert len({p for p, _ in pairs}) == len({o for _, o in pairs})
