@@ -179,8 +179,24 @@ def get_cpu_baseline() -> float:
 
 
 def main():
+    # Watchdog: the axon-tunneled chip serializes claims across processes; if
+    # a stale claim wedges the device, exit instead of hanging forever.
+    import os
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "480"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(budget):
+            print(f"# bench watchdog: no result after {budget}s", file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     cpu = get_cpu_baseline()
     tpu = bench_tpu()
+    done.set()
     target = 5.0 * cpu
     print(
         json.dumps(
