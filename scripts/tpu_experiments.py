@@ -48,7 +48,29 @@ def report(tag, **kwargs):
     print(json.dumps({"experiment": tag, **kwargs}), flush=True)
 
 
+def claim_or_exit(budget_s: float = 75.0) -> None:
+    """First TPU contact with a watchdog: grants only seem to go to freshly
+    arriving clients, so a client that cannot claim within the budget exits
+    (code 9) and the caller retries with a fresh process."""
+    import os
+    import threading
+
+    claimed = threading.Event()
+
+    def _watchdog():
+        if not claimed.wait(budget_s):
+            print(f"# claim watchdog: no TPU after {budget_s}s, exiting 9", flush=True)
+            os._exit(9)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    t0 = time.perf_counter()
+    val = float((jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum())
+    claimed.set()
+    print(f"# TPU claimed in {time.perf_counter() - t0:.1f}s ({val})", flush=True)
+
+
 def main():
+    claim_or_exit()
     from gnn_tracking_tpu.graphs import EventGraph
     from gnn_tracking_tpu.losses.ec import binary_focal_loss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
