@@ -31,6 +31,8 @@ class ECForGraphTCN(nn.Module):
     use_node_embedding: bool = True
     #: promise that edge_index[1] is non-decreasing
     sorted_edges: bool = False
+    #: aggregation implementation: "xla" or "pallas_sorted"
+    segment_impl: str = "xla"
 
     @property
     def latent_dim(self) -> tuple[int, int]:
@@ -67,6 +69,7 @@ class ECForGraphTCN(nn.Module):
             residual_type=self.residual_type,
             collect_hidden_edge_embeds=self.use_intermediate_edge_embeddings,
             sorted_edges=self.sorted_edges,
+            segment_impl=self.segment_impl,
             name="ec_resin",
         )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
 

@@ -34,6 +34,9 @@ class InteractionNetwork(nn.Module):
     aggr: str = "add"
     #: promise that edge_index[1] is non-decreasing (cheaper scatter lowering)
     sorted_edges: bool = False
+    #: "xla" or "pallas_sorted" (windowed one-hot matmul aggregation + dst
+    #: gather; requires sorted_edges, E % 1024 == 0, bounded window spread)
+    segment_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -45,9 +48,17 @@ class InteractionNetwork(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
+        use_pallas = self.segment_impl == "pallas_sorted"
+        if use_pallas:
+            from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather
+
+            assert self.sorted_edges, "pallas_sorted requires sorted_edges"
+            x_dst = sorted_gather(x, dst)
+        else:
+            x_dst = x[dst]
         # x_i = receiving node (target), x_j = sending node (source) —
         # matches reference flow="source_to_target".
-        m = jnp.concatenate([x[dst], x[src], edge_attr], axis=1)
+        m = jnp.concatenate([x_dst, x[src], edge_attr], axis=1)
         e_tilde = MLP(
             output_size=self.edge_outdim,
             hidden_dim=self.edge_hidden_dim,
@@ -56,9 +67,17 @@ class InteractionNetwork(nn.Module):
         if self.aggr != "add":
             msg = f"Unsupported aggregation: {self.aggr}"
             raise NotImplementedError(msg)
-        agg = masked_segment_sum(
-            e_tilde, dst, num_nodes, edge_mask, indices_are_sorted=self.sorted_edges
-        )
+        if use_pallas:
+            from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_segment_sum
+
+            masked = e_tilde
+            if edge_mask is not None:
+                masked = jnp.where(edge_mask[:, None], e_tilde, 0)
+            agg = sorted_segment_sum(masked, dst, num_nodes)
+        else:
+            agg = masked_segment_sum(
+                e_tilde, dst, num_nodes, edge_mask, indices_are_sorted=self.sorted_edges
+            )
         x_tilde = MLP(
             output_size=self.node_outdim,
             hidden_dim=self.node_hidden_dim,

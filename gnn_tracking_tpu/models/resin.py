@@ -80,6 +80,8 @@ class ResIN(nn.Module):
     add_bn: bool = False
     #: promise that edge_index[1] is non-decreasing
     sorted_edges: bool = False
+    #: aggregation implementation: "xla" or "pallas_sorted"
+    segment_impl: str = "xla"
 
     @property
     def concat_edge_embeddings_length(self) -> int:
@@ -96,6 +98,7 @@ class ResIN(nn.Module):
             node_hidden_dim=self.object_hidden_dim,
             edge_hidden_dim=self.relational_hidden_dim,
             sorted_edges=self.sorted_edges,
+            segment_impl=self.segment_impl,
             name=f"layer_{i}",
         )
 

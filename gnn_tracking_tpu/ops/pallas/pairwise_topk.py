@@ -62,12 +62,32 @@ def _pairwise_topk_kernel(
         if not loop:
             invalid = invalid | (col_ids == row_ids)
         d = jnp.where(invalid, jnp.inf, d)
-        # merge candidates into running top-k via sort of [B, k + C]
+        # Sort-free merge (Mosaic has no sort primitive): selection of the k
+        # smallest from the [B, k + C] union by k rounds of row-min + mask.
         all_d = jnp.concatenate([best_d, d], axis=1)
         all_i = jnp.concatenate([best_i, col_ids], axis=1)
-        order = jnp.argsort(all_d, axis=1)[:, :k]
-        new_d = jnp.take_along_axis(all_d, order, axis=1)
-        new_i = jnp.take_along_axis(all_i, order, axis=1)
+        width = all_d.shape[1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+
+        def select(j, carry):
+            all_d_c, new_d, new_i = carry
+            row_min = jnp.min(all_d_c, axis=1, keepdims=True)  # [B, 1]
+            # position of (first) min per row
+            is_min = all_d_c == row_min
+            first_min = jnp.min(jnp.where(is_min, pos, width), axis=1, keepdims=True)
+            sel = pos == first_min
+            min_i = jnp.max(jnp.where(sel, all_i, 0), axis=1)  # [B]
+            new_d = new_d.at[:, j].set(row_min[:, 0])
+            new_i = new_i.at[:, j].set(min_i)
+            all_d_c = jnp.where(sel, jnp.inf, all_d_c)
+            return all_d_c, new_d, new_i
+
+        init_sel = (
+            all_d,
+            jnp.full((b, k), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b, k), dtype=jnp.int32),
+        )
+        _, new_d, new_i = jax.lax.fori_loop(0, k, select, init_sel)
         return new_d, new_i
 
     init = (

@@ -104,10 +104,11 @@ def main():
     report("matmul_E_96_128", ms=t * 1e3)
 
     # ------------------------------------------------------- EC variants
-    def bench_ec(graph, sorted_edges, dtype, tag):
+    def bench_ec(graph, sorted_edges, dtype, tag, segment_impl="xla"):
         model = ECForGraphTCN(
             interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
             hidden_dim=HDIM, L_ec=L, sorted_edges=sorted_edges,
+            segment_impl=segment_impl,
         )
         g = jax.tree.map(
             lambda v: v.astype(dtype) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
@@ -139,10 +140,31 @@ def main():
 
     graph = EventGraph.from_arrays(x=x, edge_index=ei, edge_attr=ea, y=y)
     graph_sorted = graph.sort_edges_by_target()
+    from gnn_tracking_tpu.ops.pallas.csr_segment import max_window_spread
+
+    spread = max_window_spread(np.asarray(graph_sorted.edge_index)[1], 1024)
+    report("window_spread", spread=spread)
     bench_ec(graph, False, jnp.float32, "ec_step_f32")
     bench_ec(graph_sorted, True, jnp.float32, "ec_step_f32_sorted")
     bench_ec(graph, False, jnp.bfloat16, "ec_step_bf16")
     bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_sorted")
+    try:
+        bench_ec(graph_sorted, True, jnp.float32, "ec_step_f32_pallas", segment_impl="pallas_sorted")
+        bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas", segment_impl="pallas_sorted")
+    except Exception as e:
+        report("ec_step_pallas", error=str(e)[:300])
+
+    # raw kernel vs xla segment ops on sorted edges
+    try:
+        from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather, sorted_segment_sum
+
+        dstp = jnp.asarray(np.sort(np.asarray(ei[1])))
+        t = timeit(jax.jit(lambda m: sorted_segment_sum(m, dstp, N_NODES, 1024, 1024, False).sum()), msgs)
+        report("pallas_sorted_segment_sum", ms=t * 1e3)
+        t = timeit(jax.jit(lambda v: sorted_gather(v, dstp, 1024, 1024, False).sum()), h)
+        report("pallas_sorted_gather", ms=t * 1e3)
+    except Exception as e:
+        report("pallas_segment_raw", error=str(e)[:300])
 
     # ------------------------------------------------------- pallas knn
     from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk

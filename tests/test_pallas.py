@@ -39,3 +39,75 @@ def test_pairwise_topk_masked():
     )
     np.testing.assert_allclose(np.asarray(d_pl)[:40], np.asarray(d_ref), rtol=1e-5)
     assert not np.isfinite(np.asarray(d_pl)[40:]).any()
+
+
+def _sorted_setup(n=512, e=2048, f=16, seed=0):
+    rng = np.random.default_rng(seed)
+    dst = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    msgs = rng.normal(size=(e, f)).astype(np.float32)
+    return jnp.asarray(msgs), jnp.asarray(dst), n
+
+
+def test_sorted_segment_sum_matches_xla():
+    from gnn_tracking_tpu.ops.pallas.csr_segment import (
+        max_window_spread,
+        sorted_segment_sum,
+    )
+    import jax
+
+    msgs, dst, n = _sorted_setup()
+    assert max_window_spread(np.asarray(dst), 256) <= 512
+    out = sorted_segment_sum(msgs, dst, n, 256, 512, True)
+    ref = jax.ops.segment_sum(msgs, dst, num_segments=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_segment_sum_grad():
+    from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_segment_sum
+    import jax
+
+    msgs, dst, n = _sorted_setup(seed=1)
+
+    def f_pl(m):
+        return (sorted_segment_sum(m, dst, n, 256, 512, True) ** 2).sum()
+
+    def f_ref(m):
+        return (jax.ops.segment_sum(m, dst, num_segments=n) ** 2).sum()
+
+    g_pl = jax.grad(f_pl)(msgs)
+    g_ref = jax.grad(f_ref)(msgs)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_gather_and_grad():
+    from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather
+    import jax
+
+    rng = np.random.default_rng(2)
+    n, e, f = 512, 2048, 16
+    dst = jnp.asarray(np.sort(rng.integers(0, n, size=e)).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    out = sorted_gather(vals, dst, 256, 512, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vals[dst]), rtol=1e-6)
+
+    g_pl = jax.grad(lambda v: (sorted_gather(v, dst, 256, 512, True) ** 2).sum())(vals)
+    g_ref = jax.grad(lambda v: (v[dst] ** 2).sum())(vals)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_interaction_network_pallas_segment_matches():
+    import jax
+
+    from gnn_tracking_tpu.models.interaction_network import InteractionNetwork
+    from tests.test_models import make_graph
+
+    g = make_graph(0, n=256, e=1024).sort_edges_by_target()
+    m_ref = InteractionNetwork(node_outdim=5, edge_outdim=4, sorted_edges=True)
+    m_pl = InteractionNetwork(
+        node_outdim=5, edge_outdim=4, sorted_edges=True, segment_impl="pallas_sorted"
+    )
+    params = m_ref.init(jax.random.PRNGKey(0), g.x, g.edge_index, g.edge_attr)
+    x1, e1 = m_ref.apply(params, g.x, g.edge_index, g.edge_attr, g.edge_mask)
+    x2, e2 = m_pl.apply(params, g.x, g.edge_index, g.edge_attr, g.edge_mask)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-4, atol=1e-5)
