@@ -101,8 +101,16 @@ def condensation_loss(
         alphas = jnp.argmax(q[:, None] * attractive_mask, axis=0)  # [B]
         q_k = q[alphas][None, :]
         qw = q[:, None] * q_k
-        diff = x[:, None, :] - x[alphas][None, :, :]
-        dist_sq = jnp.sum(diff * diff, axis=-1)
+        # Distances via the MXU-friendly expansion — never materializes the
+        # [hits, objects, dim] difference tensor (torch.cdist replacement,
+        # SURVEY §2.9).
+        x_k = x[alphas]
+        dist_sq = (
+            jnp.sum(x * x, axis=1)[:, None]
+            + jnp.sum(x_k * x_k, axis=1)[None, :]
+            - 2.0 * x @ x_k.T
+        )
+        dist_sq = jnp.maximum(dist_sq, 0.0)
         # Safe norm: zero-distance pairs (each CP to itself) must have zero
         # gradient, like torch.cdist's backward, not NaN from sqrt'(0).
         nonzero = dist_sq > 0
