@@ -52,6 +52,13 @@ class ShardedGraph:
     halo_shard: jax.Array
     halo_local: jax.Array
     halo_mask: jax.Array  # [P, H]
+    # pairwise exchange tables [P, P, Hp] for the all-to-all halo path:
+    # send_local[p, s]: local rows owner p sends to requester s;
+    # recv_slot[s, p]: halo slots where requester s puts rows from owner p.
+    send_local: jax.Array
+    send_mask: jax.Array
+    recv_slot: jax.Array
+    recv_mask: jax.Array
     # per-shard edges [P, 2, E_loc] — src in extended-local, dst in local coords
     edge_index: jax.Array
     edge_attr: jax.Array  # [P, E_loc, Fe]
@@ -121,6 +128,28 @@ def partition_event(
     sea = np.zeros((P_, e_loc) + ea.shape[1:], dtype=ea.dtype)
     sem = np.zeros((P_, e_loc), dtype=bool)
 
+    # pairwise exchange tables: hp_max = max rows any owner sends any peer
+    per_pair: dict[tuple[int, int], np.ndarray] = {}
+    for s in range(P_):
+        halo = halos[s]
+        for p in range(P_):
+            per_pair[(p, s)] = halo[shard_of[halo] == p]
+    hp_max = max((len(v) for v in per_pair.values()), default=1)
+    hp_max = max(hp_max, 1)
+    ssend_local = np.zeros((P_, P_, hp_max), dtype=np.int32)
+    ssend_mask = np.zeros((P_, P_, hp_max), dtype=bool)
+    srecv_slot = np.zeros((P_, P_, hp_max), dtype=np.int32)
+    srecv_mask = np.zeros((P_, P_, hp_max), dtype=bool)
+
+    for s in range(P_):
+        halo_pos = {g: j for j, g in enumerate(halos[s])}
+        for p in range(P_):
+            rows = per_pair[(p, s)]
+            ssend_local[p, s, : len(rows)] = local_of[rows]
+            ssend_mask[p, s, : len(rows)] = True
+            srecv_slot[s, p, : len(rows)] = [halo_pos[g] for g in rows]
+            srecv_mask[s, p, : len(rows)] = True
+
     for s in range(P_):
         own = order[s * n_loc : (s + 1) * n_loc]
         k = len(own)
@@ -154,6 +183,10 @@ def partition_event(
         halo_shard=jnp.asarray(shalo_shard),
         halo_local=jnp.asarray(shalo_local),
         halo_mask=jnp.asarray(shalo_mask),
+        send_local=jnp.asarray(ssend_local),
+        send_mask=jnp.asarray(ssend_mask),
+        recv_slot=jnp.asarray(srecv_slot),
+        recv_mask=jnp.asarray(srecv_mask),
         edge_index=jnp.asarray(sei),
         edge_attr=jnp.asarray(sea),
         edge_mask=jnp.asarray(sem),
@@ -170,12 +203,43 @@ def gather_halo(x_local: jax.Array, sg: "ShardedGraph", axis_name: str = "graph"
     return jnp.concatenate([x_local, halo_x], axis=0)  # [N_loc + H, F]
 
 
+def gather_halo_a2a(x_local: jax.Array, sg: "ShardedGraph", axis_name: str = "graph"):
+    """Inside ``shard_map``: halo fetch that exchanges ONLY boundary rows via
+    ``all_to_all`` — O(halo) ICI traffic instead of the all-gather's
+    O(N_loc · P). Exact same result as `gather_halo`.
+
+    Per-shard views expected (leading [P, ...] axis sliced away), except the
+    pairwise tables which are indexed by this shard's position:
+    ``sg.send_local``/``send_mask`` rows for me as OWNER, ``recv_slot`` rows
+    for me as REQUESTER.
+    """
+    send_local = sg.send_local  # [P, Hp] (my rows to send to each requester)
+    send_mask = sg.send_mask  # [P, Hp]
+    recv_slot = sg.recv_slot  # [P, Hp] (where rows from each owner land)
+    h = sg.halo_mask.shape[0]
+
+    send_buf = x_local[send_local]  # [P, Hp, F]
+    send_buf = jnp.where(send_mask[:, :, None], send_buf, 0)
+    recv = jax.lax.all_to_all(
+        send_buf, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )  # [P, Hp, F]: block p = rows owner p sent to me
+    halo_x = jnp.zeros((h,) + x_local.shape[1:], dtype=x_local.dtype)
+    flat_slots = recv_slot.reshape(-1)
+    flat_recv = recv.reshape((-1,) + x_local.shape[1:])
+    flat_valid = sg.recv_mask.reshape(-1)
+    halo_x = halo_x.at[jnp.where(flat_valid, flat_slots, h)].add(
+        flat_recv, mode="drop"
+    )
+    return jnp.concatenate([x_local, halo_x], axis=0)
+
+
 def make_sharded_apply(
     mesh: Mesh,
     n_local: int,
     layer_fn: Callable,
     n_layers: int,
     axis_name: str = "graph",
+    halo_impl: str = "all_gather",
 ):
     """Build a ``shard_map``-ped message-passing stack over a ShardedGraph.
 
@@ -193,8 +257,9 @@ def make_sharded_apply(
             sg_local = jax.tree.map(lambda v: v[0], sg_shard)
             x = sg_local.x
             edge_attr = sg_local.edge_attr
+            fetch = gather_halo if halo_impl == "all_gather" else gather_halo_a2a
             for i in range(n_layers):
-                x_ext = gather_halo(x, sg_local, axis_name)
+                x_ext = fetch(x, sg_local, axis_name)
                 x, edge_attr = layer_fn(
                     params[i] if isinstance(params, (list, tuple)) else params,
                     x_ext,

@@ -87,3 +87,25 @@ def test_partition_roundtrip(setup):
     np.testing.assert_allclose(np.asarray(x_back)[nm], np.asarray(g.x)[nm])
     # all edges preserved
     assert int(np.asarray(sg.edge_mask).sum()) == int(np.asarray(g.edge_mask).sum())
+
+
+def test_a2a_halo_matches_all_gather(setup):
+    g, modules, params = setup
+    x_ref = reference_forward(g, modules, params)
+    sg = partition_event(g, N_SHARDS)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    in_module = modules[0]
+
+    def layer_fn(p, x_ext, edge_index, edge_attr, edge_mask, n_local):
+        x_new, e_new = in_module.apply(
+            {"params": p}, x_ext, edge_index, edge_attr, edge_mask
+        )
+        return x_new[:n_local], e_new
+
+    run = make_sharded_apply(mesh, sg.n_local, layer_fn, N_LAYERS, halo_impl="all_to_all")
+    x_shards, _ = run(params, sg)
+    x_out = unpartition_nodes(x_shards, sg, g.num_nodes)
+    node_mask = np.asarray(g.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(x_out)[node_mask], np.asarray(x_ref)[node_mask], rtol=1e-6, atol=1e-6
+    )
