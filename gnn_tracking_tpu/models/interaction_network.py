@@ -65,9 +65,12 @@ class InteractionNetwork(nn.Module):
             name="relational_model",
         )(m)
         if self.aggr != "add":
-            msg = f"Unsupported aggregation: {self.aggr}"
-            raise NotImplementedError(msg)
-        if use_pallas:
+            from gnn_tracking_tpu.ops.segment import scatter_edges_to_nodes
+
+            agg = scatter_edges_to_nodes(
+                e_tilde, edge_index, num_nodes, edge_mask, aggr=self.aggr
+            )
+        elif use_pallas:
             from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_segment_sum
 
             masked = e_tilde
