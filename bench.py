@@ -42,6 +42,12 @@ def make_arrays(seed=0):
 
 
 def bench_tpu() -> float:
+    """EC train step in the TPU-native configuration: bf16 compute (the
+    MXU's native precision; fp32 loss), dst-sorted edges. The CPU baseline
+    stays fp32 — the reference trains fp32, and each side runs its hardware's
+    natural precision."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -50,25 +56,42 @@ def bench_tpu() -> float:
     from gnn_tracking_tpu.losses.ec import binary_focal_loss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
 
+    mode = os.environ.get("BENCH_MODE", "bf16_sorted")
+    dtype = jnp.float32 if mode.startswith("f32") else jnp.bfloat16
+    sorted_edges = "sorted" in mode or "pallas" in mode
+    segment_impl = "pallas_sorted" if "pallas" in mode else "xla"
+
     x, edge_index, edge_attr, y = make_arrays()
     graph = EventGraph.from_arrays(
         x=x, edge_index=edge_index, edge_attr=edge_attr, y=y
+    )
+    if sorted_edges:
+        graph = graph.sort_edges_by_target()
+    graph = jax.tree.map(
+        lambda v: v.astype(dtype)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        graph,
     )
     model = ECForGraphTCN(
         interaction_node_dim=INTERACTION_DIM,
         interaction_edge_dim=INTERACTION_DIM,
         hidden_dim=HIDDEN_DIM,
         L_ec=L_EC,
+        sorted_edges=sorted_edges,
+        segment_impl=segment_impl,
     )
-    params = model.init(jax.random.PRNGKey(0), graph)
+    params = jax.tree.map(
+        lambda v: v.astype(dtype), model.init(jax.random.PRNGKey(0), graph)
+    )
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, graph):
         def loss_fn(p):
-            w = model.apply(p, graph)["W"]
-            return binary_focal_loss(inpt=w, target=graph.y.astype(w.dtype))
+            w = model.apply(p, graph)["W"].astype(jnp.float32)
+            return binary_focal_loss(inpt=w, target=graph.y.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
