@@ -296,3 +296,40 @@ def test_count_cluster_hits():
 def test_flatten_track_metrics():
     flat = flatten_track_metrics({0.9: {"perfect": 1.0}, 0.0: {"perfect": 0.5}})
     assert flat == {"perfect_pt0.9": 1.0, "perfect": 0.5}
+
+
+def test_common_metrics_registry():
+    from gnn_tracking_tpu.metrics.cluster_metrics import common_metrics
+
+    truth = np.array([1, 1, 2, 2])
+    predicted = np.array([0, 0, 1, 1])
+    v = common_metrics["v_measure"](truth=truth, predicted=predicted, extra=1)
+    assert v == approx(1.0)
+    assert "adjusted_rand" in common_metrics.keys()
+
+
+def test_binned_tracking_metrics():
+    from gnn_tracking_tpu.metrics.cluster_metrics import (
+        tracking_metrics_vs_eta,
+        tracking_metrics_vs_pt,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 60
+    truth = rng.integers(1, 10, size=n)
+    events = [
+        {
+            "truth": truth,
+            "predicted": truth.copy(),
+            "pts": rng.uniform(0, 2, size=10)[truth - 1],
+            "reconstructable": np.ones(n),
+            "eta": rng.uniform(-4, 4, size=10)[truth - 1],
+        }
+    ]
+    df = tracking_metrics_vs_pt(events, [0.0, 1.0, 2.0])
+    assert len(df) == 2
+    assert {"pt_min", "pt_max", "double_majority", "double_majority_err"} <= set(df.columns)
+    # perfect clustering -> double majority 1 where particles exist
+    assert (df["double_majority"].dropna() == 1.0).all()
+    df_eta = tracking_metrics_vs_eta(events, [-4.0, 0.0, 4.0], pt_thld=0.0)
+    assert len(df_eta) == 2
