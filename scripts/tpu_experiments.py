@@ -48,13 +48,15 @@ def report(tag, **kwargs):
     print(json.dumps({"experiment": tag, **kwargs}), flush=True)
 
 
-def claim_or_exit(budget_s: float = 75.0) -> None:
+def claim_or_exit(budget_s: float | None = None) -> None:
     """First TPU contact with a watchdog: grants only seem to go to freshly
     arriving clients, so a client that cannot claim within the budget exits
     (code 9) and the caller retries with a fresh process."""
     import os
     import threading
 
+    if budget_s is None:
+        budget_s = float(os.environ.get("BATTERY_WATCHDOG", "75"))
     claimed = threading.Event()
 
     def _watchdog():
