@@ -210,19 +210,31 @@ def main():
         eta=(8 * (rng.random(2048) - 0.5))[pid],
         reconstructable=np.ones(N_NODES),
     )
-    for precision in ("f32", "bf16"):
-        module = TCModule(
-            model=GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3),
-            loss_fct=CondensationLossTiger(max_n_objects=2048, object_block_size=256),
-            precision=precision,
-        )
-        module.setup_params(tcn_graph)
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG
 
-        def once():
-            return module.training_step(tcn_graph)["total"]
+    tcn_variants = [
+        ("tiger_b256", CondensationLossTiger(max_n_objects=2048, object_block_size=256), "f32"),
+        ("tiger_b1024", CondensationLossTiger(max_n_objects=2048, object_block_size=1024), "f32"),
+        ("tiger_maxrep", CondensationLossTiger(max_n_objects=2048, object_block_size=256, max_n_rep=100_000), "f32"),
+        ("rg_k64", CondensationLossRG(max_n_objects=2048, max_num_neighbors=64), "f32"),
+        ("tiger_b256_bf16", CondensationLossTiger(max_n_objects=2048, object_block_size=256), "bf16"),
+    ]
+    for tag, loss_fct, precision in tcn_variants:
+        try:
+            module = TCModule(
+                model=GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3),
+                loss_fct=loss_fct,
+                precision=precision,
+            )
+            module.setup_params(tcn_graph)
 
-        t = timeit(lambda: once(), iters=5)
-        report(f"tcn_step_{precision}", ms=t * 1e3, events_per_s=1 / t, edges_per_s=N_EDGES / t)
+            def once():
+                return module.training_step(tcn_graph)["total"]
+
+            t = timeit(lambda: once(), iters=5)
+            report(f"tcn_step_{tag}", ms=t * 1e3, events_per_s=1 / t, edges_per_s=N_EDGES / t)
+        except Exception as e:
+            report(f"tcn_step_{tag}", error=str(e)[:200])
 
     # ------------------------------------------------------- dbscan scan
     from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
