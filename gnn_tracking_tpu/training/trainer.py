@@ -112,6 +112,11 @@ class Trainer:
         except ValueError:
             val_loader = None
 
+        from gnn_tracking_tpu.utils.oom import tolerate_some_oom_errors
+
+        safe_step = tolerate_some_oom_errors(
+            lambda batch: module.training_step(batch)
+        )
         last_val: dict[str, float] = {}
         for epoch in range(self.max_epochs):
             t0 = time.perf_counter()
@@ -119,7 +124,9 @@ class Trainer:
             n_steps = 0
             for batch in train_loader:
                 module.setup_params(batch)
-                metrics = module.training_step(batch)
+                metrics = safe_step(batch)
+                if metrics is None:  # skipped OOM batch
+                    continue
                 acc.update(metrics)
                 n_steps += 1
                 if module.step % self.log_every_n_steps == 0:
