@@ -152,6 +152,7 @@ class GraphLoader:
         sample_size: int | None = None,
         padding: PaddingConfig | None = None,
         seed: int = 0,
+        prefetch: int = 2,
     ):
         self._dataset = dataset
         self._batch_size = batch_size
@@ -159,6 +160,7 @@ class GraphLoader:
         self._sample_size = sample_size
         self._padding = padding
         self._rng = _random.Random(seed)
+        self._prefetch = prefetch
         self.batch_size = batch_size
 
     def __len__(self) -> int:
@@ -167,7 +169,7 @@ class GraphLoader:
             n = min(n, self._sample_size)
         return -(-n // self._batch_size)
 
-    def __iter__(self) -> Iterator[EventGraph]:
+    def _produce(self) -> Iterator[EventGraph]:
         indices = list(range(len(self._dataset)))
         if self._shuffle:
             self._rng.shuffle(indices)
@@ -178,6 +180,39 @@ class GraphLoader:
             if self._padding is not None:
                 graphs = [self._padding.pad(g) for g in graphs]
             yield graphs[0] if len(graphs) == 1 else batch_graphs(graphs)
+
+    def __iter__(self) -> Iterator[EventGraph]:
+        if self._prefetch <= 0:
+            yield from self._produce()
+            return
+        # Background-thread prefetch: the loader stays ahead of the training
+        # step so host IO/padding overlaps device compute (the reference uses
+        # torch DataLoader workers — utils/loading.py:236).
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def worker():
+            try:
+                for item in self._produce():
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
 
 
 class TrackingDataModule:
