@@ -51,3 +51,20 @@ def test_data_transformer_ec_cut(data_dirs, tmp_path):
     assert bool(np.asarray(g_out.edge_mask).all())
     assert "ec_score" in g_out.extras
     assert (out_dir / "transform_config.yml").exists()
+
+
+@pytest.mark.parametrize("name", ["ec.yml", "ml.yml", "tc.yml"])
+def test_example_configs_instantiate(name):
+    """Example configs build valid module/datamodule/trainer trees."""
+    import yaml
+
+    from gnn_tracking_tpu.training.run import build_from_config
+
+    cfg = yaml.safe_load(
+        (Path(__file__).parent.parent / "examples" / "configs" / name).read_text()
+    )
+    # point data at nonexistent dirs: instantiation must still work (setup
+    # would fail, which is fine)
+    module, datamodule, trainer = build_from_config(cfg)
+    assert hasattr(module, "training_step")
+    assert hasattr(datamodule, "train_dataloader")
