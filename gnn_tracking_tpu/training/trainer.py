@@ -86,7 +86,18 @@ class Trainer:
         checkpoint_every_epoch: bool = True,
         log_every_n_steps: int = 50,
         print_validation_results: bool = True,
+        monitor: str | None = None,
+        monitor_mode: str = "max",
+        val_every_n_epochs: int = 1,
     ):
+        """
+        Args:
+            monitor: Validation metric to track; the best epoch additionally
+                saves a ``checkpoint_best`` (reference: Lightning's
+                ModelCheckpoint(monitor=...)).
+            monitor_mode: "max" or "min".
+            val_every_n_epochs: Run validation every N epochs.
+        """
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.name = name or random_trial_name()
@@ -94,6 +105,10 @@ class Trainer:
         self.checkpoint_every_epoch = checkpoint_every_epoch
         self.log_every_n_steps = log_every_n_steps
         self.print_validation_results = print_validation_results
+        self.monitor = monitor
+        self.monitor_mode = monitor_mode
+        self.val_every_n_epochs = val_every_n_epochs
+        self._best_monitor: float | None = None
         self._checkpointer: Checkpointer | None = None
         self._run_logger = None
         self.metrics_history: list[dict[str, float]] = []
@@ -143,8 +158,21 @@ class Trainer:
                 time.perf_counter() - t0,
                 n_steps,
             )
-            if val_loader is not None:
+            if val_loader is not None and (epoch + 1) % self.val_every_n_epochs == 0:
                 last_val = self.validate(module, loader=val_loader)
+                if self.monitor is not None and self.monitor in last_val:
+                    value = last_val[self.monitor]
+                    better = self._best_monitor is None or (
+                        value > self._best_monitor
+                        if self.monitor_mode == "max"
+                        else value < self._best_monitor
+                    )
+                    if better:
+                        self._best_monitor = value
+                        self.checkpointer.save(module, config=config, tag="best")
+                        logger.info(
+                            "New best %s=%.5f (checkpoint_best)", self.monitor, value
+                        )
             epoch_metrics = {**train_metrics, **last_val}
             self.metrics_history.append(epoch_metrics)
             if self._run_logger is None:

@@ -183,3 +183,34 @@ def test_bf16_training(datamodule):
 
     leaf = jax.tree_util.tree_leaves(module.params)[0]
     assert leaf.dtype in (jnp.float32, jnp.float64)
+
+
+def test_best_checkpoint_monitor(datamodule, tmp_path):
+    module = ECModule(
+        model=ECForGraphTCN(interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12),
+        loss_fct=EdgeWeightBCELoss(),
+    )
+    trainer = Trainer(
+        max_epochs=2,
+        log_dir=tmp_path,
+        print_validation_results=False,
+        monitor="roc_auc",
+    )
+    trainer.fit(module, datamodule)
+    best = list((trainer.log_dir / "checkpoints").glob("checkpoint_best"))
+    assert best
+    assert trainer._best_monitor is not None
+
+
+def test_haughty_focal_loss(datamodule):
+    from gnn_tracking_tpu.losses.ec import HaughtyFocalLoss
+
+    g = next(iter(datamodule.val_dataloader()))
+    loss = HaughtyFocalLoss(pt_thld=0.5)(
+        w=jax.numpy.full(g.num_edges, 0.5),
+        y=g.y,
+        edge_index=g.edge_index,
+        pt=g.pt,
+        edge_mask=g.edge_mask,
+    )
+    assert np.isfinite(float(loss))
