@@ -14,7 +14,7 @@ import functools
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
+
 import optax
 from flax import linen as nn
 

@@ -16,7 +16,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
-import numpy as np
+
 
 from gnn_tracking_tpu.training.logging_utils import MetricAccumulator
 from gnn_tracking_tpu.utils.log import logger
