@@ -214,6 +214,20 @@ class OldGraphConstructionHingeEmbeddingLoss(MultiLossFct):
             batch=batch,
             loop=False,
         )
+        # reference dedups via torch.unique over ordered pairs
+        # (metric_learning.py:239-241): drop radius edges that duplicate a
+        # true edge in the same (min, max) orientation — true_edge_index
+        # contains every intra-particle (i < j) pair by construction.
+        near_pid0 = particle_id[near_edges[0]]
+        near_pid1 = particle_id[near_edges[1]]
+        dup = (
+            (near_pid0 == near_pid1)
+            & (near_pid0 > 0)
+            & (near_edges[0] < near_edges[1])
+            # only high-pt true edges entered the merged set
+            & (pt[near_edges[0]] > self.attr_pt_thld)
+        )
+        near_mask = near_mask & ~dup
         edges = jnp.concatenate([true_edge_index, near_edges], axis=1)
         mask = jnp.concatenate([te_mask, near_mask])
 

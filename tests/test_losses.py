@@ -296,3 +296,21 @@ def test_condensation_loss_max_n_rep(td=td2):
         )
         vals.append(float(r.loss_dct["repulsive"]))
     assert np.mean(vals) == approx(full["repulsive"], rel=0.3)
+
+
+def test_old_hinge_loss_smoke():
+    from gnn_tracking_tpu.losses.metric_learning import (
+        OldGraphConstructionHingeEmbeddingLoss,
+    )
+
+    r = OldGraphConstructionHingeEmbeddingLoss()(
+        x=td1.x,
+        particle_id=td1.particle_id,
+        batch=td1.batch,
+        true_edge_index=td1.true_edge_index,
+        pt=td1.pt,
+    )
+    vals = to_floats(r.loss_dct)
+    assert np.isfinite(vals["attractive"])
+    assert np.isfinite(vals["repulsive"])
+    assert vals["attractive"] > 0
