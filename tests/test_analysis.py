@@ -2,6 +2,7 @@
 tests/test_graph_analysis.py and tests/test_k_scanner.py)."""
 
 import jax.numpy as jnp
+import networkx as nx
 import numpy as np
 import pytest
 
@@ -137,3 +138,32 @@ def test_k_scanner_reset():
     n1 = len(scanner.results_raw)
     scanner(g, 0)
     assert len(scanner.results_raw) == n1
+
+
+@pytest.mark.parametrize(
+    "edges,expected",
+    [
+        # one chain: single segment
+        ([(0, 1), (1, 2), (2, 3), (3, 4)],
+         dict(n_hits=5, n_segments=1, n_hits_largest_segment=5,
+              distance_largest_segments=0, n_hits_largest_component=5)),
+        # broken chain, disconnected halves
+        ([(0, 1), (2, 3), (3, 4)],
+         dict(n_hits=5, n_segments=2, n_hits_largest_segment=3,
+              distance_largest_segments=float("inf"), n_hits_largest_component=3)),
+        # halves bridged by a different-pid node
+        ([(0, 1), (2, 3), (3, 4), (1, 10), (10, 2)],
+         dict(n_hits=5, n_segments=2, n_hits_largest_segment=3,
+              distance_largest_segments=2, n_hits_largest_component=5)),
+    ],
+)
+def test_track_graph_info_reference_cases(edges, expected):
+    """Hand-built cases from the reference (tests/test_graph_analysis.py)."""
+    from gnn_tracking_tpu.analysis.graphs import get_track_graph_info
+
+    g = nx.Graph(edges)
+    pids = np.zeros(11, dtype=int)
+    pids[5:] = 1  # nodes beyond the track (incl. the bridge) are other pids
+    tgi = get_track_graph_info(g, pids[: max(max(e) for e in edges) + 1], 0)
+    for key, val in expected.items():
+        assert getattr(tgi, key) == val, key
