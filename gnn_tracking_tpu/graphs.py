@@ -315,5 +315,9 @@ def batch_graphs(graphs: list[EventGraph]) -> EventGraph:
         edge_mask=jnp.concatenate([g.edge_mask for g in graphs], axis=0),
         true_edge_index=_cat_edges("true_edge_index"),
         true_edge_mask=jnp.concatenate([g.true_edge_mask for g in graphs], axis=0),
-        extras={},
+        extras={
+            k: jnp.concatenate([g.extras[k] for g in graphs], axis=0)
+            for k in (graphs[0].extras or {})
+            if all(k in g.extras for g in graphs)
+        },
     )
