@@ -161,6 +161,11 @@ def main():
         from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather, sorted_segment_sum
 
         dstp = jnp.asarray(np.sort(np.asarray(ei[1])))
+        # correctness on REAL hardware (interpret-mode parity already tested)
+        out_pl = sync(sorted_segment_sum(msgs, dstp, N_NODES, 1024, 1024, False))
+        out_x = sync(jax.ops.segment_sum(msgs, dstp, num_segments=N_NODES))
+        ok = bool(np.allclose(np.asarray(out_pl), np.asarray(out_x), rtol=1e-4, atol=1e-4))
+        report("pallas_segment_correct_on_tpu", match=ok)
         t = timeit(jax.jit(lambda m: sorted_segment_sum(m, dstp, N_NODES, 1024, 1024, False).sum()), msgs)
         report("pallas_sorted_segment_sum", ms=t * 1e3)
         t = timeit(jax.jit(lambda v: sorted_gather(v, dstp, 1024, 1024, False).sum()), h)
