@@ -1,20 +1,22 @@
 """Pallas TPU kernel: segment-sum over dst-sorted edges as windowed one-hot
 matmuls — the scatter-free aggregation path.
 
-Profiling (scripts/tpu_experiments.py) shows the EC step is dominated by
-XLA's scatter/gather lowering of segment ops (~90ms of a 106ms step at 32-wide
-features). With edges sorted by target, each contiguous edge block touches a
-bounded window of consecutive target nodes, so the scatter becomes
+Profiling (scripts/tpu_experiments.py) shows the EC step spends most of its
+time in XLA's scatter/gather lowering of segment ops. With edges sorted by
+target, each contiguous edge block touches a bounded window of consecutive
+target nodes, so the scatter becomes a one-hot matmul on the MXU.
 
-    out[w0 : w0 + W] += onehot(dst - w0)ᵀ @ messages_block
+Mosaic-compatibility notes (learned on real hardware): revisited output
+blocks with dynamic-slice read-modify-write miscompile, so the forward
+emits **slab-aligned per-block partials** instead: each edge block writes a
+``[2·window, F]`` partial anchored at an aligned slab boundary, and a tiny
+XLA segment-sum over ``2·n_blocks`` slabs combines them. The backward of
+segment-sum (gather of cotangents at dst) reads a dynamic window — plain
+input reads, no RMW.
 
-— an MXU matmul instead of a serialized scatter. The backward of segment-sum
-(a gather of cotangents at dst) is the transposed matmul, wired via
-custom_vjp.
-
-Requirement: within every ``block_e``-edge block, ``max(dst) - min(dst) <
-window`` (true for graphs with bounded degree skew; the host-side
-``max_window_spread`` check validates, and ``ops.segment`` is the fallback).
+Requirement: within every ``block_e``-edge block,
+``max(dst) - floor(min(dst)/window)*window < 2*window`` (true whenever the
+per-block dst spread is < window; validated by ``max_window_spread``).
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-
 def max_window_spread(dst: np.ndarray, block_e: int) -> int:
     """Host-side check: max dst spread within any edge block."""
     dst = np.asarray(dst)
@@ -37,52 +38,59 @@ def max_window_spread(dst: np.ndarray, block_e: int) -> int:
     return int((blocks.max(axis=1) - blocks.min(axis=1)).max() + 1)
 
 
-def _fwd_kernel(dst_ref, msgs_ref, out_ref, *, window: int, n_nodes: int):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
+def _fwd_kernel(dst_ref, msgs_ref, partial_ref, slab_ref, *, window: int, n_pad: int):
     dst = dst_ref[:]  # [EB] int32 (this block)
     msgs = msgs_ref[:]  # [EB, F]
-    w0 = jnp.minimum(jnp.min(dst), n_nodes - window)
-    w0 = jnp.maximum(w0, 0)
-    local = dst - w0  # [EB] in [0, window)
+    n_slabs = n_pad // window
+    slab0 = jnp.clip(jnp.min(dst) // window, 0, n_slabs - 2)
+    w0 = slab0 * window
+    local = dst - w0  # in [0, 2*window) given bounded spread
     eb = dst.shape[0]
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (eb, window), 1) == local[:, None]
+        jax.lax.broadcasted_iota(jnp.int32, (eb, 2 * window), 1) == local[:, None]
     ).astype(msgs.dtype)
-    contrib = jax.lax.dot_general(
+    partial_ref[0] = jax.lax.dot_general(
         onehot,
         msgs,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [window, F]
-    out_ref[pl.ds(w0, window), :] += contrib.astype(out_ref.dtype)
+    ).astype(partial_ref.dtype)  # [2*window, F]
+    slab_ref[0] = slab0
 
 
-def _bwd_kernel(dst_ref, grad_ref, out_ref, *, window: int, n_nodes: int):
+def _gather_kernel(dst_ref, values_ref, out_ref, *, window: int, n_pad: int):
+    """values[dst] for a dst-sorted block via windowed one-hot matmul."""
     dst = dst_ref[:]
-    w0 = jnp.minimum(jnp.min(dst), n_nodes - window)
-    w0 = jnp.maximum(w0, 0)
+    n_slabs = n_pad // window
+    slab0 = jnp.clip(jnp.min(dst) // window, 0, n_slabs - 2)
+    w0 = slab0 * window
     local = dst - w0
     eb = dst.shape[0]
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (eb, window), 1) == local[:, None]
-    ).astype(grad_ref.dtype)
-    g_win = grad_ref[pl.ds(w0, window), :]  # [window, F]
+        jax.lax.broadcasted_iota(jnp.int32, (eb, 2 * window), 1) == local[:, None]
+    ).astype(values_ref.dtype)
+    vals_win = values_ref[pl.ds(w0, 2 * window), :]  # [2*window, F]
     out_ref[:] = jax.lax.dot_general(
         onehot,
-        g_win,
+        vals_win,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
-)
+def _resolve_interpret(interpret):
+    # Mosaic only exists on TPU; interpret elsewhere (tests, CPU meshes)
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _pad_nodes(n_nodes: int, window: int) -> int:
+    # room for the last slab's +window overhang
+    return (-(-n_nodes // window) + 1) * window
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def sorted_segment_sum(
     messages: jax.Array,
     dst: jax.Array,
@@ -99,32 +107,37 @@ def sorted_segment_sum(
     return _fwd(messages, dst, num_nodes, block_e, window, interpret)
 
 
-def _resolve_interpret(interpret):
-    # Mosaic only exists on TPU; interpret elsewhere (tests, CPU meshes)
-    if interpret is None:
-        return jax.default_backend() != "tpu"
-    return interpret
-
-
 def _fwd(messages, dst, num_nodes, block_e, window, interpret):
     interpret = _resolve_interpret(interpret)
     window = min(window, num_nodes)
     e, f = messages.shape
     assert e % block_e == 0, (e, block_e)
-    grid = (e // block_e,)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, window=window, n_nodes=num_nodes),
-        grid=grid,
+    n_blocks = e // block_e
+    n_pad = _pad_nodes(num_nodes, window)
+    partials, slabs = pl.pallas_call(
+        functools.partial(_fwd_kernel, window=window, n_pad=n_pad),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block_e,), lambda i: (i,)),
             pl.BlockSpec((block_e, f), lambda i: (i, 0)),
         ],
-        # full output resident across the sequential grid (revisited block)
-        out_specs=pl.BlockSpec((num_nodes, f), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_nodes, f), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 2 * window, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1,), lambda i: (i,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 2 * window, f), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks,), jnp.int32),
+        ],
         interpret=interpret,
     )(dst, messages)
-    return out.astype(messages.dtype)
+    # combine: 2 aligned slabs per block, summed by slab index (tiny scatter
+    # over 2*n_blocks items instead of E rows)
+    slab_parts = partials.reshape(n_blocks * 2, window, f)
+    slab_ids = jnp.stack([slabs, slabs + 1], axis=1).reshape(-1)
+    n_slabs = n_pad // window
+    out = jax.ops.segment_sum(slab_parts, slab_ids, num_segments=n_slabs)
+    return out.reshape(n_slabs * window, f)[:num_nodes].astype(messages.dtype)
 
 
 def _fwd_rule(messages, dst, num_nodes, block_e, window, interpret):
@@ -132,26 +145,34 @@ def _fwd_rule(messages, dst, num_nodes, block_e, window, interpret):
 
 
 def _bwd_rule(num_nodes, block_e, window, interpret, dst, g):
-    interpret = _resolve_interpret(interpret)
-    window = min(window, num_nodes)
-    e = dst.shape[0]
-    f = g.shape[1]
-    grid = (e // block_e,)
-    grad_msgs = pl.pallas_call(
-        functools.partial(_bwd_kernel, window=window, n_nodes=num_nodes),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_e,), lambda i: (i,)),
-            pl.BlockSpec((num_nodes, f), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_e, f), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((e, f), g.dtype),
-        interpret=interpret,
-    )(dst, g)
+    grad_msgs = _gather(g, dst, block_e, window, interpret)
     return grad_msgs, None
 
 
 sorted_segment_sum.defvjp(_fwd_rule, _bwd_rule)
+
+
+def _gather(values, dst, block_e, window, interpret):
+    interpret = _resolve_interpret(interpret)
+    num_nodes = values.shape[0]
+    window = min(window, num_nodes)
+    e = dst.shape[0]
+    f = values.shape[1]
+    n_pad = _pad_nodes(num_nodes, window)
+    values_p = jnp.pad(values, ((0, n_pad - num_nodes), (0, 0)))
+    grid = (e // block_e,)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, window=window, n_pad=n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_e,), lambda i: (i,)),
+            pl.BlockSpec((n_pad, f), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_e, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((e, f), values.dtype),
+        interpret=interpret,
+    )(dst, values_p)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -165,35 +186,11 @@ def sorted_gather(
     """``values[dst]`` for non-decreasing ``dst`` via windowed one-hot
     matmuls — the dual of `sorted_segment_sum` (its backward IS the segment
     sum, and vice versa). values [N, F], dst [E] → [E, F]."""
-    return _gather_fwd(values, dst, block_e, window, interpret)
-
-
-def _gather_fwd(values, dst, block_e, window, interpret):
-    interpret = _resolve_interpret(interpret)
-    window = min(window, values.shape[0])
-    e = dst.shape[0]
-    f = values.shape[1]
-    n = values.shape[0]
-    grid = (e // block_e,)
-    out = pl.pallas_call(
-        functools.partial(_bwd_kernel, window=window, n_nodes=n),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_e,), lambda i: (i,)),
-            pl.BlockSpec((n, f), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_e, f), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((e, f), values.dtype),
-        interpret=interpret,
-    )(dst, values)
-    return out
+    return _gather(values, dst, block_e, window, interpret)
 
 
 def _gather_fwd_rule(values, dst, block_e, window, interpret):
-    return _gather_fwd(values, dst, block_e, window, interpret), (
-        dst,
-        values.shape[0],
-    )
+    return _gather(values, dst, block_e, window, interpret), (dst, values.shape[0])
 
 
 def _gather_bwd_rule(block_e, window, interpret, res, g):

@@ -69,6 +69,8 @@ def _pairwise_topk_kernel(
         width = all_d.shape[1]
         pos = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
 
+        out_pos = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
         def select(j, carry):
             all_d_c, new_d, new_i = carry
             row_min = jnp.min(all_d_c, axis=1, keepdims=True)  # [B, 1]
@@ -77,8 +79,10 @@ def _pairwise_topk_kernel(
             first_min = jnp.min(jnp.where(is_min, pos, width), axis=1, keepdims=True)
             sel = pos == first_min
             min_i = jnp.max(jnp.where(sel, all_i, 0), axis=1)  # [B]
-            new_d = new_d.at[:, j].set(row_min[:, 0])
-            new_i = new_i.at[:, j].set(min_i)
+            # column-j writes via where (Mosaic has no scatter)
+            write = out_pos == j
+            new_d = jnp.where(write, row_min, new_d)
+            new_i = jnp.where(write, min_i[:, None], new_i)
             all_d_c = jnp.where(sel, jnp.inf, all_d_c)
             return all_d_c, new_d, new_i
 
