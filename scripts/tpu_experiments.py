@@ -215,7 +215,34 @@ def main():
         eta=(8 * (rng.random(2048) - 0.5))[pid],
         reconstructable=np.ones(N_NODES),
     )
-    from gnn_tracking_tpu.losses.oc import CondensationLossRG
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG, condensation_loss
+    from gnn_tracking_tpu.utils.graph_masks import get_good_node_mask
+
+    # --- locate the time inside the TCN step: model fwd vs loss fwd+bwd ---
+    try:
+        model_only = GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3)
+        params_mo = model_only.init(jax.random.PRNGKey(0), tcn_graph)
+        fwd_fn = jax.jit(lambda p, g: model_only.apply(p, g)["H"].sum())
+        t = timeit(fwd_fn, params_mo, tcn_graph)
+        report("tcn_model_fwd_only", ms=t * 1e3)
+
+        mask = get_good_node_mask(tcn_graph)
+        rngk = jax.random.PRNGKey(0)
+        beta0 = jax.random.uniform(rngk, (N_NODES,), minval=0.01, maxval=0.99)
+        h0 = jax.random.normal(rngk, (N_NODES, 8))
+
+        def loss_only(beta, h):
+            losses, _ = condensation_loss(
+                beta=beta, x=h, object_id=tcn_graph.particle_id,
+                object_mask=mask, node_mask=tcn_graph.node_mask,
+                q_min=0.01, max_n_objects=2048, object_block_size=256,
+            )
+            return losses["attractive"] + losses["repulsive"]
+
+        t = timeit(jax.jit(jax.grad(loss_only, argnums=(0, 1))), beta0, h0)
+        report("tcn_loss_only_fwd_bwd_b256", ms=t * 1e3)
+    except Exception as e:
+        report("tcn_breakdown", error=str(e)[:200])
 
     tcn_variants = [
         ("tiger_b256", CondensationLossTiger(max_n_objects=2048, object_block_size=256), "f32"),
