@@ -26,7 +26,33 @@ from gnn_tracking_tpu.utils.nomenclature import random_trial_name
 def format_results_table(
     metrics: dict[str, float], *, highlight: Any = None, max_rows: int = 60
 ) -> str:
-    """Plain-text epoch results table (reference ``callbacks.py:17-54``)."""
+    """Epoch results table; rich markup when available
+    (reference ``callbacks.py:17-54``)."""
+    try:
+        import io
+
+        from rich.console import Console
+        from rich.table import Table
+
+        table = Table(title="Validation results")
+        table.add_column("Metric")
+        table.add_column("Value", justify="right")
+        table.add_column("Error", justify="right")
+        shown = 0
+        for k in sorted(metrics):
+            if k.endswith("_std"):
+                continue
+            err = metrics.get(f"{k}_std", float("nan"))
+            style = "bold bright_magenta" if highlight and highlight(k) else ""
+            table.add_row(k, f"{metrics[k]:.5f}", f"{err:.5f}", style=style)
+            shown += 1
+            if shown >= max_rows:
+                break
+        buf = io.StringIO()
+        Console(file=buf, width=100).print(table)
+        return buf.getvalue()
+    except ImportError:
+        pass
     lines = ["", f"{'Metric':<50} {'Value':>12} {'Error':>12}"]
     lines.append("-" * 76)
     shown = 0
