@@ -9,6 +9,19 @@ import numpy as np
 from gnn_tracking_tpu.graphs import EventGraph
 
 
+def use_experiment_style() -> bool:
+    """Apply the CMS plotting style when ``mplhep`` is installed
+    (reference ``plotting.py:15``); returns whether it was applied."""
+    try:
+        import matplotlib.pyplot as plt
+        import mplhep
+
+        plt.style.use(mplhep.style.CMS)
+        return True
+    except ImportError:
+        return False
+
+
 class EventPlotter:
     """Raw-event scatter views (reference ``plotting.py:18-76``)."""
 
