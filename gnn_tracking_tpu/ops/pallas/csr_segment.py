@@ -38,6 +38,29 @@ def max_window_spread(dst: np.ndarray, block_e: int) -> int:
     return int((blocks.max(axis=1) - blocks.min(axis=1)).max() + 1)
 
 
+def validate_pallas_segment(
+    graph, *, block_e: int = 1024, window: int = 1024
+) -> None:
+    """Host-side guard for ``segment_impl='pallas_sorted'``: edges must be
+    dst-sorted, edge count divisible by the block size, and every block's dst
+    spread must fit the window — otherwise contributions are silently
+    dropped. Raise before training, not after."""
+    dst = np.asarray(graph.edge_index)[1]
+    if len(dst) % block_e != 0:
+        msg = f"edge count {len(dst)} not divisible by block_e={block_e}"
+        raise ValueError(msg)
+    if (np.diff(dst) < 0).any():
+        msg = "edges are not sorted by target; call sort_edges_by_target()"
+        raise ValueError(msg)
+    spread = max_window_spread(dst, block_e)
+    if spread > window:
+        msg = (
+            f"per-block dst spread {spread} exceeds window {window}; "
+            "increase window or fall back to segment_impl='xla'"
+        )
+        raise ValueError(msg)
+
+
 def _fwd_kernel(dst_ref, msgs_ref, partial_ref, slab_ref, *, window: int, n_pad: int):
     dst = dst_ref[:]  # [EB] int32 (this block)
     msgs = msgs_ref[:]  # [EB, F]

@@ -111,3 +111,15 @@ def test_interaction_network_pallas_segment_matches():
     x2, e2 = m_pl.apply(params, g.x, g.edge_index, g.edge_attr, g.edge_mask)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-4, atol=1e-5)
+
+
+def test_validate_pallas_segment():
+    from gnn_tracking_tpu.ops.pallas.csr_segment import validate_pallas_segment
+    from tests.test_models import make_graph
+
+    g = make_graph(0, n=256, e=1024).sort_edges_by_target()
+    validate_pallas_segment(g, block_e=256, window=512)  # fine
+    with pytest.raises(ValueError, match="not sorted"):
+        validate_pallas_segment(make_graph(0, n=256, e=1024), block_e=256)
+    with pytest.raises(ValueError, match="divisible"):
+        validate_pallas_segment(g, block_e=999)
