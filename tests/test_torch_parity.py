@@ -1,0 +1,135 @@
+"""Activation-level parity vs a torch replica of the reference architecture.
+
+BASELINE.md: "Match reference PyG models' per-layer activations (allclose)".
+torch_geometric is not installed here, but PyG's ``MessagePassing`` bottoms
+out in torch ``index_add`` scatter, so a plain-torch replica following the
+reference's module semantics (``models/mlp.py``,
+``models/interaction_network.py``, ``models/resin.py``,
+``models/edge_classifier.py``) is an exact stand-in. We copy OUR flax
+parameters into the torch replica and require allclose outputs on the same
+graph.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+
+from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+from .test_models import EDGE_DIM, N_EDGES, N_NODES, NODE_DIM, make_graph
+
+H_DIM, E_DIM, HID, L_EC = 5, 4, 13, 3
+
+
+# ----------------------------------------------------------------------
+# torch replica of the reference architecture
+# ----------------------------------------------------------------------
+
+
+def _mlp(in_dim, out_dim, hidden, L=3, bias=True):
+    layers, d = [], in_dim
+    for _ in range(max(L, 2) - 1):
+        layers += [tnn.Linear(d, hidden, bias=bias), tnn.ReLU()]
+        d = hidden
+    layers += [tnn.Linear(d, out_dim, bias=bias)]
+    return tnn.Sequential(*layers)
+
+
+class TorchIN(tnn.Module):
+    def __init__(self, node_dim, edge_dim, hidden):
+        super().__init__()
+        self.relational_model = _mlp(2 * node_dim + edge_dim, edge_dim, hidden)
+        self.object_model = _mlp(node_dim + edge_dim, node_dim, hidden)
+
+    def forward(self, x, edge_index, edge_attr):
+        src, dst = edge_index[0], edge_index[1]
+        m = torch.cat([x[dst], x[src], edge_attr], dim=1)
+        e = self.relational_model(m)
+        agg = torch.zeros(x.shape[0], e.shape[1], dtype=x.dtype)
+        agg.index_add_(0, dst, e)
+        x_new = self.object_model(torch.cat([x, agg], dim=1))
+        return x_new, e
+
+
+class TorchECForGraphTCN(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.ec_node_encoder = _mlp(NODE_DIM, H_DIM, HID, L=2, bias=False)
+        self.ec_edge_encoder = _mlp(EDGE_DIM, E_DIM, HID, L=2, bias=False)
+        self.layers = tnn.ModuleList(
+            [TorchIN(H_DIM, E_DIM, HID) for _ in range(L_EC)]
+        )
+        w_in = E_DIM * (L_EC + 1) + 2 * H_DIM
+        self.W = _mlp(w_in, 1, HID, L=3)
+
+    def forward(self, x, edge_index, edge_attr):
+        h = torch.relu(self.ec_node_encoder(x))
+        e = torch.relu(self.ec_edge_encoder(edge_attr))
+        embeds = [e]
+        alpha = 0.5
+        for i, layer in enumerate(self.layers):
+            act = torch.relu if i > 0 else (lambda v: v)
+            dh, e = layer(act(h), edge_index, act(e))
+            h = math.sqrt(alpha) * h + math.sqrt(1 - alpha) * dh
+            embeds.append(e)
+        w_in = torch.cat([h[edge_index[0]], h[edge_index[1]], *embeds], dim=1)
+        eps = 0.001
+        w = eps + (1 - 2 * eps) * torch.sigmoid(self.W(w_in)).squeeze(-1)
+        return {"W": w, "node_embedding": h, "edge_embedding": e}
+
+
+# ----------------------------------------------------------------------
+# flax → torch parameter transfer
+# ----------------------------------------------------------------------
+
+
+def _copy_mlp(t_mlp: tnn.Sequential, f_params: dict) -> None:
+    linears = [m for m in t_mlp if isinstance(m, tnn.Linear)]
+    for i, lin in enumerate(linears):
+        p = f_params[f"TorchLinear_{i}"]
+        lin.weight.data = torch.from_numpy(np.asarray(p["kernel"]).T.copy()).float()
+        if "bias" in p:
+            lin.bias.data = torch.from_numpy(np.asarray(p["bias"]).copy()).float()
+
+
+def test_ec_activations_match_torch_replica():
+    graph = make_graph(0)
+    model = ECForGraphTCN(
+        interaction_node_dim=H_DIM,
+        interaction_edge_dim=E_DIM,
+        hidden_dim=HID,
+        L_ec=L_EC,
+    )
+    variables = model.init(jax.random.PRNGKey(0), graph)
+    params = variables["params"]
+    out_jax = model.apply(variables, graph)
+
+    t_model = TorchECForGraphTCN().eval()
+    _copy_mlp(t_model.ec_node_encoder, params["ec_node_encoder"])
+    _copy_mlp(t_model.ec_edge_encoder, params["ec_edge_encoder"])
+    for i in range(L_EC):
+        layer_p = params["ec_resin"][f"layer_{i}"]
+        _copy_mlp(t_model.layers[i].relational_model, layer_p["relational_model"])
+        _copy_mlp(t_model.layers[i].object_model, layer_p["object_model"])
+    _copy_mlp(t_model.W, params["W"])
+
+    with torch.no_grad():
+        out_t = t_model(
+            torch.from_numpy(np.asarray(graph.x)).float(),
+            torch.from_numpy(np.asarray(graph.edge_index)).long(),
+            torch.from_numpy(np.asarray(graph.edge_attr)).float(),
+        )
+
+    for key, rtol in [("W", 1e-4), ("node_embedding", 1e-4), ("edge_embedding", 1e-4)]:
+        np.testing.assert_allclose(
+            np.asarray(out_jax[key], dtype=np.float64),
+            out_t[key].numpy().astype(np.float64),
+            rtol=rtol,
+            atol=1e-5,
+            err_msg=key,
+        )
