@@ -133,3 +133,111 @@ def test_ec_activations_match_torch_replica():
             atol=1e-5,
             err_msg=key,
         )
+
+
+class TorchResFCNN(tnn.Module):
+    """Reference ResFCNN semantics (mlp.py:65-120)."""
+
+    def __init__(self, in_dim, hidden, out_dim, depth, alpha=0.6, bias=True):
+        super().__init__()
+        self.encoder = tnn.Linear(in_dim, hidden, bias=bias)
+        self.decoder = tnn.Linear(hidden, out_dim, bias=bias)
+        self.layers = tnn.ModuleList(
+            [tnn.Linear(hidden, hidden, bias=bias) for _ in range(depth - 1)]
+        )
+        self.alpha = alpha
+
+    def forward(self, x):
+        x = torch.nn.functional.normalize(x, p=2.0, dim=1, eps=1e-12)
+        x = self.encoder(x)
+        for layer in self.layers:
+            x = math.sqrt(self.alpha) * x + math.sqrt(1 - self.alpha) * layer(
+                torch.relu(x)
+            )
+        return self.decoder(torch.relu(x))
+
+
+class TorchMLGCTCN(tnn.Module):
+    """Reference ModularGraphTCN (ec=None) semantics (tcn.py:118-308)."""
+
+    def __init__(self, h_dim, e_dim, h_outdim, hidden, L_hc):
+        super().__init__()
+        self.hc_node_encoder = TorchResFCNN(NODE_DIM, hidden, h_dim, depth=1, alpha=0.0, bias=False)
+        self.hc_edge_encoder = _mlp(EDGE_DIM, e_dim, hidden, L=2, bias=False)
+        self.layers = tnn.ModuleList([TorchIN(h_dim, e_dim, hidden) for _ in range(L_hc)])
+        self.p_beta = _mlp(h_dim, 1, hidden, L=3)
+        self.p_cluster = _mlp(h_dim, h_outdim, hidden, L=3)
+        self.latent_normalization = tnn.Parameter(torch.ones(1))
+
+    def forward(self, x, edge_index, edge_attr):
+        h = torch.relu(self.hc_node_encoder(x))
+        e = torch.relu(self.hc_edge_encoder(edge_attr))
+        alpha = 0.5
+        for i, layer in enumerate(self.layers):
+            act = torch.relu if i > 0 else (lambda v: v)
+            dh, e = layer(act(h), edge_index, act(e))
+            h = math.sqrt(alpha) * h + math.sqrt(1 - alpha) * dh
+        beta = torch.sigmoid(self.p_beta(h))
+        eps = 1e-6
+        beta = eps + (1 - 2 * eps) * beta
+        out = self.p_cluster(h) * self.latent_normalization
+        return {"H": out, "B": beta.squeeze(-1)}
+
+
+def _copy_resfcnn(t_mod: TorchResFCNN, f_params: dict) -> None:
+    names = sorted(k for k in f_params if k.startswith("NormalLinear"))
+    lins = [t_mod.encoder, *t_mod.layers, t_mod.decoder]
+    assert len(names) == len(lins)
+    for lin, name in zip(lins, names):
+        p = f_params[name]
+        lin.weight.data = torch.from_numpy(np.asarray(p["kernel"]).T.copy()).float()
+        if "bias" in p:
+            lin.bias.data = torch.from_numpy(np.asarray(p["bias"]).copy()).float()
+
+
+def test_tcn_activations_match_torch_replica():
+    from gnn_tracking_tpu.models.track_condensation_networks import (
+        GraphTCNForMLGCPipeline,
+    )
+
+    graph = make_graph(1)
+    h_dim, e_dim, h_outdim, hidden, L_hc = 5, 4, 3, 11, 2
+    model = GraphTCNForMLGCPipeline(
+        h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden, L_hc=L_hc
+    )
+    variables = model.init(jax.random.PRNGKey(3), graph)
+    out_jax = model.apply(variables, graph)
+    gp = variables["params"]["gtcn"]
+    resin_p = variables["params"]["hc_in"]
+
+    t = TorchMLGCTCN(h_dim, e_dim, h_outdim, hidden, L_hc).eval()
+    _copy_resfcnn(t.hc_node_encoder, gp["hc_node_encoder"])
+    _copy_mlp(t.hc_edge_encoder, gp["hc_edge_encoder"])
+    for i in range(L_hc):
+        layer_p = resin_p[f"layer_{i}"]
+        _copy_mlp(t.layers[i].relational_model, layer_p["relational_model"])
+        _copy_mlp(t.layers[i].object_model, layer_p["object_model"])
+    _copy_mlp(t.p_beta, gp["p_beta"])
+    _copy_mlp(t.p_cluster, gp["p_cluster"])
+    t.latent_normalization.data = torch.from_numpy(
+        np.asarray(gp["latent_normalization"]).copy()
+    ).float()
+
+    with torch.no_grad():
+        out_t = t(
+            torch.from_numpy(np.asarray(graph.x)).float(),
+            torch.from_numpy(np.asarray(graph.edge_index)).long(),
+            torch.from_numpy(np.asarray(graph.edge_attr)).float(),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_jax["H"], dtype=np.float64),
+        out_t["H"].numpy().astype(np.float64),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_jax["B"], dtype=np.float64),
+        out_t["B"].numpy().astype(np.float64),
+        rtol=1e-4,
+        atol=1e-6,
+    )
