@@ -40,3 +40,56 @@ def test_sharded_tc_trainer_learns():
     assert np.isfinite(np.asarray(h_global)).all()
     b = np.asarray(beta)[np.asarray(sg.node_mask)]
     assert (b > 0).all() and (b < 1).all()
+
+
+def test_sharded_body_matches_single_device_tcn():
+    """ShardedTCNBody with transplanted parameters reproduces
+    GraphTCNForMLGCPipeline (ec=None ModularGraphTCN) outputs exactly."""
+    import jax.numpy as jnp
+
+    from gnn_tracking_tpu.models.track_condensation_networks import (
+        GraphTCNForMLGCPipeline,
+    )
+    from tests.test_models import make_graph
+
+    g = make_graph(2)
+    h_dim, e_dim, h_outdim, hidden, L_hc = 6, 6, 3, 16, 2
+    ref_model = GraphTCNForMLGCPipeline(
+        h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden, L_hc=L_hc
+    )
+    variables = ref_model.init(jax.random.PRNGKey(5), g)
+    out_ref = ref_model.apply(variables, g)
+
+    # transplant params into the sharded body's naming
+    gp = variables["params"]["gtcn"]
+    resin = variables["params"]["hc_in"]
+    sharded_params = {
+        "hc_node_encoder": gp["hc_node_encoder"],
+        "hc_edge_encoder": gp["hc_edge_encoder"],
+        **{f"hc_in_{i}": resin[f"layer_{i}"] for i in range(L_hc)},
+        "p_beta": gp["p_beta"],
+        "p_cluster": gp["p_cluster"],
+        "latent_normalization": gp["latent_normalization"],
+    }
+
+    sg = partition_event(g, N_SHARDS)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    trainer = ShardedTCTrainer(
+        mesh,
+        model=ShardedTCNBody(
+            h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden, L_hc=L_hc
+        ),
+        max_n_objects=K,
+    )
+    trainer.params = sharded_params
+    h_shards, beta_shards = trainer.forward(sg)
+    h_global = np.asarray(unpartition_nodes(h_shards, sg, g.num_nodes))
+    beta_global = np.asarray(unpartition_nodes(beta_shards, sg, g.num_nodes))
+
+    nm = np.asarray(g.node_mask)
+    np.testing.assert_allclose(
+        h_global[nm], np.asarray(out_ref["H"])[nm], rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        beta_global[nm], np.asarray(out_ref["B"])[nm], rtol=1e-6, atol=1e-10
+    )
