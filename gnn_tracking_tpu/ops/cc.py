@@ -15,13 +15,14 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes",))
+@functools.partial(jax.jit, static_argnames=("num_nodes", "edges_sorted_by_dst"))
 def connected_components(
     edge_index: jax.Array,
     num_nodes: int,
     *,
     edge_mask: jax.Array | None = None,
     node_mask: jax.Array | None = None,
+    edges_sorted_by_dst: bool = False,
 ) -> jax.Array:
     """Label connected components of an undirected graph.
 
@@ -42,7 +43,10 @@ def connected_components(
     def propagate(labels):
         l_src = jnp.where(edge_mask, labels[src], sentinel)
         l_dst = jnp.where(edge_mask, labels[dst], sentinel)
-        m = jax.ops.segment_min(l_src, dst, num_segments=num_nodes)
+        m = jax.ops.segment_min(
+            l_src, dst, num_segments=num_nodes,
+            indices_are_sorted=edges_sorted_by_dst,
+        )
         m = jnp.minimum(m, jax.ops.segment_min(l_dst, src, num_segments=num_nodes))
         labels = jnp.minimum(labels, m)
         # pointer jumping: hop to the label's label repeatedly (each round

@@ -66,9 +66,12 @@ def dbscan_from_graph(
     core = node_mask & (deg + 1 >= jnp.asarray(min_samples, dtype=jnp.int32))
 
     # Clusters = connected components of the core-core graph. Representative
-    # label = min core index of the component.
+    # label = min core index of the component. Radius-graph edges are emitted
+    # query-major, i.e. sorted by target — use the cheaper scatter lowering.
     core_edges = within & core[src] & core[dst]
-    comp = connected_components(edge_index, num_nodes, edge_mask=core_edges)
+    comp = connected_components(
+        edge_index, num_nodes, edge_mask=core_edges, edges_sorted_by_dst=True
+    )
 
     # Border points adopt the minimum representative among adjacent cores.
     sentinel = jnp.int32(num_nodes)
