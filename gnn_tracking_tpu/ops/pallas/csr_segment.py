@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def max_window_spread(dst: np.ndarray, block_e: int) -> int:
@@ -61,12 +62,10 @@ def validate_pallas_segment(
         raise ValueError(msg)
 
 
-def _fwd_kernel(dst_ref, msgs_ref, partial_ref, slab_ref, *, window: int, n_pad: int):
+def _fwd_kernel(w0_all_ref, dst_ref, msgs_ref, partial_ref, *, window: int):
     dst = dst_ref[:]  # [EB] int32 (this block)
     msgs = msgs_ref[:]  # [EB, F]
-    n_slabs = n_pad // window
-    slab0 = jnp.clip(jnp.min(dst) // window, 0, n_slabs - 2)
-    w0 = slab0 * window
+    w0 = w0_all_ref[pl.program_id(0)]  # slab anchor (scalar prefetch, SMEM)
     local = dst - w0  # in [0, 2*window) given bounded spread
     eb = dst.shape[0]
     onehot = (
@@ -78,15 +77,12 @@ def _fwd_kernel(dst_ref, msgs_ref, partial_ref, slab_ref, *, window: int, n_pad:
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(partial_ref.dtype)  # [2*window, F]
-    slab_ref[0] = slab0
 
 
-def _gather_kernel(dst_ref, values_ref, out_ref, *, window: int, n_pad: int):
+def _gather_kernel(w0_all_ref, dst_ref, values_ref, out_ref, *, window: int):
     """values[dst] for a dst-sorted block via windowed one-hot matmul."""
     dst = dst_ref[:]
-    n_slabs = n_pad // window
-    slab0 = jnp.clip(jnp.min(dst) // window, 0, n_slabs - 2)
-    w0 = slab0 * window
+    w0 = w0_all_ref[pl.program_id(0)]
     local = dst - w0
     eb = dst.shape[0]
     onehot = (
@@ -137,23 +133,28 @@ def _fwd(messages, dst, num_nodes, block_e, window, interpret):
     assert e % block_e == 0, (e, block_e)
     n_blocks = e // block_e
     n_pad = _pad_nodes(num_nodes, window)
-    partials, slabs = pl.pallas_call(
-        functools.partial(_fwd_kernel, window=window, n_pad=n_pad),
+    n_slabs = n_pad // window
+    # slab anchors computed outside the kernel (rank-1 outputs of width 1
+    # violate Mosaic's lane-tiling constraints)
+    slabs = jnp.clip(
+        dst.reshape(n_blocks, block_e).min(axis=1) // window, 0, n_slabs - 2
+    ).astype(jnp.int32)
+    w0s = slabs * window
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_e,), lambda i: (i,)),
-            pl.BlockSpec((block_e, f), lambda i: (i, 0)),
+            pl.BlockSpec((block_e,), lambda i, w: (i,)),
+            pl.BlockSpec((block_e, f), lambda i, w: (i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 2 * window, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1,), lambda i: (i,)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 2 * window, f), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks,), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, 2 * window, f), lambda i, w: (i, 0, 0)),
+    )
+    partials = pl.pallas_call(
+        functools.partial(_fwd_kernel, window=window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 2 * window, f), jnp.float32),
         interpret=interpret,
-    )(dst, messages)
+    )(w0s, dst, messages)
     # combine: 2 aligned slabs per block, summed by slab index (tiny scatter
     # over 2*n_blocks items instead of E rows)
     slab_parts = partials.reshape(n_blocks * 2, window, f)
@@ -182,19 +183,28 @@ def _gather(values, dst, block_e, window, interpret):
     e = dst.shape[0]
     f = values.shape[1]
     n_pad = _pad_nodes(num_nodes, window)
+    n_blocks = e // block_e
+    n_slabs = n_pad // window
+    slabs = jnp.clip(
+        dst.reshape(n_blocks, block_e).min(axis=1) // window, 0, n_slabs - 2
+    ).astype(jnp.int32)
+    w0s = slabs * window
     values_p = jnp.pad(values, ((0, n_pad - num_nodes), (0, 0)))
-    grid = (e // block_e,)
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, window=window, n_pad=n_pad),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_e,), lambda i: (i,)),
-            pl.BlockSpec((n_pad, f), lambda i: (0, 0)),
+            pl.BlockSpec((block_e,), lambda i, w: (i,)),
+            pl.BlockSpec((n_pad, f), lambda i, w: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_e, f), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((block_e, f), lambda i, w: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, window=window),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e, f), values.dtype),
         interpret=interpret,
-    )(dst, values_p)
+    )(w0s, dst, values_p)
     return out
 
 
