@@ -48,11 +48,16 @@ def _blocked_neighbor_topk(
     neighbors. Returns (``dists_sq [N, k]``, ``idx [N, k]``); entries with
     infinite distance are invalid (fewer than k valid neighbors exist).
     """
-    n, _ = x.shape
-    if batch is None and jax.default_backend() == "tpu":
-        # Streaming Pallas kernel: running top-k in VMEM while candidate
-        # blocks stream through the MXU — measured ~100x faster than the
-        # lax.top_k path on v5e (scripts/tpu_experiments.py).
+    n, d = x.shape
+    # Streaming Pallas kernel: running top-k in VMEM while candidate blocks
+    # stream through the MXU — measured ~100x faster than the lax.top_k path
+    # on v5e (scripts/tpu_experiments.py). Requires the point array resident
+    # in VMEM; fall back to the XLA path beyond ~8 MB or with batch vectors.
+    if (
+        batch is None
+        and jax.default_backend() == "tpu"
+        and n * d * 4 <= 8 * 1024 * 1024
+    ):
         from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
 
         return pairwise_topk(x, k=k, node_mask=node_mask, loop=loop)
