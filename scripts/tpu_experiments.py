@@ -244,6 +244,42 @@ def main():
     except Exception as e:
         report("tcn_breakdown", error=str(e)[:200])
 
+    # isolate: fwd+bwd without optimizer/extras; PerfectEC variant
+    try:
+        model_fb = GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3)
+        params_fb = model_fb.init(jax.random.PRNGKey(0), tcn_graph)
+        mask_fb = get_good_node_mask(tcn_graph)
+
+        def full_loss(p):
+            out = model_fb.apply(p, tcn_graph)
+            losses, _ = condensation_loss(
+                beta=out["B"], x=out["H"], object_id=tcn_graph.particle_id,
+                object_mask=mask_fb, node_mask=tcn_graph.node_mask,
+                q_min=0.01, max_n_objects=2048, object_block_size=256,
+            )
+            return losses["attractive"] + losses["repulsive"]
+
+        t = timeit(jax.jit(jax.grad(full_loss)), params_fb)
+        report("tcn_model_plus_loss_fwd_bwd", ms=t * 1e3)
+
+        from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
+        pec = PerfectECGraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_hc=3)
+        params_pec = pec.init(jax.random.PRNGKey(0), tcn_graph)
+
+        def pec_loss(p):
+            out = pec.apply(p, tcn_graph)
+            losses, _ = condensation_loss(
+                beta=out["B"], x=out["H"], object_id=tcn_graph.particle_id,
+                object_mask=mask_fb, node_mask=tcn_graph.node_mask,
+                q_min=0.01, max_n_objects=2048, object_block_size=256,
+            )
+            return losses["attractive"] + losses["repulsive"]
+
+        t = timeit(jax.jit(jax.grad(pec_loss)), params_pec)
+        report("tcn_perfectec_fwd_bwd", ms=t * 1e3)
+    except Exception as e:
+        report("tcn_isolation", error=str(e)[:200])
+
     tcn_variants = [
         ("tiger_b256", CondensationLossTiger(max_n_objects=2048, object_block_size=256), "f32"),
         ("tiger_b1024", CondensationLossTiger(max_n_objects=2048, object_block_size=1024), "f32"),
