@@ -123,9 +123,15 @@ def knn_graph(
         valid &= node_mask[:, None]
     source = jnp.where(valid, idx, 0)
     edge_index = jnp.stack([source.reshape(-1), query.reshape(-1)])
-    # Double-where so d(sqrt)/dx stays finite at masked/zero entries.
-    safe = valid & (dists_sq > 0)
-    dists = jnp.where(safe, jnp.sqrt(jnp.where(safe, dists_sq, 1.0)), 0.0)
+    # Recompute distances differentiably from the selected indices: the
+    # selection itself is non-differentiable (and the Pallas path has no
+    # VJP), but losses differentiate through the distance VALUES
+    # (hinge repulsion, rg condensation). Double-where keeps d(sqrt)/dx
+    # finite at masked/zero entries.
+    diff = x[source] - x[query[:, 0]][:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    safe = valid & (d2 > 0)
+    dists = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
     return edge_index, valid.reshape(-1), dists.reshape(-1)
 
 
