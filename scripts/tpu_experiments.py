@@ -304,6 +304,37 @@ def main():
         except Exception as e:
             report(f"tcn_step_{tag}", error=str(e)[:200])
 
+    # ------------------------------------------------------- ML hinge step
+    # exercises the pallas kNN (radius graph) + gradients through recomputed
+    # distances — the learned-GC production path
+    try:
+        from gnn_tracking_tpu.losses.metric_learning import GraphConstructionHingeEmbeddingLoss
+        from gnn_tracking_tpu.models.graph_construction import GraphConstructionFCNN
+        from gnn_tracking_tpu.training.module import MLModule
+
+        iu0 = rng.integers(0, N_NODES, size=2 * N_NODES)
+        iu1 = rng.integers(0, N_NODES, size=2 * N_NODES)
+        te = np.stack([np.minimum(iu0, iu1), np.maximum(iu0, iu1)])
+        ml_graph = EventGraph.from_arrays(
+            x=x, particle_id=pid, pt=(2 * rng.random(2048))[pid],
+            eta=(8 * (rng.random(2048) - 0.5))[pid],
+            reconstructable=np.ones(N_NODES),
+            true_edge_index=te,
+        )
+        ml_module = MLModule(
+            model=GraphConstructionFCNN(in_dim=14, hidden_dim=HDIM, out_dim=8, depth=4),
+            loss_fct=GraphConstructionHingeEmbeddingLoss(max_num_neighbors=32),
+        )
+        ml_module.setup_params(ml_graph)
+
+        def ml_once():
+            return ml_module.training_step(ml_graph)["total"]
+
+        t = timeit(lambda: ml_once(), iters=5)
+        report("ml_hinge_step", ms=t * 1e3, hits_per_s=N_NODES / t)
+    except Exception as e:
+        report("ml_hinge_step", error=str(e)[:300])
+
     # ------------------------------------------------------- dbscan scan
     from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
 
