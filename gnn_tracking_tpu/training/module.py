@@ -163,13 +163,15 @@ class TrackingModule:
             self.params, self.opt_state, data, self._next_rng()
         )
         self.step += 1
-        return to_floats(metrics)
+        # one batched device->host transfer (per-scalar float() costs a full
+        # round trip each — dominant through high-latency device links)
+        return to_floats(jax.device_get(metrics))
 
     def validation_step(self, data: EventGraph, batch_idx: int) -> dict[str, float]:
         if self._val_step is None:
             self._val_step = self._build_val_step()
         out, pdata, metrics = self._val_step(self.params, data, self._next_rng())
-        metrics = to_floats(metrics)
+        metrics = to_floats(jax.device_get(metrics))
         metrics |= self.validation_extra(out, pdata, batch_idx)
         return metrics
 
