@@ -214,3 +214,30 @@ def test_haughty_focal_loss(datamodule):
         edge_mask=g.edge_mask,
     )
     assert np.isfinite(float(loss))
+
+
+def test_training_deterministic_with_seed(datamodule):
+    def run():
+        module = TCModule(
+            model=GraphTCN(h_dim=4, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2),
+            loss_fct=CondensationLossTiger(max_n_objects=32),
+            rng_seed=123,
+        )
+        losses = []
+        for batch in datamodule.val_dataloader():  # deterministic order
+            module.setup_params(batch)
+            losses.append(module.training_step(batch)["total"])
+        return losses
+
+    assert run() == run()
+
+
+def test_trainer_test_split(datamodule, tmp_path):
+    module = ECModule(
+        model=ECForGraphTCN(interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12),
+        loss_fct=EdgeWeightBCELoss(),
+    )
+    trainer = Trainer(max_epochs=1, log_dir=tmp_path, print_validation_results=False)
+    trainer.fit(module, datamodule)
+    metrics = trainer.test(module, datamodule)
+    assert "total" in metrics
