@@ -150,8 +150,8 @@ class DBSCANHyperParamScanner(ClusterScanner):
             max_num_neighbors=self.max_num_neighbors,
             node_mask=node_mask,
         )
-        for trial in self._trials:
-            labels = scanner.cluster(eps=trial["eps"], min_pts=trial["min_samples"])
+        all_labels = scanner.cluster_many(self._trials)
+        for trial, labels in zip(self._trials, all_labels):
             metrics = tracking_metrics(
                 truth=np.asarray(data.particle_id),
                 predicted=labels,

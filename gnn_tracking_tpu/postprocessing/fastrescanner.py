@@ -10,11 +10,35 @@ and never leaves the device.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
 from gnn_tracking_tpu.ops.knn import radius_graph
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes",))
+def _dbscan_many(
+    edge_index, dists, num_nodes, *, eps, min_samples, edge_mask, node_mask
+):
+    """Vmapped DBSCAN over a batch of (eps, min_samples) trials — the graph is
+    shared, the connected-components sweeps run once for all trials (the
+    while-loop batching rule keeps iterating until every trial converges), and
+    the scanner pays one device dispatch instead of one per trial."""
+    return jax.vmap(
+        lambda e, m: dbscan_from_graph(
+            edge_index,
+            dists,
+            num_nodes,
+            eps=e,
+            min_samples=m,
+            edge_mask=edge_mask,
+            node_mask=node_mask,
+        )
+    )(eps, min_samples)
 
 
 class DBSCANFastRescan:
@@ -65,6 +89,36 @@ class DBSCANFastRescan:
             self._x.shape[0],
             eps=jnp.asarray(eps, dtype=self._dists.dtype),
             min_samples=jnp.asarray(min_pts, dtype=jnp.int32),
+            edge_mask=self._edge_mask,
+            node_mask=self._node_mask,
+        )
+        return np.asarray(labels)
+
+    def cluster_many(self, trials: list[dict[str, float]]) -> np.ndarray:
+        """DBSCAN labels ``[len(trials), N]`` for a batch of
+        ``{"eps": float, "min_samples": int}`` trials in ONE device call.
+
+        All trials share the precomputed neighbor graph and the
+        connected-components sweeps run batched (vmap), so T trials cost far
+        less than T ``cluster()`` calls — this is the hyperparameter-scanner
+        fast path (reference scans trial-by-trial on the host,
+        ``postprocessing/dbscanscanner.py:160-178``).
+        """
+        if not trials:
+            return np.zeros((0, self._x.shape[0]), dtype=np.int32)
+        max_eps = max(t["eps"] for t in trials)
+        if max_eps > self._max_eps:
+            self._reset_graph(max_eps)
+        eps = jnp.asarray([t["eps"] for t in trials], dtype=self._dists.dtype)
+        min_samples = jnp.asarray(
+            [t["min_samples"] for t in trials], dtype=jnp.int32
+        )
+        labels = _dbscan_many(
+            self._edge_index,
+            self._dists,
+            self._x.shape[0],
+            eps=eps,
+            min_samples=min_samples,
             edge_mask=self._edge_mask,
             node_mask=self._node_mask,
         )

@@ -349,6 +349,24 @@ def main():
     t_rescan = (time.perf_counter() - t0) / 4
     report("dbscan_scan", build_ms=t_build * 1e3, rescan_ms=t_rescan * 1e3, n_clusters=int(labels.max() + 1))
 
+    # batched multi-trial rescan (the scanner fast path): 12 trials, 1 dispatch
+    trials = [
+        {"eps": float(e), "min_samples": int(m)}
+        for e in (0.2, 0.3, 0.4, 0.5, 0.6, 0.8)
+        for m in (1, 3)
+    ]
+    many = scanner.cluster_many(trials)  # compile
+    t0 = time.perf_counter()
+    many = scanner.cluster_many(trials)
+    t_many = time.perf_counter() - t0
+    report(
+        "dbscan_scan_batched",
+        n_trials=len(trials),
+        total_ms=t_many * 1e3,
+        per_trial_ms=t_many / len(trials) * 1e3,
+        check=int(many[3].max() + 1),
+    )
+
 
 if __name__ == "__main__":
     main()

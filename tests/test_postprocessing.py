@@ -27,6 +27,29 @@ def test_fast_rescan_matches_sklearn():
             np.testing.assert_array_equal(ours, ref)
 
 
+def test_cluster_many_matches_per_trial():
+    """The batched (vmapped) multi-trial rescan must agree exactly with the
+    per-trial path (and hence with sklearn)."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(150, 2))
+    scanner = DBSCANFastRescan(x, max_eps=0.3, max_num_neighbors=150)
+    trials = [
+        {"eps": e, "min_samples": m}
+        for e in (0.05, 0.15, 0.3)
+        for m in (1, 4)
+    ]
+    many = scanner.cluster_many(trials)
+    assert many.shape == (len(trials), 150)
+    for trial, labels in zip(trials, many):
+        one = scanner.cluster(eps=trial["eps"], min_pts=trial["min_samples"])
+        np.testing.assert_array_equal(labels, one)
+        ref = DBSCAN(
+            eps=trial["eps"], min_samples=trial["min_samples"]
+        ).fit_predict(x)
+        np.testing.assert_array_equal(labels, ref)
+    assert scanner.cluster_many([]).shape == (0, 150)
+
+
 def _mock_data_and_out(n=120, seed=0):
     rng = np.random.default_rng(seed)
     pid = rng.integers(0, 12, size=n)
