@@ -27,21 +27,55 @@ class MaskedBatchNorm(nn.Module):
 
     TPU-native replacement for the reference's ``nn.BatchNorm1d`` in
     ``Skip2ResidualNetwork`` (``resin.py:143-151``): on padded graphs, batch
-    statistics must exclude padding or they are diluted. Uses per-call batch
-    statistics (training-mode semantics); running averages are not kept
-    (stateless / jit-pure).
+    statistics must exclude padding or they are diluted.
+
+    Running averages live in the ``batch_stats`` collection and follow torch's
+    train/eval semantics by *mutability convention* (no ``train`` flag has to
+    thread through every model signature):
+
+    * ``apply(..., mutable=["batch_stats"])`` — training: normalize with
+      batch statistics, update the running averages (torch momentum 0.1,
+      unbiased batch variance for the running update);
+    * ``apply({"params": p, "batch_stats": bs}, ...)`` — eval: normalize
+      with the stored running averages;
+    * ``apply({"params": p}, ...)`` (no collection provided) — stateless
+      fallback: per-call batch statistics, nothing stored.
     """
 
     epsilon: float = 1e-5
+    momentum: float = 0.1  # torch BatchNorm1d default
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         if mask is None:
             mask = jnp.ones(x.shape[0], dtype=bool)
-        w = mask.astype(x.dtype)[:, None]
-        n = jnp.maximum(w.sum(), 1.0)
-        mean = jnp.sum(x * w, axis=0, keepdims=True) / n
-        var = jnp.sum(w * (x - mean) ** 2, axis=0, keepdims=True) / n
+        feat = x.shape[-1]
+        mutable = self.is_mutable_collection("batch_stats")
+        has_ra = self.has_variable("batch_stats", "mean")
+        if has_ra and not mutable:
+            mean = self.get_variable("batch_stats", "mean")[None].astype(x.dtype)
+            var = self.get_variable("batch_stats", "var")[None].astype(x.dtype)
+        else:
+            w = mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(w.sum(), 1.0)
+            mean = jnp.sum(x * w, axis=0, keepdims=True) / n
+            var = jnp.sum(w * (x - mean) ** 2, axis=0, keepdims=True) / n
+            if mutable:
+                ra_mean = self.variable(
+                    "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+                )
+                ra_var = self.variable(
+                    "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+                )
+                if not self.is_initializing():
+                    m = self.momentum
+                    unbiased = var[0] * n / jnp.maximum(n - 1.0, 1.0)
+                    ra_mean.value = (1 - m) * ra_mean.value + m * mean[0].astype(
+                        jnp.float32
+                    )
+                    ra_var.value = (1 - m) * ra_var.value + m * unbiased.astype(
+                        jnp.float32
+                    )
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias

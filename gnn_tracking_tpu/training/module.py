@@ -78,6 +78,9 @@ class TrackingModule:
         self.logg = get_logger("TM")
         self.params = None
         self.opt_state = None
+        #: non-parameter model state (BatchNorm running averages); empty dict
+        #: for stateless models
+        self.batch_stats: dict = {}
         self.step = 0
         self._rng = jax.random.PRNGKey(rng_seed)
         self._train_step = None
@@ -101,11 +104,21 @@ class TrackingModule:
             {"params": rng, **self._apply_rngs(rng)}, example
         )
         self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)
 
+    def _variables(self, params) -> dict:
+        v = {"params": params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
     def forward(self, data: EventGraph) -> dict[str, Any]:
+        """Eval-mode forward (BatchNorm uses running averages)."""
         out, _ = self.full_model.apply(
-            {"params": self.params}, data, rngs=self._apply_rngs(self._next_rng())
+            self._variables(self.params),
+            data,
+            rngs=self._apply_rngs(self._next_rng()),
         )
         return out
 
@@ -118,37 +131,58 @@ class TrackingModule:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def _model_and_losses(self, p, data: EventGraph, rngs, rng):
+    def _model_and_losses(self, p, bs, data: EventGraph, rngs, rng, *, train: bool):
         """Forward + loss with the precision policy applied: model compute in
-        ``compute_dtype``, loss inputs cast back to ``output_dtype``."""
+        ``compute_dtype``, loss inputs cast back to ``output_dtype``.
+
+        ``train=True`` applies with ``mutable=["batch_stats"]`` (BatchNorm
+        normalizes with batch statistics and returns updated running
+        averages); ``train=False`` normalizes with the stored running
+        averages — torch train/eval parity without threading a ``train``
+        flag through every model (see ``models/resin.py:MaskedBatchNorm``).
+        """
         cp = self.policy.cast_to_compute(p)
         cdata = self.policy.cast_to_compute(data)
-        out, pdata = self.full_model.apply({"params": cp}, cdata, rngs=rngs)
+        variables = {"params": cp}
+        if bs:
+            variables["batch_stats"] = bs
+        if train:
+            (out, pdata), new_vars = self.full_model.apply(
+                variables, cdata, rngs=rngs, mutable=["batch_stats"]
+            )
+            new_bs = new_vars.get("batch_stats", bs)
+        else:
+            out, pdata = self.full_model.apply(variables, cdata, rngs=rngs)
+            new_bs = bs
         out = self.policy.cast_to_output(out)
         pdata = self.policy.cast_to_output(pdata)
-        return self.get_losses(out, pdata, rng), out, pdata
+        return self.get_losses(out, pdata, rng), out, pdata, new_bs
 
     def _build_train_step(self) -> Callable:
-        def step(params, opt_state, data: EventGraph, rng):
+        def step(params, opt_state, batch_stats, data: EventGraph, rng):
             rngs = self._apply_rngs(rng)
 
             def loss_fn(p):
-                (loss, metrics), _, _ = self._model_and_losses(p, data, rngs, rng)
-                return loss, metrics
+                (loss, metrics), _, _, new_bs = self._model_and_losses(
+                    p, batch_stats, data, rngs, rng, train=True
+                )
+                return loss, (metrics, new_bs)
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["total"] = loss
-            return params, opt_state, metrics
+            return params, opt_state, new_bs, metrics
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_val_step(self) -> Callable:
-        def step(params, data: EventGraph, rng):
+        def step(params, batch_stats, data: EventGraph, rng):
             rngs = self._apply_rngs(rng)
-            (loss, metrics), out, pdata = self._model_and_losses(
-                params, data, rngs, rng
+            (loss, metrics), out, pdata, _ = self._model_and_losses(
+                params, batch_stats, data, rngs, rng, train=False
             )
             metrics["total"] = loss
             return out, pdata, metrics
@@ -159,8 +193,8 @@ class TrackingModule:
         """One optimization step; returns train metrics."""
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, data, self._next_rng()
+        self.params, self.opt_state, self.batch_stats, metrics = self._train_step(
+            self.params, self.opt_state, self.batch_stats, data, self._next_rng()
         )
         self.step += 1
         # one batched device->host transfer (per-scalar float() costs a full
@@ -170,7 +204,9 @@ class TrackingModule:
     def validation_step(self, data: EventGraph, batch_idx: int) -> dict[str, float]:
         if self._val_step is None:
             self._val_step = self._build_val_step()
-        out, pdata, metrics = self._val_step(self.params, data, self._next_rng())
+        out, pdata, metrics = self._val_step(
+            self.params, self.batch_stats, data, self._next_rng()
+        )
         metrics = to_floats(jax.device_get(metrics))
         metrics |= self.validation_extra(out, pdata, batch_idx)
         return metrics

@@ -41,15 +41,23 @@ def load_checkpoint(chkpt_path: str | Path) -> tuple[dict, dict[str, Any]]:
 
 
 class BoundModel:
-    """A flax module with parameters bound — a plain callable model."""
+    """A flax module with parameters bound — a plain callable model.
 
-    def __init__(self, module, params, *, rngs: dict | None = None):
+    Applies in eval mode: BatchNorm running averages (``batch_stats``), when
+    present in the checkpoint, are bound alongside the parameters.
+    """
+
+    def __init__(self, module, params, *, batch_stats=None, rngs: dict | None = None):
         self.module = module
         self.params = params
+        self.batch_stats = batch_stats or {}
         self._rngs = rngs or {}
 
     def __call__(self, data, **kwargs):
-        return self.module.apply({"params": self.params}, data, rngs=self._rngs, **kwargs)
+        variables = {"params": self.params}
+        if self.batch_stats:
+            variables["batch_stats"] = self.batch_stats
+        return self.module.apply(variables, data, rngs=self._rngs, **kwargs)
 
 
 def get_model(
@@ -82,9 +90,11 @@ def get_model(
         model_cfg = config
     module = obj_from_config(model_cfg)
     params = state["params"]
+    batch_stats = state.get("batch_stats") or {}
     if subtree and subtree in params:
         params = params[subtree]
-    return BoundModel(module, params)
+        batch_stats = batch_stats.get(subtree, {}) if batch_stats else {}
+    return BoundModel(module, params, batch_stats=batch_stats)
 
 
 def inject_params(params: dict, prefix: str, sub_params: dict) -> dict:

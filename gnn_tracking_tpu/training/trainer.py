@@ -83,6 +83,8 @@ class Checkpointer:
         tag = tag if tag is not None else f"{module.step:08d}"
         path = self._dir / f"checkpoint_{tag}"
         state = {"params": module.params, "opt_state": module.opt_state}
+        if getattr(module, "batch_stats", None):
+            state["batch_stats"] = module.batch_stats
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
         meta = {"step": module.step, "config": config or {}}
@@ -91,9 +93,13 @@ class Checkpointer:
 
     def restore(self, module, path: str | Path) -> None:
         state = {"params": module.params, "opt_state": module.opt_state}
+        if getattr(module, "batch_stats", None):
+            state["batch_stats"] = module.batch_stats
         restored = self._ckptr.restore(Path(path).absolute(), state)
         module.params = restored["params"]
         module.opt_state = restored["opt_state"]
+        if "batch_stats" in restored:
+            module.batch_stats = restored["batch_stats"]
         meta_path = Path(str(path) + "_meta.json")
         if meta_path.exists():
             module.step = json.loads(meta_path.read_text())["step"]

@@ -329,6 +329,67 @@ def test_resin_skip2_with_batchnorm(graph):
     assert np.isfinite(np.asarray(e)).all()
 
 
+def test_masked_batchnorm_running_stats_match_torch():
+    """Train/eval semantics of MaskedBatchNorm must match torch BatchNorm1d:
+    batch statistics + running-average updates when ``batch_stats`` is
+    mutable, stored running averages otherwise (momentum 0.1, unbiased
+    variance in the running update — reference uses nn.BatchNorm1d in
+    Skip2ResidualNetwork, resin.py:143-151)."""
+    import torch
+
+    from gnn_tracking_tpu.models.resin import MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    n, f, pad = 50, 6, 13
+    m = MaskedBatchNorm()
+    x0 = rng.normal(size=(n, f)).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    bs = variables["batch_stats"]
+
+    ref = torch.nn.BatchNorm1d(f, momentum=0.1)
+    ref.train()
+    for seed in (1, 2, 3):
+        x = rng.normal(size=(n, f)).astype(np.float32) + seed
+        xp = np.concatenate([x, np.full((pad, f), 7.0, np.float32)])
+        mask = np.arange(n + pad) < n
+        y, new_vars = m.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            jnp.asarray(xp),
+            jnp.asarray(mask),
+            mutable=["batch_stats"],
+        )
+        bs = new_vars["batch_stats"]
+        y_ref = ref(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(y)[:n], y_ref, rtol=1e-4, atol=1e-5)
+        # padded rows pass through unchanged
+        np.testing.assert_array_equal(np.asarray(y)[n:], xp[n:])
+    np.testing.assert_allclose(
+        np.asarray(bs["mean"]), ref.running_mean.numpy(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]), ref.running_var.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+    # eval: stored running averages normalize (no mutable collection)
+    ref.eval()
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y_eval = m.apply(
+        {"params": variables["params"], "batch_stats": bs}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_eval),
+        ref(torch.from_numpy(x)).detach().numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+    # stateless fallback: no collection provided -> per-call batch statistics
+    y_stateless = m.apply({"params": variables["params"]}, jnp.asarray(x))
+    ref.train()
+    y_ref = ref(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(y_stateless), y_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_sorted_edges_path_matches(graph):
     """sorted_edges promise + sort_edges_by_target must not change outputs."""
     gs = graph.sort_edges_by_target()

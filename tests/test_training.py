@@ -241,3 +241,59 @@ def test_trainer_test_split(datamodule, tmp_path):
     trainer.fit(module, datamodule)
     metrics = trainer.test(module, datamodule)
     assert "total" in metrics
+
+
+def test_batchnorm_state_through_training_and_checkpoint(datamodule, tmp_path):
+    """BatchNorm running averages: updated by training steps, used in eval,
+    and carried through checkpoint save/restore."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from gnn_tracking_tpu.models.mlp import MLP
+    from gnn_tracking_tpu.models.resin import MaskedBatchNorm
+
+    class BNModel(nn.Module):
+        @nn.compact
+        def __call__(self, data):
+            h = MaskedBatchNorm()(data.x, data.node_mask)
+            w = nn.sigmoid(
+                MLP(output_size=1, hidden_dim=8, L=2)(
+                    jnp.concatenate([h[data.edge_index[0]], h[data.edge_index[1]]], 1)
+                )
+            ).squeeze(-1)
+            return {"W": jnp.clip(w, 1e-6, 1 - 1e-6)}
+
+    def make(**kw):
+        return ECModule(model=BNModel(), loss_fct=EdgeWeightBCELoss(), **kw)
+
+    module = make()
+    datamodule.setup("fit")
+    batch = next(iter(datamodule.train_dataloader()))
+    module.setup_params(batch)
+    assert module.batch_stats, "BN model must expose batch_stats"
+    mean0 = np.asarray(
+        jax.tree_util.tree_leaves(module.batch_stats)[0]
+    ).copy()
+    module.training_step(batch)
+    module.training_step(batch)
+    mean1 = np.asarray(jax.tree_util.tree_leaves(module.batch_stats)[0])
+    assert not np.allclose(mean0, mean1), "running stats must update in training"
+    # eval uses the stored running averages (no mutation)
+    before = jax.tree_util.tree_map(np.asarray, module.batch_stats)
+    module.validation_step(batch, 0)
+    after = jax.tree_util.tree_map(np.asarray, module.batch_stats)
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    from gnn_tracking_tpu.training.trainer import Checkpointer
+
+    ckptr = Checkpointer(tmp_path)
+    path = ckptr.save(module, tag="bn")
+    module2 = make()
+    module2.setup_params(batch)
+    ckptr.restore(module2, path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(module.batch_stats),
+        jax.tree_util.tree_leaves(module2.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
