@@ -63,6 +63,8 @@ class ShardedGraph:
     edge_index: jax.Array
     edge_attr: jax.Array  # [P, E_loc, Fe]
     edge_mask: jax.Array  # [P, E_loc]
+    y: jax.Array  # [P, E_loc] edge truth labels (zeros if the event has none)
+    edge_global: jax.Array  # [P, E_loc] global edge index of each local edge
 
     @property
     def n_shards(self) -> int:
@@ -127,6 +129,9 @@ def partition_event(
     sei = np.zeros((P_, 2, e_loc), dtype=np.int32)
     sea = np.zeros((P_, e_loc) + ea.shape[1:], dtype=ea.dtype)
     sem = np.zeros((P_, e_loc), dtype=bool)
+    ey = np.asarray(graph.y, dtype=np.float32) if graph.y is not None else None
+    sy = np.zeros((P_, e_loc), dtype=np.float32)
+    seg = np.zeros((P_, e_loc), dtype=np.int32)
 
     # pairwise exchange tables: hp_max = max rows any owner sends any peer
     per_pair: dict[tuple[int, int], np.ndarray] = {}
@@ -175,6 +180,9 @@ def partition_event(
         sei[s, 1, : len(idx)] = local_of[dst]
         sea[s, : len(idx)] = ea[idx]
         sem[s, : len(idx)] = True
+        if ey is not None and len(ey):
+            sy[s, : len(idx)] = ey[idx]
+        seg[s, : len(idx)] = idx
 
     return ShardedGraph(
         x=jnp.asarray(sx),
@@ -190,6 +198,8 @@ def partition_event(
         edge_index=jnp.asarray(sei),
         edge_attr=jnp.asarray(sea),
         edge_mask=jnp.asarray(sem),
+        y=jnp.asarray(sy),
+        edge_global=jnp.asarray(seg),
     )
 
 
@@ -290,5 +300,20 @@ def unpartition_nodes(
     flat_mask = sg.node_mask.reshape(-1)
     out = jnp.zeros((num_nodes,) + values.shape[2:], dtype=values.dtype)
     return out.at[jnp.where(flat_mask, flat_idx, num_nodes)].set(
+        flat_vals, mode="drop"
+    )
+
+
+def unpartition_edges(
+    values: jax.Array, sg: ShardedGraph, num_edges: int
+) -> jax.Array:
+    """Scatter per-shard edge values [P, E_loc, ...] back to global edge
+    order (e.g. reassembling the sharded GraphTCN's edge weights for
+    analysis/metrics)."""
+    flat_idx = sg.edge_global.reshape(-1)
+    flat_vals = values.reshape((-1,) + values.shape[2:])
+    flat_mask = sg.edge_mask.reshape(-1)
+    out = jnp.zeros((num_edges,) + values.shape[2:], dtype=values.dtype)
+    return out.at[jnp.where(flat_mask, flat_idx, num_edges)].set(
         flat_vals, mode="drop"
     )

@@ -93,3 +93,108 @@ def test_sharded_body_matches_single_device_tcn():
     np.testing.assert_allclose(
         beta_global[nm], np.asarray(out_ref["B"])[nm], rtol=1e-6, atol=1e-10
     )
+
+
+def test_sharded_graphtcn_matches_single_device():
+    """ShardedGraphTCN (EC + condensation, halo exchange) with transplanted
+    parameters reproduces the unsharded GraphTCN exactly: H, B, W, and the
+    EC edge cut."""
+    import jax.numpy as jnp
+
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.halo import unpartition_edges
+    from gnn_tracking_tpu.parallel.sharded_model import (
+        ShardedGraphTCN,
+        ShardedGraphTCNTrainer,
+    )
+    from tests.test_models import make_graph
+
+    g = make_graph(3)
+    h_dim, e_dim, h_outdim, hidden, L_ec, L_hc = 6, 5, 3, 16, 2, 2
+    ref_model = GraphTCN(
+        h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden,
+        L_ec=L_ec, L_hc=L_hc, ec_threshold=0.35,
+    )
+    variables = ref_model.init(jax.random.PRNGKey(7), g)
+    out_ref = ref_model.apply(variables, g)
+
+    v = variables["params"]
+    sharded_params = {
+        "ec_node_encoder": v["ec"]["ec_node_encoder"],
+        "ec_edge_encoder": v["ec"]["ec_edge_encoder"],
+        **{f"ec_in_{i}": v["ec"]["ec_resin"][f"layer_{i}"] for i in range(L_ec)},
+        "ec_w": v["ec"]["W"],
+        "hc_node_encoder": v["gtcn"]["hc_node_encoder"],
+        "hc_edge_encoder": v["gtcn"]["hc_edge_encoder"],
+        **{f"hc_in_{i}": v["hc_in"][f"layer_{i}"] for i in range(L_hc)},
+        "p_beta": v["gtcn"]["p_beta"],
+        "p_cluster": v["gtcn"]["p_cluster"],
+        "latent_normalization": v["gtcn"]["latent_normalization"],
+    }
+
+    sg = partition_event(g, N_SHARDS)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    trainer = ShardedGraphTCNTrainer(
+        mesh,
+        model=ShardedGraphTCN(
+            h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden,
+            L_ec=L_ec, L_hc=L_hc, ec_threshold=0.35,
+        ),
+        max_n_objects=K,
+    )
+    trainer.params = sharded_params
+    h_shards, beta_shards, w_shards, em_shards = trainer.forward(sg)
+    h_global = np.asarray(unpartition_nodes(h_shards, sg, g.num_nodes))
+    beta_global = np.asarray(unpartition_nodes(beta_shards, sg, g.num_nodes))
+    w_global = np.asarray(unpartition_edges(w_shards, sg, g.num_edges))
+    em_global = np.asarray(
+        unpartition_edges(em_shards.astype(jnp.int32), sg, g.num_edges)
+    ).astype(bool)
+
+    nm = np.asarray(g.node_mask)
+    em = np.asarray(g.edge_mask)
+    np.testing.assert_allclose(
+        h_global[nm], np.asarray(out_ref["H"])[nm], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        beta_global[nm], np.asarray(out_ref["B"])[nm], rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        w_global[em], np.asarray(out_ref["W"])[em], rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        em_global[em], np.asarray(out_ref["ec_edge_mask"])[em]
+    )
+
+
+@pytest.mark.slow
+def test_sharded_graphtcn_trainer_learns():
+    """Full sharded GraphTCN training: condensation + EC losses all decrease."""
+    from gnn_tracking_tpu.parallel.sharded_model import (
+        ShardedGraphTCN,
+        ShardedGraphTCNTrainer,
+    )
+
+    g = synthetic_event(1)
+    sg = partition_event(g, N_SHARDS)
+    cd = partition_condensation(g, sg, max_n_objects=K)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    trainer = ShardedGraphTCNTrainer(
+        mesh,
+        model=ShardedGraphTCN(
+            h_dim=8, e_dim=6, h_outdim=3, hidden_dim=24, L_ec=2, L_hc=2
+        ),
+        max_n_objects=K,
+        loss_weights={
+            "attractive": 1.0, "repulsive": 1.0, "coward": 0.5,
+            "noise": 1.0, "edge": 1.0,
+        },
+        optimizer=__import__("optax").adam(3e-3),
+    )
+    trainer.init(jax.random.PRNGKey(0), sg)
+    history = [trainer.training_step(sg, cd) for _ in range(40)]
+    totals = [h["total"] for h in history]
+    edges = [h["edge"] for h in history]
+    assert np.isfinite(totals).all()
+    assert totals[-1] < totals[0]
+    assert edges[-1] < edges[0]
