@@ -33,6 +33,8 @@ class ECForGraphTCN(nn.Module):
     sorted_edges: bool = False
     #: aggregation implementation: "xla" or "pallas_sorted"
     segment_impl: str = "xla"
+    #: split the relational MLP's first linear into node-level projections
+    split_relational: bool = False
 
     @property
     def latent_dim(self) -> tuple[int, int]:
@@ -70,6 +72,7 @@ class ECForGraphTCN(nn.Module):
             collect_hidden_edge_embeds=self.use_intermediate_edge_embeddings,
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,
+            split_relational=self.split_relational,
             name="ec_resin",
         )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
 

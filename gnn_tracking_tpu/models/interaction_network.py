@@ -37,6 +37,15 @@ class InteractionNetwork(nn.Module):
     #: "xla" or "pallas_sorted" (windowed one-hot matmul aggregation + dst
     #: gather; requires sorted_edges, E % 1024 == 0, bounded window spread)
     segment_impl: str = "xla"
+    #: compute the relational MLP's first linear as three split matmuls —
+    #: the node-side projections run at NODE level ([N,F]@[F,H] instead of
+    #: [E,2F]@[2F,H]) and are gathered per edge, skipping the [E, 3F] concat.
+    #: Mathematically identical to the fused layer (the three kernel blocks
+    #: are the row-split of the concat kernel); cuts first-layer FLOPs by
+    #: ~2·(E−N)/3E and the concat's HBM round trip. Parameter tree differs
+    #: (relational_{dst,src,edge} + relational_rest instead of
+    #: relational_model).
+    split_relational: bool = False
 
     @nn.compact
     def __call__(
@@ -53,17 +62,40 @@ class InteractionNetwork(nn.Module):
             from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather
 
             assert self.sorted_edges, "pallas_sorted requires sorted_edges"
-            x_dst = sorted_gather(x, dst)
-        else:
-            x_dst = x[dst]
+
         # x_i = receiving node (target), x_j = sending node (source) —
         # matches reference flow="source_to_target".
-        m = jnp.concatenate([x_dst, x[src], edge_attr], axis=1)
-        e_tilde = MLP(
-            output_size=self.edge_outdim,
-            hidden_dim=self.edge_hidden_dim,
-            name="relational_model",
-        )(m)
+        if self.split_relational:
+            from gnn_tracking_tpu.models.mlp import TorchLinear
+
+            hidden = self.edge_hidden_dim
+            if hidden is None:
+                hidden = max(2 * x.shape[-1] + edge_attr.shape[-1], self.edge_outdim)
+            p_dst = TorchLinear(hidden, name="relational_dst")(x)
+            p_src = TorchLinear(hidden, use_bias=False, name="relational_src")(x)
+            p_e = TorchLinear(hidden, use_bias=False, name="relational_edge")(
+                edge_attr
+            )
+            if use_pallas:
+                g_dst = sorted_gather(p_dst, dst)
+            else:
+                g_dst = p_dst[dst]
+            m1 = nn.relu(g_dst + p_src[src] + p_e)
+            # remaining layers of the (L=3) relational MLP
+            e_tilde = MLP(
+                output_size=self.edge_outdim,
+                hidden_dim=hidden,
+                L=2,
+                name="relational_rest",
+            )(m1)
+        else:
+            x_dst = sorted_gather(x, dst) if use_pallas else x[dst]
+            m = jnp.concatenate([x_dst, x[src], edge_attr], axis=1)
+            e_tilde = MLP(
+                output_size=self.edge_outdim,
+                hidden_dim=self.edge_hidden_dim,
+                name="relational_model",
+            )(m)
         if self.aggr != "add":
             from gnn_tracking_tpu.ops.segment import scatter_edges_to_nodes
 

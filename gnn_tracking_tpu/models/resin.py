@@ -116,6 +116,8 @@ class ResIN(nn.Module):
     sorted_edges: bool = False
     #: aggregation implementation: "xla" or "pallas_sorted"
     segment_impl: str = "xla"
+    #: split the relational MLP's first linear into node-level projections
+    split_relational: bool = False
 
     @property
     def concat_edge_embeddings_length(self) -> int:
@@ -133,6 +135,7 @@ class ResIN(nn.Module):
             edge_hidden_dim=self.relational_hidden_dim,
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,
+            split_relational=self.split_relational,
             name=f"layer_{i}",
         )
 

@@ -106,11 +106,11 @@ def main():
     report("matmul_E_96_128", ms=t * 1e3)
 
     # ------------------------------------------------------- EC variants
-    def bench_ec(graph, sorted_edges, dtype, tag, segment_impl="xla"):
+    def bench_ec(graph, sorted_edges, dtype, tag, segment_impl="xla", split_relational=False):
         model = ECForGraphTCN(
             interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
             hidden_dim=HDIM, L_ec=L, sorted_edges=sorted_edges,
-            segment_impl=segment_impl,
+            segment_impl=segment_impl, split_relational=split_relational,
         )
         g = jax.tree.map(
             lambda v: v.astype(dtype) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
@@ -155,6 +155,15 @@ def main():
         bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas", segment_impl="pallas_sorted")
     except Exception as e:
         report("ec_step_pallas", error=str(e)[:300])
+    # split relational first-linear: node-level projections + per-edge gather
+    bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_sorted_split", split_relational=True)
+    try:
+        bench_ec(
+            graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas_split",
+            segment_impl="pallas_sorted", split_relational=True,
+        )
+    except Exception as e:
+        report("ec_step_bf16_pallas_split", error=str(e)[:300])
 
     # raw kernel vs xla segment ops on sorted edges
     try:

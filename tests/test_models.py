@@ -406,3 +406,60 @@ def test_sorted_edges_path_matches(graph):
     key = np.where(np.asarray(graph.edge_mask), np.asarray(graph.edge_index)[1], graph.num_nodes)
     order = np.argsort(key, kind="stable")
     np.testing.assert_allclose(w_ref[order], w_sorted, rtol=1e-6)
+
+
+def test_split_relational_matches_fused(graph):
+    """``split_relational=True`` computes the identical function: the three
+    split kernels are the row-blocks of the fused first-linear kernel."""
+    from gnn_tracking_tpu.models.interaction_network import InteractionNetwork
+
+    f = graph.x.shape[-1]
+    fused = InteractionNetwork(
+        node_outdim=6, edge_outdim=5, node_hidden_dim=16, edge_hidden_dim=16
+    )
+    split = InteractionNetwork(
+        node_outdim=6, edge_outdim=5, node_hidden_dim=16, edge_hidden_dim=16,
+        split_relational=True,
+    )
+    vf = fused.init(
+        jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr
+    )["params"]
+    rel = vf["relational_model"]
+    w0 = rel["TorchLinear_0"]["kernel"]
+    params_split = {
+        "relational_dst": {
+            "kernel": w0[:f],
+            "bias": rel["TorchLinear_0"]["bias"],
+        },
+        "relational_src": {"kernel": w0[f : 2 * f]},
+        "relational_edge": {"kernel": w0[2 * f :]},
+        "relational_rest": {
+            "TorchLinear_0": rel["TorchLinear_1"],
+            "TorchLinear_1": rel["TorchLinear_2"],
+        },
+        "object_model": vf["object_model"],
+    }
+    xf, ef = fused.apply(
+        {"params": vf}, graph.x, graph.edge_index, graph.edge_attr, graph.edge_mask
+    )
+    xs, es = split.apply(
+        {"params": params_split},
+        graph.x,
+        graph.edge_index,
+        graph.edge_attr,
+        graph.edge_mask,
+    )
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xf), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(ef), rtol=1e-5, atol=1e-6)
+
+
+def test_split_relational_ec_trains(graph):
+    """ECForGraphTCN with split_relational initializes and runs forward."""
+    m = ECForGraphTCN(
+        interaction_node_dim=5, interaction_edge_dim=4, L_ec=2, split_relational=True
+    )
+    params = m.init(jax.random.PRNGKey(0), graph)
+    w = m.apply(params, graph)["W"]
+    w = np.asarray(w)
+    assert w.shape == (graph.num_edges,)
+    assert ((w > 0) & (w < 1)).all()
