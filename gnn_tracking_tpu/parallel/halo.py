@@ -80,10 +80,16 @@ def partition_event(
     n_shards: int,
     *,
     sort_key: np.ndarray | None = None,
+    sort_edges: bool = False,
 ) -> ShardedGraph:
     """Host-side partitioner: sort hits (default: by azimuth φ of the second
     feature column as produced by the point-cloud builder), split into P
     contiguous shards, build halo tables.
+
+    ``sort_edges=True`` orders each shard's edges by local target (padding
+    slots point at the last local node), honoring the ``sorted_edges``
+    promise of the interaction networks — the cheaper sorted-scatter
+    lowering measured ~8-12%% faster on v5e (BENCH_NOTES.md).
     """
     n = graph.num_nodes
     x = np.asarray(graph.x)
@@ -105,7 +111,12 @@ def partition_event(
 
     # assign edges to the shard of their target
     dst_shard = shard_of[ei[1]]
-    per_shard_edges = [np.where(em & (dst_shard == s))[0] for s in range(n_shards)]
+    per_shard_edges = []
+    for s in range(n_shards):
+        idx = np.where(em & (dst_shard == s))[0]
+        if sort_edges:
+            idx = idx[np.argsort(local_of[ei[1, idx]], kind="stable")]
+        per_shard_edges.append(idx)
     e_loc = max((len(e) for e in per_shard_edges), default=1)
     e_loc = max(e_loc, 1)
 
@@ -178,6 +189,9 @@ def partition_event(
         )
         sei[s, 0, : len(idx)] = src_local
         sei[s, 1, : len(idx)] = local_of[dst]
+        if sort_edges:
+            # masked tail keeps dst non-decreasing (points at last local node)
+            sei[s, 1, len(idx) :] = n_loc - 1
         sea[s, : len(idx)] = ea[idx]
         sem[s, : len(idx)] = True
         if ey is not None and len(ey):

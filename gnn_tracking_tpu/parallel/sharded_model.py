@@ -52,6 +52,11 @@ class ShardedTCNBody(nn.Module):
     L_hc: int = 3
     alpha_hc: float = 0.5
     axis_name: str = "graph"
+    #: promise per-shard edges are sorted by local target
+    #: (``partition_event(sort_edges=True)``)
+    sorted_edges: bool = False
+    #: split the relational MLP first linear into node-level projections
+    split_relational: bool = False
 
     @nn.compact
     def __call__(self, sg_local: ShardedGraph, n_local: int):
@@ -81,6 +86,8 @@ class ShardedTCNBody(nn.Module):
                 edge_outdim=self.e_dim,
                 node_hidden_dim=self.hidden_dim,
                 edge_hidden_dim=self.hidden_dim,
+                sorted_edges=self.sorted_edges,
+                split_relational=self.split_relational,
                 name=f"hc_in_{i}",
             )(x_ext, sg_local.edge_index, act(e), sg_local.edge_mask)
             x = sqconvex_combination(
@@ -120,6 +127,11 @@ class ShardedGraphTCN(nn.Module):
     ec_threshold: float = 0.5
     feed_edge_weights: bool = False
     axis_name: str = "graph"
+    #: promise per-shard edges are sorted by local target
+    #: (``partition_event(sort_edges=True)``)
+    sorted_edges: bool = False
+    #: split the relational MLP first linear into node-level projections
+    split_relational: bool = False
 
     @nn.compact
     def __call__(self, sg_local: ShardedGraph, n_local: int):
@@ -151,6 +163,8 @@ class ShardedGraphTCN(nn.Module):
                 edge_outdim=self.e_dim,
                 node_hidden_dim=self.hidden_dim,
                 edge_hidden_dim=self.hidden_dim,
+                sorted_edges=self.sorted_edges,
+                split_relational=self.split_relational,
                 name=f"ec_in_{i}",
             )(x_ext, sg_local.edge_index, act(e_ec), sg_local.edge_mask)
             h_ec = sqconvex_combination(
@@ -204,6 +218,8 @@ class ShardedGraphTCN(nn.Module):
                 edge_outdim=self.e_dim,
                 node_hidden_dim=self.hidden_dim,
                 edge_hidden_dim=self.hidden_dim,
+                sorted_edges=self.sorted_edges,
+                split_relational=self.split_relational,
                 name=f"hc_in_{i}",
             )(x_ext, sg_local.edge_index, act(e), ec_edge_mask)
             x = sqconvex_combination(

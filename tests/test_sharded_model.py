@@ -198,3 +198,51 @@ def test_sharded_graphtcn_trainer_learns():
     assert np.isfinite(totals).all()
     assert totals[-1] < totals[0]
     assert edges[-1] < edges[0]
+
+
+def test_sharded_graphtcn_sorted_edges_matches_unsorted():
+    """``partition_event(sort_edges=True)`` + the models' ``sorted_edges``
+    promise must not change any output (order-independent comparison via
+    unpartition with identical transplanted parameters)."""
+    from gnn_tracking_tpu.parallel.halo import unpartition_edges
+    from gnn_tracking_tpu.parallel.sharded_model import (
+        ShardedGraphTCN,
+        ShardedGraphTCNTrainer,
+    )
+    from tests.test_models import make_graph
+
+    g = make_graph(4)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    results = {}
+    params = None
+    for sort in (False, True):
+        sg = partition_event(g, N_SHARDS, sort_edges=sort)
+        if sort:
+            dsts = np.asarray(sg.edge_index)[:, 1]
+            assert all((np.diff(d) >= 0).all() for d in dsts)
+        trainer = ShardedGraphTCNTrainer(
+            mesh,
+            model=ShardedGraphTCN(
+                h_dim=5, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2,
+                sorted_edges=sort,
+            ),
+            max_n_objects=K,
+        )
+        if params is None:
+            trainer.init(jax.random.PRNGKey(3), sg)
+            params = trainer.params
+        else:
+            trainer.params = params
+        h, beta, w, em = trainer.forward(sg)
+        results[sort] = {
+            "h": np.asarray(unpartition_nodes(h, sg, g.num_nodes)),
+            "w": np.asarray(unpartition_edges(w, sg, g.num_edges)),
+        }
+    nm = np.asarray(g.node_mask)
+    emask = np.asarray(g.edge_mask)
+    np.testing.assert_allclose(
+        results[True]["h"][nm], results[False]["h"][nm], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[True]["w"][emask], results[False]["w"][emask], rtol=1e-5, atol=1e-6
+    )
