@@ -53,14 +53,17 @@ def _blocked_neighbor_topk(
     # stream through the MXU — measured ~100x faster than the lax.top_k path
     # on v5e (scripts/tpu_experiments.py). Requires the point array resident
     # in VMEM; fall back to the XLA path beyond ~8 MB or with batch vectors.
-    if (
-        batch is None
-        and jax.default_backend() == "tpu"
-        and n * d * 4 <= 8 * 1024 * 1024
-    ):
-        from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
+    if batch is None and jax.default_backend() == "tpu":
+        if n * d * 4 <= 8 * 1024 * 1024:
+            from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
 
-        return pairwise_topk(x, k=k, node_mask=node_mask, loop=loop)
+            return pairwise_topk(x, k=k, node_mask=node_mask, loop=loop)
+        # beyond the VMEM budget: stream candidate blocks from HBM
+        from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+            pairwise_topk_streaming,
+        )
+
+        return pairwise_topk_streaming(x, k=k, node_mask=node_mask, loop=loop)
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
     if batch is None:

@@ -104,6 +104,143 @@ def _pairwise_topk_kernel(
     idx_ref[:] = jnp.where(qvalid, best_i, 0)
 
 
+def _pairwise_topk_stream_kernel(
+    q_ref,  # [B, D] query block (VMEM)
+    c_ref,  # [C, D] candidate block (VMEM, streamed from HBM by Pallas)
+    qvalid_ref,  # [B, 1] query validity
+    dists_ref,  # [B, k] output distances — revisited across candidate steps
+    idx_ref,  # [B, k] output indices — revisited across candidate steps
+    *,
+    k: int,
+    block_c: int,
+    n_total: int,
+    n_cblocks: int,
+    loop: bool,
+):
+    b = q_ref.shape[0]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dists_ref[:] = jnp.full((b, k), jnp.inf, dtype=jnp.float32)
+        idx_ref[:] = jnp.zeros((b, k), dtype=jnp.int32)
+
+    q = q_ref[:]
+    q_norm = jnp.sum(q * q, axis=1, keepdims=True)
+    i_base = pl.program_id(0) * b
+    row_ids = i_base + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    cand = c_ref[:]
+    c_norm = jnp.sum(cand * cand, axis=1)[None, :]
+    start = j * block_c
+    d = q_norm + c_norm - 2.0 * jnp.dot(
+        q, cand.T, preferred_element_type=jnp.float32
+    )
+    d = jnp.maximum(d, 0.0)
+    col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, block_c), 1)
+    invalid = col_ids >= n_total
+    if not loop:
+        invalid = invalid | (col_ids == row_ids)
+    d = jnp.where(invalid, jnp.inf, d)
+
+    best_d = dists_ref[:]
+    best_i = idx_ref[:]
+    all_d = jnp.concatenate([best_d, d], axis=1)
+    all_i = jnp.concatenate([best_i, col_ids], axis=1)
+    width = all_d.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def select(jj, carry):
+        all_d_c, new_d, new_i = carry
+        row_min = jnp.min(all_d_c, axis=1, keepdims=True)
+        is_min = all_d_c == row_min
+        first_min = jnp.min(jnp.where(is_min, pos, width), axis=1, keepdims=True)
+        sel = pos == first_min
+        min_i = jnp.max(jnp.where(sel, all_i, 0), axis=1)
+        write = out_pos == jj
+        new_d = jnp.where(write, row_min, new_d)
+        new_i = jnp.where(write, min_i[:, None], new_i)
+        all_d_c = jnp.where(sel, jnp.inf, all_d_c)
+        return all_d_c, new_d, new_i
+
+    init_sel = (
+        all_d,
+        jnp.full((b, k), jnp.inf, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+    _, new_d, new_i = jax.lax.fori_loop(0, k, select, init_sel)
+
+    qvalid = qvalid_ref[:] > 0
+    dists_ref[:] = jnp.where(qvalid, new_d, jnp.inf)
+    idx_ref[:] = jnp.where(qvalid, new_i, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_c", "loop", "interpret"),
+)
+def pairwise_topk_streaming(
+    x: jax.Array,
+    *,
+    k: int,
+    node_mask: jax.Array | None = None,
+    block_q: int = 256,
+    block_c: int = 512,
+    loop: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """HBM-resident variant of :func:`pairwise_topk` for point sets beyond
+    the VMEM budget (full-detector events, ~300k hits).
+
+    Grid (query blocks, candidate blocks), candidate axis innermost: Pallas
+    streams candidate blocks from HBM with automatic double-buffering while
+    the running [B, k] top-k lives in the revisited output block (standard
+    TPU accumulation pattern — full-block static read/modify/write, unlike
+    the dynamic-slice RMW that Mosaic miscompiles, see ``csr_segment.py``).
+    """
+    n, d = x.shape
+    if node_mask is None:
+        node_mask = jnp.ones((n,), dtype=bool)
+    x = jnp.where(node_mask[:, None], x, jnp.inf).astype(jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 1e30)
+
+    n_pad = -(-n // block_q) * block_q
+    n_pad_c = -(-n_pad // block_c) * block_c
+    x_p = jnp.pad(x, ((0, n_pad_c - n), (0, 0)), constant_values=1e30)
+    qvalid = jnp.pad(node_mask.astype(jnp.float32), (0, n_pad_c - n))[:, None]
+
+    n_cblocks = n_pad_c // block_c
+    grid = (n_pad // block_q, n_cblocks)
+    kernel = functools.partial(
+        _pairwise_topk_stream_kernel,
+        k=k,
+        block_c=block_c,
+        n_total=n,
+        n_cblocks=n_cblocks,
+        loop=loop,
+    )
+    dists, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x_p[:n_pad], x_p, qvalid[:n_pad])
+    return dists[:n], idx[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_c", "loop", "interpret"),

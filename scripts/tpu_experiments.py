@@ -210,6 +210,39 @@ def main():
     except Exception as e:  # noqa: BLE001
         report("knn_pallas_vs_xla", error=str(e)[:200])
 
+    # HBM-streaming variant (2-D grid, revisited-output accumulation):
+    # correctness vs the VMEM-resident kernel on hardware + timing at a
+    # full-detector-scale point count
+    try:
+        from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_streaming
+
+        d_st, i_st = sync(pairwise_topk_streaming(emb, k=k, block_q=256, block_c=1024))
+        match = bool(
+            np.allclose(
+                np.sort(np.asarray(d_st), axis=1),
+                np.sort(np.asarray(d_pl), axis=1),
+                rtol=1e-3,
+                atol=1e-3,
+            )
+        )
+        t_st = timeit(
+            lambda: pairwise_topk_streaming(emb, k=k, block_q=256, block_c=1024),
+            iters=5,
+        )
+        report("knn_streaming_32k", ms=t_st * 1e3, match=match)
+        emb_big = jnp.asarray(rng.normal(size=(262144, 8)).astype(np.float32))
+        d_big, _ = sync(
+            pairwise_topk_streaming(emb_big, k=k, block_q=256, block_c=1024)
+        )
+        finite = bool(np.isfinite(np.asarray(d_big)).all())
+        t_big = timeit(
+            lambda: pairwise_topk_streaming(emb_big, k=k, block_q=256, block_c=1024),
+            iters=3,
+        )
+        report("knn_streaming_262k", ms=t_big * 1e3, finite=finite)
+    except Exception as e:  # noqa: BLE001
+        report("knn_streaming", error=str(e)[:300])
+
     # ------------------------------------------------------- full TCN step
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN

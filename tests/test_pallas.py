@@ -7,7 +7,10 @@ import pytest
 import jax.numpy as jnp
 
 from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
-from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
+from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+    pairwise_topk,
+    pairwise_topk_streaming,
+)
 
 
 @pytest.mark.parametrize("n,k", [(100, 4), (300, 8)])
@@ -24,6 +27,39 @@ def test_pairwise_topk_matches_xla(n, k):
     # index sets must match per row (order may differ on ties)
     for a, b in zip(np.asarray(i_pl), np.asarray(i_ref)):
         assert set(a.tolist()) == set(b.tolist())
+
+
+@pytest.mark.parametrize("n,k", [(100, 4), (300, 8)])
+def test_pairwise_topk_streaming_matches_xla(n, k):
+    """The HBM-streaming 2-D-grid variant must agree with the XLA path."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    d_ref, i_ref = _blocked_neighbor_topk(
+        x, k, node_mask=None, batch=None, loop=False, block_size=128
+    )
+    d_pl, i_pl = pairwise_topk_streaming(
+        x, k=k, block_q=64, block_c=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_pl), np.asarray(d_ref, dtype=np.float32), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(np.asarray(i_pl), np.asarray(i_ref)):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_pairwise_topk_streaming_masked():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(70, 4)).astype(np.float32)
+    mask = np.arange(70) < 50
+    d_pl, i_pl = pairwise_topk_streaming(
+        jnp.asarray(x), k=3, node_mask=jnp.asarray(mask), block_q=32, block_c=32,
+        interpret=True,
+    )
+    d_ref, _ = pairwise_topk_streaming(
+        jnp.asarray(x[:50]), k=3, block_q=32, block_c=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(d_pl)[:50], np.asarray(d_ref), rtol=1e-5)
+    assert not np.isfinite(np.asarray(d_pl)[50:]).any()
 
 
 def test_pairwise_topk_masked():
