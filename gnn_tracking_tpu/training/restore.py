@@ -118,6 +118,26 @@ def ec_from_chkpt(chkpt_path: str | Path, **kwargs) -> BoundModel:
     return get_model(chkpt_path, **kwargs)
 
 
+def ml_graph_construction_from_chkpt(
+    chkpt_path: str | Path, *, config: dict | None = None, **gc_kwargs
+):
+    """Load a pretrained metric-learning model and wrap it in
+    ``MLGraphConstruction`` as a plain ``EventGraph -> EventGraph`` callable
+    (reference ``MLGraphConstructionFromChkpt``,
+    ``models/graph_construction.py:416-419``). The restored parameters are
+    baked in (frozen), matching the reference's ``freeze_if`` semantics.
+    """
+    from gnn_tracking_tpu.models.graph_construction import MLGraphConstruction
+
+    ml = get_model(chkpt_path, config=config)
+    gc = MLGraphConstruction(ml=ml, **gc_kwargs)
+
+    def transform(data, *, training: bool = False):
+        return gc.apply({}, data, training=training)
+
+    return transform
+
+
 def ml_pc_transformer_from_chkpt(
     chkpt_path: str | Path, *, original_features: bool = False, **kwargs
 ):
