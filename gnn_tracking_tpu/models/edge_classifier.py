@@ -35,6 +35,8 @@ class ECForGraphTCN(nn.Module):
     segment_impl: str = "xla"
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
+    #: rematerialize interaction layers in the backward pass (memory saver)
+    remat: bool = False
 
     @property
     def latent_dim(self) -> tuple[int, int]:
@@ -73,6 +75,7 @@ class ECForGraphTCN(nn.Module):
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,
             split_relational=self.split_relational,
+            remat=self.remat,
             name="ec_resin",
         )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
 

@@ -118,6 +118,11 @@ class ResIN(nn.Module):
     segment_impl: str = "xla"
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
+    #: rematerialize each interaction layer in the backward pass
+    #: (``jax.checkpoint``): activation memory drops from O(L·E·H) to
+    #: O(E·H), letting bigger events/batches fit per chip at ~1/3 extra
+    #: forward FLOPs
+    remat: bool = False
 
     @property
     def concat_edge_embeddings_length(self) -> int:
@@ -128,7 +133,8 @@ class ResIN(nn.Module):
         return self.edge_dim * (self.n_layers + 1)
 
     def _make_layer(self, i: int) -> InteractionNetwork:
-        return InteractionNetwork(
+        cls = nn.remat(InteractionNetwork) if self.remat else InteractionNetwork
+        return cls(
             node_outdim=self.node_dim,
             edge_outdim=self.edge_dim,
             node_hidden_dim=self.object_hidden_dim,

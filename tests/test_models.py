@@ -463,3 +463,21 @@ def test_split_relational_ec_trains(graph):
     w = np.asarray(w)
     assert w.shape == (graph.num_edges,)
     assert ((w > 0) & (w < 1)).all()
+
+
+def test_resin_remat_matches(graph):
+    """remat (gradient checkpointing) must not change outputs or gradients."""
+    kw = dict(node_dim=NODE_DIM, edge_dim=EDGE_DIM, n_layers=3)
+    m0 = ResIN(**kw)
+    m1 = ResIN(**kw, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), graph.x, graph.edge_index, graph.edge_attr)
+
+    def loss(m, p):
+        x, e, _ = m.apply(p, graph.x, graph.edge_index, graph.edge_attr, graph.edge_mask)
+        return jnp.sum(x**2) + jnp.sum(e**2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
