@@ -157,6 +157,57 @@ def main():
         report("ec_step_pallas", error=str(e)[:300])
     # split relational first-linear: node-level projections + per-edge gather
     bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_sorted_split", split_relational=True)
+    # 4x-scale event (131k hits / 1M edges): MXU utilization + remat headroom
+    try:
+        N_BIG, E_BIG = 131072, 1048576
+        xb = rng.normal(size=(N_BIG, 14)).astype(np.float32)
+        eib = rng.integers(0, N_BIG, size=(2, E_BIG)).astype(np.int32)
+        eab = rng.normal(size=(E_BIG, 4)).astype(np.float32)
+        yb = (rng.random(E_BIG) < 0.3).astype(np.float32)
+        graph_big = EventGraph.from_arrays(
+            x=xb, edge_index=eib, edge_attr=eab, y=yb
+        ).sort_edges_by_target()
+
+        def bench_ec_big(tag, remat):
+            model = ECForGraphTCN(
+                interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+                hidden_dim=HDIM, L_ec=L, sorted_edges=True, remat=remat,
+            )
+            g = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32
+                else v,
+                graph_big,
+            )
+            params = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16), model.init(jax.random.PRNGKey(0), g)
+            )
+            tx = optax.adam(1e-3)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, opt_state, g):
+                def loss_fn(p):
+                    w = model.apply(p, g)["W"].astype(jnp.float32)
+                    return binary_focal_loss(inpt=w, target=g.y.astype(jnp.float32))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            state = [params, opt_state]
+
+            def once():
+                state[0], state[1], loss = step(state[0], state[1], g)
+                return loss
+
+            t = timeit(once, iters=8)
+            report(tag, ms=t * 1e3, edges_per_s=E_BIG / t)
+
+        bench_ec_big("ec_step_bf16_sorted_1M", remat=False)
+        bench_ec_big("ec_step_bf16_sorted_1M_remat", remat=True)
+    except Exception as e:
+        report("ec_step_1M", error=str(e)[:300])
     try:
         bench_ec(
             graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas_split",
