@@ -48,6 +48,15 @@ def report(tag, **kwargs):
     print(json.dumps({"experiment": tag, **kwargs}), flush=True)
 
 
+def describe(e: BaseException) -> str:
+    import traceback
+
+    tb = traceback.format_exception(type(e), e, e.__traceback__)
+    return f"{type(e).__name__}: {e} | " + " / ".join(
+        line.strip() for line in tb[-3:]
+    )
+
+
 def claim_or_exit(budget_s: float | None = None) -> None:
     """First TPU contact with a watchdog: grants only seem to go to freshly
     arriving clients, so a client that cannot claim within the budget exits
@@ -154,7 +163,7 @@ def main():
         bench_ec(graph_sorted, True, jnp.float32, "ec_step_f32_pallas", segment_impl="pallas_sorted")
         bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas", segment_impl="pallas_sorted")
     except Exception as e:
-        report("ec_step_pallas", error=str(e)[:300])
+        report("ec_step_pallas", error=describe(e)[:400])
     # split relational first-linear: node-level projections + per-edge gather
     bench_ec(graph_sorted, True, jnp.bfloat16, "ec_step_bf16_sorted_split", split_relational=True)
     # 4x-scale event (131k hits / 1M edges): MXU utilization + remat headroom
@@ -207,14 +216,14 @@ def main():
         bench_ec_big("ec_step_bf16_sorted_1M", remat=False)
         bench_ec_big("ec_step_bf16_sorted_1M_remat", remat=True)
     except Exception as e:
-        report("ec_step_1M", error=str(e)[:300])
+        report("ec_step_1M", error=describe(e)[:400])
     try:
         bench_ec(
             graph_sorted, True, jnp.bfloat16, "ec_step_bf16_pallas_split",
             segment_impl="pallas_sorted", split_relational=True,
         )
     except Exception as e:
-        report("ec_step_bf16_pallas_split", error=str(e)[:300])
+        report("ec_step_bf16_pallas_split", error=describe(e)[:400])
 
     # raw kernel vs xla segment ops on sorted edges
     try:
@@ -231,7 +240,7 @@ def main():
         t = timeit(jax.jit(lambda v: sorted_gather(v, dstp, 1024, 1024, False).sum()), h)
         report("pallas_sorted_gather", ms=t * 1e3)
     except Exception as e:
-        report("pallas_segment_raw", error=str(e)[:300])
+        report("pallas_segment_raw", error=describe(e)[:400])
 
     # ------------------------------------------------------- pallas knn
     from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
@@ -259,7 +268,7 @@ def main():
         )
         report("knn_pallas_vs_xla", pallas_ms=t_pl * 1e3, xla_ms=t_x * 1e3, match=match)
     except Exception as e:  # noqa: BLE001
-        report("knn_pallas_vs_xla", error=str(e)[:200])
+        report("knn_pallas_vs_xla", error=describe(e)[:400])
 
     # HBM-streaming variant (2-D grid, revisited-output accumulation):
     # correctness vs the VMEM-resident kernel on hardware + timing at a
@@ -292,7 +301,7 @@ def main():
         )
         report("knn_streaming_262k", ms=t_big * 1e3, finite=finite)
     except Exception as e:  # noqa: BLE001
-        report("knn_streaming", error=str(e)[:300])
+        report("knn_streaming", error=describe(e)[:400])
 
     # ------------------------------------------------------- full TCN step
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
@@ -335,7 +344,7 @@ def main():
         t = timeit(jax.jit(jax.grad(loss_only, argnums=(0, 1))), beta0, h0)
         report("tcn_loss_only_fwd_bwd_b256", ms=t * 1e3)
     except Exception as e:
-        report("tcn_breakdown", error=str(e)[:200])
+        report("tcn_breakdown", error=describe(e)[:400])
 
     # isolate: fwd+bwd without optimizer/extras; PerfectEC variant
     try:
@@ -371,7 +380,7 @@ def main():
         t = timeit(jax.jit(jax.grad(pec_loss)), params_pec)
         report("tcn_perfectec_fwd_bwd", ms=t * 1e3)
     except Exception as e:
-        report("tcn_isolation", error=str(e)[:200])
+        report("tcn_isolation", error=describe(e)[:400])
 
     tcn_variants = [
         ("tiger_b256", CondensationLossTiger(max_n_objects=2048, object_block_size=256), "f32"),
@@ -395,7 +404,7 @@ def main():
             t = timeit(lambda: once(), iters=5)
             report(f"tcn_step_{tag}", ms=t * 1e3, events_per_s=1 / t, edges_per_s=N_EDGES / t)
         except Exception as e:
-            report(f"tcn_step_{tag}", error=str(e)[:200])
+            report(f"tcn_step_{tag}", error=describe(e)[:400])
 
     # ------------------------------------------------------- ML hinge step
     # exercises the pallas kNN (radius graph) + gradients through recomputed
@@ -426,7 +435,7 @@ def main():
         t = timeit(lambda: ml_once(), iters=5)
         report("ml_hinge_step", ms=t * 1e3, hits_per_s=N_NODES / t)
     except Exception as e:
-        report("ml_hinge_step", error=str(e)[:300])
+        report("ml_hinge_step", error=describe(e)[:400])
 
     # ------------------------------------------------------- dbscan scan
     from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
