@@ -235,6 +235,20 @@ def main():
         out_x = sync(jax.ops.segment_sum(msgs, dstp, num_segments=N_NODES))
         ok = bool(np.allclose(np.asarray(out_pl), np.asarray(out_x), rtol=1e-4, atol=1e-4))
         report("pallas_segment_correct_on_tpu", match=ok)
+        if not ok:
+            # localize the miscompare: which rows, where relative to slab
+            # boundaries (window=1024), how large
+            a, b = np.asarray(out_pl), np.asarray(out_x)
+            bad = ~np.isclose(a, b, rtol=1e-4, atol=1e-4)
+            rows = np.where(bad.any(axis=1))[0]
+            report(
+                "pallas_segment_mismatch_detail",
+                n_bad_rows=int(len(rows)),
+                first_rows=[int(r) for r in rows[:8]],
+                rows_mod_window=[int(r % 1024) for r in rows[:8]],
+                max_abs_err=float(np.abs(a - b).max()),
+                frac_zero_pl=float((np.abs(a[rows]) < 1e-12).mean()) if len(rows) else 0.0,
+            )
         t = timeit(jax.jit(lambda m: sorted_segment_sum(m, dstp, N_NODES, 1024, 1024, False).sum()), msgs)
         report("pallas_sorted_segment_sum", ms=t * 1e3)
         t = timeit(jax.jit(lambda v: sorted_gather(v, dstp, 1024, 1024, False).sum()), h)
