@@ -69,7 +69,6 @@ def synthetic_event(seed: int, n_tracks=48, hits_per_track=8):
 
 def main() -> None:
     from gnn_tracking_tpu.metrics.cluster_metrics import tracking_metrics
-    from gnn_tracking_tpu.ops.dbscan import dbscan
     from gnn_tracking_tpu.parallel.halo import partition_event, unpartition_nodes
     from gnn_tracking_tpu.parallel.sharded_model import (
         ShardedGraphTCN,
@@ -95,9 +94,12 @@ def main() -> None:
             sorted_edges=True,
         ),
         max_n_objects=64,
+        # pure potentials + edge BCE: with the beta terms on, beta
+        # collapses toward 0 on this tiny synthetic event (q -> q_min) and
+        # the latent never condenses; the potential losses alone are enough
         loss_weights={
-            "attractive": 1.0, "repulsive": 1.0, "coward": 0.5,
-            "noise": 1.0, "edge": 1.0,
+            "attractive": 1.0, "repulsive": 1.0, "coward": 0.0,
+            "noise": 0.0, "edge": 1.0,
         },
         # clip: the condensation potentials go ~flat early (repulsive
         # hinge inactive, attractive tiny), adam's second moment decays,
@@ -116,20 +118,33 @@ def main() -> None:
 
     h_shards, beta_shards, w_shards, _ = trainer.forward(sg)
     h = unpartition_nodes(h_shards, sg, g.num_nodes)
-    labels = dbscan(h, eps=0.25, min_samples=3, max_num_neighbors=32,
-                    node_mask=g.node_mask)
-    metrics = tracking_metrics(
-        truth=np.asarray(g.particle_id),
-        predicted=np.asarray(labels),
-        pts=np.asarray(g.pt),
-        eta=np.asarray(g.eta),
-        reconstructable=np.asarray(g.reconstructable),
-        pt_thlds=[0.9],
+    # scanner-style eps sweep: the whole trial grid in one vmapped dispatch
+    from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
+
+    trials = [
+        {"eps": e, "min_samples": 3} for e in (0.05, 0.1, 0.2, 0.3, 0.5)
+    ]
+    rescan = DBSCANFastRescan(
+        np.asarray(h), max_eps=0.5, max_num_neighbors=32,
         node_mask=np.asarray(g.node_mask),
     )
-    dm = metrics[0.9]["double_majority"]
-    print(f"double-majority efficiency (pt>0.9): {dm:.3f}")
-    assert dm > 0.5, "sharded training failed to learn"
+    all_labels = rescan.cluster_many(trials)
+    best_dm, best_eps = 0.0, None
+    for trial, labels in zip(trials, all_labels):
+        metrics = tracking_metrics(
+            truth=np.asarray(g.particle_id),
+            predicted=np.asarray(labels),
+            pts=np.asarray(g.pt),
+            eta=np.asarray(g.eta),
+            reconstructable=np.asarray(g.reconstructable),
+            pt_thlds=[0.9],
+            node_mask=np.asarray(g.node_mask),
+        )
+        dm = metrics[0.9]["double_majority"]
+        if dm > best_dm:
+            best_dm, best_eps = dm, trial["eps"]
+    print(f"best double-majority efficiency (pt>0.9): {best_dm:.3f} at eps={best_eps}")
+    assert best_dm > 0.7, "sharded training failed to learn"
     print("demo OK")
 
 
