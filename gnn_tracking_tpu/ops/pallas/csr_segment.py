@@ -68,13 +68,17 @@ def _fwd_kernel(w0_all_ref, dst_ref, msgs_ref, partial_ref, *, window: int):
     w0 = w0_all_ref[pl.program_id(0)]  # slab anchor (scalar prefetch, SMEM)
     local = dst - w0  # in [0, 2*window) given bounded spread
     eb = dst.shape[0]
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (eb, 2 * window), 1) == local[:, None]
+    # transposed one-hot [2*window, EB] so the contraction is the canonical
+    # (lhs last dim × rhs first dim) MXU orientation — the dim-0 (sublane)
+    # contraction variant miscompiled on hardware while passing interpret
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (2 * window, eb), 0)
+        == local[None, :]
     ).astype(msgs.dtype)
     partial_ref[0] = jax.lax.dot_general(
-        onehot,
+        onehot_t,
         msgs,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(partial_ref.dtype)  # [2*window, F]
 

@@ -253,6 +253,12 @@ def main():
         report("pallas_sorted_segment_sum", ms=t * 1e3)
         t = timeit(jax.jit(lambda v: sorted_gather(v, dstp, 1024, 1024, False).sum()), h)
         report("pallas_sorted_gather", ms=t * 1e3)
+        g_pl = sync(sorted_gather(h, dstp, 1024, 1024, False))
+        g_x = sync(h[dstp])
+        report(
+            "pallas_gather_correct_on_tpu",
+            match=bool(np.allclose(np.asarray(g_pl), np.asarray(g_x), rtol=1e-4, atol=1e-4)),
+        )
     except Exception as e:
         report("pallas_segment_raw", error=describe(e)[:400])
 
