@@ -81,6 +81,7 @@ def partition_event(
     *,
     sort_key: np.ndarray | None = None,
     sort_edges: bool = False,
+    pad_to: dict | None = None,
 ) -> ShardedGraph:
     """Host-side partitioner: sort hits (default: by azimuth φ of the second
     feature column as produced by the point-cloud builder), split into P
@@ -90,7 +91,13 @@ def partition_event(
     slots point at the last local node), honoring the ``sorted_edges``
     promise of the interaction networks — the cheaper sorted-scatter
     lowering measured ~8-12%% faster on v5e (BENCH_NOTES.md).
+
+    ``pad_to`` sets minimum per-shard buffer sizes
+    (``{"n_local", "e_local", "halo", "halo_pair"}``) so several events
+    partition to IDENTICAL shapes — required to stack them on a ``data``
+    mesh axis (``parallel/mesh2d.stack_sharded``).
     """
+    pad_to = pad_to or {}
     n = graph.num_nodes
     x = np.asarray(graph.x)
     node_mask = np.asarray(graph.node_mask)
@@ -105,9 +112,9 @@ def partition_event(
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
 
-    n_loc = -(-n // n_shards)
-    shard_of = rank // n_loc  # shard of each global hit
-    local_of = rank % n_loc
+    n_loc = max(-(-n // n_shards), int(pad_to.get("n_local", 0)))
+    shard_of = rank // (-(-n // n_shards))  # shard of each global hit
+    local_of = rank % (-(-n // n_shards))
 
     # assign edges to the shard of their target
     dst_shard = shard_of[ei[1]]
@@ -118,7 +125,7 @@ def partition_event(
             idx = idx[np.argsort(local_of[ei[1, idx]], kind="stable")]
         per_shard_edges.append(idx)
     e_loc = max((len(e) for e in per_shard_edges), default=1)
-    e_loc = max(e_loc, 1)
+    e_loc = max(e_loc, 1, int(pad_to.get("e_local", 0)))
 
     # halo: per shard, unique remote sources
     halos = []
@@ -128,7 +135,7 @@ def partition_event(
         remote = np.unique(src[shard_of[src] != s])
         halos.append(remote)
     h_max = max((len(h) for h in halos), default=1)
-    h_max = max(h_max, 1)
+    h_max = max(h_max, 1, int(pad_to.get("halo", 0)))
 
     P_ = n_shards
     sx = np.zeros((P_, n_loc) + x.shape[1:], dtype=x.dtype)
@@ -151,7 +158,7 @@ def partition_event(
         for p in range(P_):
             per_pair[(p, s)] = halo[shard_of[halo] == p]
     hp_max = max((len(v) for v in per_pair.values()), default=1)
-    hp_max = max(hp_max, 1)
+    hp_max = max(hp_max, 1, int(pad_to.get("halo_pair", 0)))
     ssend_local = np.zeros((P_, P_, hp_max), dtype=np.int32)
     ssend_mask = np.zeros((P_, P_, hp_max), dtype=bool)
     srecv_slot = np.zeros((P_, P_, hp_max), dtype=np.int32)
@@ -166,8 +173,9 @@ def partition_event(
             srecv_slot[s, p, : len(rows)] = [halo_pos[g] for g in rows]
             srecv_mask[s, p, : len(rows)] = True
 
+    n_per_shard = -(-n // n_shards)
     for s in range(P_):
-        own = order[s * n_loc : (s + 1) * n_loc]
+        own = order[s * n_per_shard : (s + 1) * n_per_shard]
         k = len(own)
         sx[s, :k] = x[own]
         smask[s, :k] = node_mask[own]
