@@ -68,18 +68,21 @@ def _fwd_kernel(w0_all_ref, dst_ref, msgs_ref, partial_ref, *, window: int):
     w0 = w0_all_ref[pl.program_id(0)]  # slab anchor (scalar prefetch, SMEM)
     local = dst - w0  # in [0, 2*window) given bounded spread
     eb = dst.shape[0]
-    # transposed one-hot [2*window, EB] so the contraction is the canonical
-    # (lhs last dim × rhs first dim) MXU orientation — the dim-0 (sublane)
-    # contraction variant miscompiled on hardware while passing interpret
+    # transposed one-hot [2*window, EB]: the canonical (lhs last dim × rhs
+    # first dim) MXU contraction orientation
     onehot_t = (
         jax.lax.broadcasted_iota(jnp.int32, (2 * window, eb), 0)
         == local[None, :]
     ).astype(msgs.dtype)
+    # HIGHEST precision: the MXU truncates f32 operands to bf16 by
+    # default (~1e-2 relative error on the aggregated messages — observed as
+    # a hardware-only "mismatch" vs XLA's exact f32 segment-sum)
     partial_ref[0] = jax.lax.dot_general(
         onehot_t,
         msgs,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(partial_ref.dtype)  # [2*window, F]
 
 
@@ -98,6 +101,7 @@ def _gather_kernel(w0_all_ref, dst_ref, values_ref, out_ref, *, window: int):
         vals_win,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(out_ref.dtype)
 
 
