@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import os
+
+os.environ["JAX_TRACEBACK_FILTERING"] = "off"
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -53,7 +57,7 @@ def describe(e: BaseException) -> str:
 
     tb = traceback.format_exception(type(e), e, e.__traceback__)
     return f"{type(e).__name__}: {e} | " + " / ".join(
-        line.strip() for line in tb[-3:]
+        line.strip() for line in tb[-8:]
     )
 
 
