@@ -327,6 +327,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         report("knn_streaming", error=describe(e)[:400])
 
+    # pallas kNN k-sweep: the rg condensation path (k=64) hit an internal
+    # AssertionError while ml_hinge (k=32) works — find the failing k
+    for kk in (8, 16, 32, 64, 128, 256):
+        try:
+            d_k, i_k = sync(pairwise_topk(emb[:8192], k=kk, block_q=256, block_c=512))
+            ok = bool(np.isfinite(np.asarray(d_k)).all())
+            report(f"pallas_knn_k{kk}", ok=ok)
+        except Exception as e:  # noqa: BLE001
+            report(f"pallas_knn_k{kk}", error=describe(e)[:300])
+
     # ------------------------------------------------------- full TCN step
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
