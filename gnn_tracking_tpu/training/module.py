@@ -10,7 +10,6 @@ are optax transforms; metric uncertainties accumulate on the host.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -15,9 +15,6 @@ import time
 from pathlib import Path
 from typing import Any
 
-import jax
-
-
 from gnn_tracking_tpu.training.logging_utils import MetricAccumulator
 from gnn_tracking_tpu.utils.log import logger
 from gnn_tracking_tpu.utils.nomenclature import random_trial_name
