@@ -67,14 +67,24 @@ def format_results_table(
 
 
 class Checkpointer:
-    """Orbax-backed checkpointing of (params, opt_state, step) + JSON config."""
+    """Orbax-backed checkpointing of (params, opt_state, step) + JSON config.
 
-    def __init__(self, log_dir: Path):
+    ``async_save=True`` writes in the background (orbax ``AsyncCheckpointer``
+    copies the arrays to host synchronously, so the training step's buffer
+    donation cannot invalidate an in-flight save); call :meth:`wait` (the
+    Trainer does at the end of ``fit``) before reading the files back.
+    """
+
+    def __init__(self, log_dir: Path, *, async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self._dir = Path(log_dir).absolute() / "checkpoints"
         self._dir.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, module, config: dict | None = None, tag: str | None = None) -> Path:
         tag = tag if tag is not None else f"{module.step:08d}"
@@ -82,17 +92,34 @@ class Checkpointer:
         state = {"params": module.params, "opt_state": module.opt_state}
         if getattr(module, "batch_stats", None):
             state["batch_stats"] = module.batch_stats
-        self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        if self._async:
+            import orbax.checkpoint as ocp
+
+            self._ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        else:
+            self._ckptr.save(path, state, force=True)
+            self._ckptr.wait_until_finished()
         meta = {"step": module.step, "config": config or {}}
         (self._dir / f"checkpoint_{tag}_meta.json").write_text(json.dumps(meta, default=str))
         return path
 
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, module, path: str | Path) -> None:
+        self.wait()
         state = {"params": module.params, "opt_state": module.opt_state}
         if getattr(module, "batch_stats", None):
             state["batch_stats"] = module.batch_stats
-        restored = self._ckptr.restore(Path(path).absolute(), state)
+        if self._async:
+            import orbax.checkpoint as ocp
+
+            restored = self._ckptr.restore(
+                Path(path).absolute(), args=ocp.args.StandardRestore(state)
+            )
+        else:
+            restored = self._ckptr.restore(Path(path).absolute(), state)
         module.params = restored["params"]
         module.opt_state = restored["opt_state"]
         if "batch_stats" in restored:
@@ -118,6 +145,7 @@ class Trainer:
         monitor: str | None = None,
         monitor_mode: str = "max",
         val_every_n_epochs: int = 1,
+        async_checkpoints: bool = False,
     ):
         """
         Args:
@@ -126,6 +154,8 @@ class Trainer:
                 ModelCheckpoint(monitor=...)).
             monitor_mode: "max" or "min".
             val_every_n_epochs: Run validation every N epochs.
+            async_checkpoints: Write checkpoints in the background (epoch-end
+                saves overlap the next epoch's compute).
         """
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -137,6 +167,7 @@ class Trainer:
         self.monitor = monitor
         self.monitor_mode = monitor_mode
         self.val_every_n_epochs = val_every_n_epochs
+        self.async_checkpoints = async_checkpoints
         self._best_monitor: float | None = None
         self._checkpointer: Checkpointer | None = None
         self._run_logger = None
@@ -145,7 +176,9 @@ class Trainer:
     @property
     def checkpointer(self) -> Checkpointer:
         if self._checkpointer is None:
-            self._checkpointer = Checkpointer(self.log_dir)
+            self._checkpointer = Checkpointer(
+                self.log_dir, async_save=self.async_checkpoints
+            )
         return self._checkpointer
 
     def fit(self, module, datamodule, config: dict | None = None) -> dict[str, float]:
@@ -213,6 +246,8 @@ class Trainer:
                 self.checkpointer.save(module, config=config)
             if self.max_steps is not None and module.step >= self.max_steps:
                 break
+        if self._checkpointer is not None:
+            self._checkpointer.wait()
         return last_val
 
     def validate(self, module, datamodule=None, loader=None) -> dict[str, float]:

@@ -297,3 +297,39 @@ def test_batchnorm_state_through_training_and_checkpoint(datamodule, tmp_path):
         jax.tree_util.tree_leaves(module2.batch_stats),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpointing_roundtrip(datamodule, tmp_path):
+    """Background (async) orbax saves commit correctly and restore exactly."""
+    module = ECModule(
+        model=ECForGraphTCN(
+            interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12
+        ),
+        loss_fct=EdgeWeightBCELoss(),
+    )
+    trainer = Trainer(
+        max_epochs=2, log_dir=tmp_path, print_validation_results=False,
+        async_checkpoints=True,
+    )
+    trainer.fit(module, datamodule)
+    ckpts = sorted(
+        c
+        for c in (trainer.log_dir / "checkpoints").glob("checkpoint_*")
+        if c.is_dir()
+    )
+    assert len(ckpts) == 2
+    module2 = ECModule(
+        model=ECForGraphTCN(
+            interaction_node_dim=4, interaction_edge_dim=4, L_ec=2, hidden_dim=12
+        ),
+        loss_fct=EdgeWeightBCELoss(),
+    )
+    datamodule.setup("fit")
+    batch = next(iter(datamodule.train_dataloader()))
+    module2.setup_params(batch)
+    trainer.checkpointer.restore(module2, ckpts[-1])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(module.params),
+        jax.tree_util.tree_leaves(module2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
