@@ -18,4 +18,7 @@ print("entry OK")
 ge.dryrun_multichip(8)
 EOF
 
+echo "=== sharded end-to-end demo (8-virtual-device mesh) ==="
+python scripts/demo_sharded.py
+
 echo "All checks passed."
