@@ -70,6 +70,45 @@ def connected_components(
     return labels
 
 
+@functools.partial(jax.jit, static_argnames=())
+def connected_components_neighbors(
+    neighbor_idx: jax.Array,
+    neighbor_mask: jax.Array,
+) -> jax.Array:
+    """Connected components from a fixed-degree neighbor table — the
+    scatter-free fast path.
+
+    ``neighbor_idx [N, k]`` lists each node's neighbors, ``neighbor_mask``
+    their validity. Requires a SYMMETRIC adjacency (i lists j iff j lists i)
+    — true for radius/kNN graphs whose degree cap exceeds the densest
+    neighborhood, which DBSCAN requires for sklearn-exactness anyway. Each
+    sweep is a [N, k] gather + row-min (VPU) instead of the generic kernel's
+    E-sized segment-min scatters.
+    """
+    n = neighbor_idx.shape[0]
+    sentinel = jnp.int32(n)
+    init = jnp.arange(n, dtype=jnp.int32)
+
+    def propagate(labels):
+        neigh = jnp.where(neighbor_mask, labels[neighbor_idx], sentinel)
+        labels = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        for _ in range(6):
+            labels = jnp.minimum(labels, labels[labels])
+        return labels
+
+    def cond(state):
+        labels, prev, it = state
+        return jnp.any(labels != prev) & (it < n)
+
+    def body(state):
+        labels, _, it = state
+        return propagate(labels), labels, it + 1
+
+    labels0 = propagate(init)
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
+    return labels
+
+
 def compact_labels(
     labels: jax.Array, *, valid: jax.Array | None = None, noise_value: int = -1
 ) -> jax.Array:

@@ -28,11 +28,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gnn_tracking_tpu.ops.cc import compact_labels, connected_components
+from gnn_tracking_tpu.ops.cc import (
+    compact_labels,
+    connected_components,
+    connected_components_neighbors,
+)
 from gnn_tracking_tpu.ops.knn import radius_graph
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes",))
+@functools.partial(jax.jit, static_argnames=("num_nodes", "neighbor_cap"))
 def dbscan_from_graph(
     edge_index: jax.Array,
     dists: jax.Array,
@@ -42,6 +46,7 @@ def dbscan_from_graph(
     min_samples: jax.Array | int,
     edge_mask: jax.Array | None = None,
     node_mask: jax.Array | None = None,
+    neighbor_cap: int | None = None,
 ) -> jax.Array:
     """DBSCAN labels from a precomputed neighbor graph.
 
@@ -50,6 +55,11 @@ def dbscan_from_graph(
     present, no self loops) — exactly what ``ops.knn.radius_graph`` emits.
     ``eps`` and ``min_samples`` are traced values: rescanning different
     hyperparameters reuses the same compiled program.
+
+    ``neighbor_cap``: promise that the edges are in ``radius_graph``'s
+    query-major fixed-degree layout (edge ``i*cap + s`` targets node ``i``).
+    Enables the scatter-free path — degree counts, connected components, and
+    border assignment all become [N, cap] gathers + row reductions.
     """
     e = edge_index.shape[1]
     if edge_mask is None:
@@ -60,25 +70,41 @@ def dbscan_from_graph(
 
     eps = jnp.asarray(eps, dtype=dists.dtype)
     within = edge_mask & (dists <= eps)
-
-    # Neighborhood size including the point itself.
-    deg = jax.ops.segment_sum(within.astype(jnp.int32), dst, num_segments=num_nodes)
-    core = node_mask & (deg + 1 >= jnp.asarray(min_samples, dtype=jnp.int32))
-
-    # Clusters = connected components of the core-core graph. Representative
-    # label = min core index of the component. Radius-graph edges are emitted
-    # query-major, i.e. sorted by target — use the cheaper scatter lowering.
-    core_edges = within & core[src] & core[dst]
-    comp = connected_components(
-        edge_index, num_nodes, edge_mask=core_edges, edges_sorted_by_dst=True
-    )
-
-    # Border points adopt the minimum representative among adjacent cores.
+    min_samples = jnp.asarray(min_samples, dtype=jnp.int32)
     sentinel = jnp.int32(num_nodes)
-    cand = jnp.where(within & core[src], comp[src], sentinel)
-    border_rep = jax.ops.segment_min(cand, dst, num_segments=num_nodes)
-    has_core_neighbor = border_rep < sentinel
 
+    if neighbor_cap is not None:
+        # ---- scatter-free fast path (fixed-degree layout) ----
+        assert e == num_nodes * neighbor_cap, (e, num_nodes, neighbor_cap)
+        src2d = src.reshape(num_nodes, neighbor_cap)
+        within2d = within.reshape(num_nodes, neighbor_cap)
+        deg = jnp.sum(within2d, axis=1)
+        core = node_mask & (deg + 1 >= min_samples)
+        core_edges2d = within2d & core[src2d] & core[:, None]
+        comp = connected_components_neighbors(src2d, core_edges2d)
+        cand = jnp.where(within2d & core[src2d], comp[src2d], sentinel)
+        border_rep = jnp.min(cand, axis=1)
+    else:
+        # Neighborhood size including the point itself.
+        deg = jax.ops.segment_sum(
+            within.astype(jnp.int32), dst, num_segments=num_nodes
+        )
+        core = node_mask & (deg + 1 >= min_samples)
+
+        # Clusters = connected components of the core-core graph.
+        # Representative label = min core index of the component. Radius-graph
+        # edges are emitted query-major, i.e. sorted by target — use the
+        # cheaper scatter lowering.
+        core_edges = within & core[src] & core[dst]
+        comp = connected_components(
+            edge_index, num_nodes, edge_mask=core_edges, edges_sorted_by_dst=True
+        )
+
+        # Border points adopt the minimum representative among adjacent cores.
+        cand = jnp.where(within & core[src], comp[src], sentinel)
+        border_rep = jax.ops.segment_min(cand, dst, num_segments=num_nodes)
+
+    has_core_neighbor = border_rep < sentinel
     rep = jnp.where(core, comp, jnp.where(has_core_neighbor, border_rep, sentinel))
     in_cluster = node_mask & (rep < sentinel)
     rep = jnp.where(in_cluster, rep, 0)
@@ -115,4 +141,5 @@ def dbscan(
         min_samples=min_samples,
         edge_mask=edge_mask,
         node_mask=node_mask,
+        neighbor_cap=min(max_num_neighbors, x.shape[0]),
     )

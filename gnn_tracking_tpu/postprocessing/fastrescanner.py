@@ -20,9 +20,10 @@ from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
 from gnn_tracking_tpu.ops.knn import radius_graph
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes",))
+@functools.partial(jax.jit, static_argnames=("num_nodes", "neighbor_cap"))
 def _dbscan_many(
-    edge_index, dists, num_nodes, *, eps, min_samples, edge_mask, node_mask
+    edge_index, dists, num_nodes, *, eps, min_samples, edge_mask, node_mask,
+    neighbor_cap,
 ):
     """Vmapped DBSCAN over a batch of (eps, min_samples) trials — the graph is
     shared, the connected-components sweeps run once for all trials (the
@@ -37,6 +38,7 @@ def _dbscan_many(
             min_samples=m,
             edge_mask=edge_mask,
             node_mask=node_mask,
+            neighbor_cap=neighbor_cap,
         )
     )(eps, min_samples)
 
@@ -76,6 +78,7 @@ class DBSCANFastRescan:
             node_mask=self._node_mask,
             loop=False,
         )
+        self._cap = min(self._max_num_neighbors, self._x.shape[0])
         self._max_eps = max_eps
 
     def cluster(self, eps: float = 1.0, min_pts: int = 1) -> np.ndarray:
@@ -91,6 +94,7 @@ class DBSCANFastRescan:
             min_samples=jnp.asarray(min_pts, dtype=jnp.int32),
             edge_mask=self._edge_mask,
             node_mask=self._node_mask,
+            neighbor_cap=self._cap,
         )
         return np.asarray(labels)
 
@@ -121,5 +125,6 @@ class DBSCANFastRescan:
             min_samples=min_samples,
             edge_mask=self._edge_mask,
             node_mask=self._node_mask,
+            neighbor_cap=self._cap,
         )
         return np.asarray(labels)

@@ -139,3 +139,34 @@ def test_masked_segment_ops():
     np.testing.assert_allclose(
         np.asarray(masked_segment_mean(vals, seg, 3, mask)), [[1.5], [3.0], [0.0]]
     )
+
+
+def test_dbscan_fast_path_matches_generic():
+    """The scatter-free fixed-degree DBSCAN path must agree with the generic
+    segment-op path (and sklearn) for capped neighbor graphs."""
+    import jax.numpy as jnp
+    from sklearn.cluster import DBSCAN
+
+    from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
+    from gnn_tracking_tpu.ops.knn import radius_graph
+
+    rng = np.random.default_rng(7)
+    # clustered data so a cap of 32 exceeds the densest eps-neighborhood
+    centers = rng.normal(scale=6.0, size=(12, 3))
+    x = (centers[rng.integers(0, 12, 300)] + 0.3 * rng.normal(size=(300, 3))).astype(
+        np.float32
+    )
+    cap = 32
+    ei, em, d = radius_graph(jnp.asarray(x), 1.0, max_num_neighbors=cap)
+    for eps, ms in ((0.5, 1), (0.8, 4), (1.0, 8)):
+        fast = np.asarray(
+            dbscan_from_graph(
+                ei, d, 300, eps=eps, min_samples=ms, edge_mask=em, neighbor_cap=cap
+            )
+        )
+        generic = np.asarray(
+            dbscan_from_graph(ei, d, 300, eps=eps, min_samples=ms, edge_mask=em)
+        )
+        np.testing.assert_array_equal(fast, generic)
+        ref = DBSCAN(eps=eps, min_samples=ms).fit_predict(x)
+        np.testing.assert_array_equal(fast, ref)
