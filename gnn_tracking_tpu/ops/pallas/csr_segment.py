@@ -64,7 +64,9 @@ def validate_pallas_segment(
 
 def _fwd_kernel(w0_all_ref, dst_ref, msgs_ref, partial_ref, *, window: int):
     dst = dst_ref[:]  # [EB] int32 (this block)
-    msgs = msgs_ref[:]  # [EB, F]
+    # f32 compute regardless of input dtype: exact accumulation, and bf16
+    # one-hot matmuls ICE the Mosaic compiler
+    msgs = msgs_ref[:].astype(jnp.float32)  # [EB, F]
     w0 = w0_all_ref[pl.program_id(0)]  # slab anchor (scalar prefetch, SMEM)
     local = dst - w0  # in [0, 2*window) given bounded spread
     eb = dst.shape[0]
@@ -94,8 +96,8 @@ def _gather_kernel(w0_all_ref, dst_ref, values_ref, out_ref, *, window: int):
     eb = dst.shape[0]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (eb, 2 * window), 1) == local[:, None]
-    ).astype(values_ref.dtype)
-    vals_win = values_ref[pl.ds(w0, 2 * window), :]  # [2*window, F]
+    ).astype(jnp.float32)
+    vals_win = values_ref[pl.ds(w0, 2 * window), :].astype(jnp.float32)
     out_ref[:] = jax.lax.dot_general(
         onehot,
         vals_win,
