@@ -226,3 +226,27 @@ class DataGraphTCNTrainer:
             self.params, self.opt_state, sgs, cds
         )
         return {k: float(v) for k, v in jax.device_get(losses).items()}
+
+    def forward(self, sgs: ShardedGraph):
+        """Per-event per-shard forward: ``(h [S,P,N_loc,D], beta [S,P,N_loc],
+        w [S,P,E_loc], ec_edge_mask [S,P,E_loc])`` — unpartition each event
+        with ``halo.unpartition_nodes``/``unpartition_edges``."""
+        from jax import shard_map
+
+        spec_sg = jax.tree_util.tree_map(lambda _: P("data", "graph"), sgs)
+        n_local = sgs.x.shape[2]
+        out_spec = P("data", "graph")
+
+        def body(params, sg_blk):
+            sg_l = self._slice_local(sg_blk)
+            h, beta, w, em = self.model.apply({"params": params}, sg_l, n_local)
+            return h[None, None], beta[None, None], w[None, None], em[None, None]
+
+        return jax.jit(
+            shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(), spec_sg),
+                out_specs=(out_spec, out_spec, out_spec, out_spec),
+            )
+        )(self.params, sgs)

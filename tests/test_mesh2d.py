@@ -89,3 +89,24 @@ def test_2d_trainer_learns():
     assert np.isfinite(totals).all()
     assert totals[-1] < totals[0]
     assert history[-1]["edge"] < history[0]["edge"]
+
+
+def test_2d_forward_matches_1d():
+    """2-D forward per event equals the 1-D sharded trainer's forward."""
+    events, sgs, cds = _events_and_tables()
+    mesh2d = make_data_graph_mesh(N_DATA, N_GRAPH)
+    trainer = DataGraphTCNTrainer(mesh2d, model=_model(), max_n_objects=K)
+    trainer.init(jax.random.PRNGKey(1), stack_sharded(sgs))
+    h2, b2, w2, em2 = trainer.forward(stack_sharded(sgs))
+
+    mesh1d = Mesh(np.asarray(jax.devices()[:N_GRAPH]), ("graph",))
+    for i, sg in enumerate(sgs):
+        t1 = ShardedGraphTCNTrainer(mesh1d, model=_model(), max_n_objects=K)
+        t1.params = trainer.params
+        h1, b1, w1, em1 = t1.forward(sg)
+        np.testing.assert_allclose(
+            np.asarray(h2[i]), np.asarray(h1), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(w2[i]), np.asarray(w1), rtol=1e-6, atol=1e-8
+        )
