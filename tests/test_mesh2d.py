@@ -99,10 +99,11 @@ def test_2d_forward_matches_1d():
     trainer.init(jax.random.PRNGKey(1), stack_sharded(sgs))
     h2, b2, w2, em2 = trainer.forward(stack_sharded(sgs))
 
+    host_params = jax.tree_util.tree_map(np.asarray, trainer.params)
     mesh1d = Mesh(np.asarray(jax.devices()[:N_GRAPH]), ("graph",))
     for i, sg in enumerate(sgs):
         t1 = ShardedGraphTCNTrainer(mesh1d, model=_model(), max_n_objects=K)
-        t1.params = trainer.params
+        t1.params = host_params
         h1, b1, w1, em1 = t1.forward(sg)
         np.testing.assert_allclose(
             np.asarray(h2[i]), np.asarray(h1), rtol=1e-6, atol=1e-7
