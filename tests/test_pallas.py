@@ -159,3 +159,20 @@ def test_validate_pallas_segment():
         validate_pallas_segment(make_graph(0, n=256, e=1024), block_e=256)
     with pytest.raises(ValueError, match="divisible"):
         validate_pallas_segment(g, block_e=999)
+
+
+def test_pairwise_topk_large_k():
+    """k=64 (the radius-graph condensation configuration that hits an
+    internal Mosaic assert on hardware) — algorithmically exact in interpret
+    mode, so the TPU failure is compile-level, not logic."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    d_ref, i_ref = _blocked_neighbor_topk(
+        x, 64, node_mask=None, batch=None, loop=False, block_size=128
+    )
+    d_pl, i_pl = pairwise_topk(x, k=64, block_q=64, block_c=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_pl), np.asarray(d_ref, dtype=np.float32), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(np.asarray(i_pl), np.asarray(i_ref)):
+        assert set(a.tolist()) == set(b.tolist())
