@@ -53,7 +53,7 @@ def _blocked_neighbor_topk(
     # stream through the MXU — measured ~100x faster than the lax.top_k path
     # on v5e (scripts/tpu_experiments.py). Requires the point array resident
     # in VMEM; fall back to the XLA path beyond ~8 MB or with batch vectors.
-    if batch is None and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         # Neighbor SELECTION is non-differentiable and pallas_call has no JVP
         # rule — detach the kernel input (losses differentiate through the
         # distances recomputed from the live ``x`` in ``knn_graph``). Without
@@ -63,13 +63,18 @@ def _blocked_neighbor_topk(
         if n * d * 4 <= 8 * 1024 * 1024:
             from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
 
-            return pairwise_topk(xs, k=k, node_mask=node_mask, loop=loop)
-        # beyond the VMEM budget: stream candidate blocks from HBM
-        from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
-            pairwise_topk_streaming,
-        )
+            return pairwise_topk(
+                xs, k=k, node_mask=node_mask, batch=batch, loop=loop
+            )
+        if batch is None:
+            # beyond the VMEM budget: stream candidate blocks from HBM
+            from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+                pairwise_topk_streaming,
+            )
 
-        return pairwise_topk_streaming(xs, k=k, node_mask=node_mask, loop=loop)
+            return pairwise_topk_streaming(
+                xs, k=k, node_mask=node_mask, loop=loop
+            )
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
     if batch is None:

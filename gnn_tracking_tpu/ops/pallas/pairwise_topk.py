@@ -30,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pairwise_topk_kernel(
     x_ref,  # [N, D] all points (VMEM)
+    cbatch_ref,  # [N, 1] candidate batch ids (VMEM)
     q_ref,  # [B, D] query block (VMEM)
     qvalid_ref,  # [B, 1] query validity (VMEM)
+    qbatch_ref,  # [B, 1] query batch ids (VMEM)
     dists_ref,  # [B, k] output distances
     idx_ref,  # [B, k] output indices
     *,
@@ -61,6 +63,8 @@ def _pairwise_topk_kernel(
         invalid = col_ids >= n_total
         if not loop:
             invalid = invalid | (col_ids == row_ids)
+        cand_batch = cbatch_ref[pl.ds(start, block_c), 0][None, :]  # [1, C]
+        invalid = invalid | (qbatch_ref[:] != cand_batch)
         d = jnp.where(invalid, jnp.inf, d)
         # Sort-free merge (Mosaic has no sort primitive): selection of the k
         # smallest from the [B, k + C] union by k rounds of row-min + mask.
@@ -250,18 +254,22 @@ def pairwise_topk(
     *,
     k: int,
     node_mask: jax.Array | None = None,
+    batch: jax.Array | None = None,
     block_q: int = 256,
     block_c: int = 512,
     loop: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """For every point, squared distances + indices of its k nearest valid
-    neighbors. Returns (``dists_sq [N, k]``, ``idx [N, k]``); invalid entries
-    are +inf. Pallas analog of ``ops.knn._blocked_neighbor_topk``.
+    neighbors (restricted to the same ``batch`` id when given). Returns
+    (``dists_sq [N, k]``, ``idx [N, k]``); invalid entries are +inf. Pallas
+    analog of ``ops.knn._blocked_neighbor_topk``.
     """
     n, d = x.shape
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
+    if batch is None:
+        batch = jnp.zeros((n,), dtype=jnp.int32)
     x = jnp.where(node_mask[:, None], x, jnp.inf).astype(jnp.float32)
     # masked points at +inf are never selected; restore zeros for the MXU
     x = jnp.where(jnp.isfinite(x), x, 1e30)
@@ -270,6 +278,10 @@ def pairwise_topk(
     n_pad_c = -(-n_pad // block_c) * block_c
     x_p = jnp.pad(x, ((0, n_pad_c - n), (0, 0)), constant_values=1e30)
     qvalid = jnp.pad(node_mask.astype(jnp.float32), (0, n_pad_c - n))[:, None]
+    # padded candidates get batch -1: never equal to any query's batch
+    batch_p = jnp.pad(
+        batch.astype(jnp.int32), (0, n_pad_c - n), constant_values=-1
+    )[:, None]
 
     grid = (n_pad // block_q,)
     kernel = functools.partial(
@@ -286,7 +298,9 @@ def pairwise_topk(
             # full candidate array resident in VMEM (fits for <=100k hits of
             # low-dim embeddings; larger inputs should fall back to ops.knn)
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_q, 1), lambda i: (i, 0)),
             pl.BlockSpec((block_q, 1), lambda i: (i, 0)),
         ],
         out_specs=[
@@ -298,5 +312,5 @@ def pairwise_topk(
             jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
         ],
         interpret=interpret,
-    )(x_p, x_p[:n_pad], qvalid[:n_pad])
+    )(x_p, batch_p, x_p[:n_pad], qvalid[:n_pad], batch_p[:n_pad])
     return dists[:n], idx[:n]

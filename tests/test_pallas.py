@@ -176,3 +176,27 @@ def test_pairwise_topk_large_k():
     )
     for a, b in zip(np.asarray(i_pl), np.asarray(i_ref)):
         assert set(a.tolist()) == set(b.tolist())
+
+
+def test_pairwise_topk_batched():
+    """Batched events: neighbors must never cross batch boundaries and must
+    equal the XLA batched path."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(120, 6)).astype(np.float32))
+    batch = jnp.asarray(np.repeat([0, 1, 2], 40).astype(np.int32))
+    d_ref, i_ref = _blocked_neighbor_topk(
+        x, 5, node_mask=None, batch=batch, loop=False, block_size=64
+    )
+    d_pl, i_pl = pairwise_topk(
+        x, k=5, batch=batch, block_q=32, block_c=64, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_pl), np.asarray(d_ref, dtype=np.float32), rtol=1e-4, atol=1e-4
+    )
+    b = np.asarray(batch)
+    for row, (ids, ds) in enumerate(zip(np.asarray(i_pl), np.asarray(d_pl))):
+        for j, dv in zip(ids, ds):
+            if np.isfinite(dv):
+                assert b[j] == b[row]
+    for a, bb in zip(np.asarray(i_pl), np.asarray(i_ref)):
+        assert set(a.tolist()) == set(bb.tolist())
