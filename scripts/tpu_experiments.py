@@ -327,15 +327,24 @@ def main():
     except Exception as e:  # noqa: BLE001
         report("knn_streaming", error=describe(e)[:400])
 
-    # pallas kNN k-sweep: the rg condensation path (k=64) hit an internal
-    # AssertionError while ml_hinge (k=32) works — find the failing k
-    for kk in (8, 16, 32, 64, 128, 256):
-        try:
-            d_k, i_k = sync(pairwise_topk(emb[:8192], k=kk, block_q=256, block_c=512))
-            ok = bool(np.isfinite(np.asarray(d_k)).all())
-            report(f"pallas_knn_k{kk}", ok=ok)
-        except Exception as e:  # noqa: BLE001
-            report(f"pallas_knn_k{kk}", error=describe(e)[:300])
+    # batched pallas kNN: correctness vs the XLA batched path on hardware
+    try:
+        bvec = jnp.asarray(np.repeat(np.arange(8), 4096).astype(np.int32))
+        d_b, i_b = sync(pairwise_topk(emb, k=8, batch=bvec, block_q=256, block_c=1024))
+        d_xb, i_xb = sync(
+            _blocked_neighbor_topk(emb, 8, node_mask=None, batch=bvec, loop=False, block_size=512)
+        )
+        match = bool(
+            np.allclose(
+                np.sort(np.asarray(d_b), axis=1),
+                np.sort(np.asarray(d_xb), axis=1),
+                rtol=1e-3, atol=1e-3,
+            )
+        )
+        t_b = timeit(lambda: pairwise_topk(emb, k=8, batch=bvec, block_q=256, block_c=1024), iters=5)
+        report("knn_pallas_batched", ms=t_b * 1e3, match=match)
+    except Exception as e:  # noqa: BLE001
+        report("knn_pallas_batched", error=describe(e)[:300])
 
     # ------------------------------------------------------- full TCN step
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
