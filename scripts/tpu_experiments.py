@@ -331,13 +331,22 @@ def main():
     try:
         bvec = jnp.asarray(np.repeat(np.arange(8), 4096).astype(np.int32))
         d_b, i_b = sync(pairwise_topk(emb, k=8, batch=bvec, block_q=256, block_c=1024))
-        d_xb, i_xb = sync(
-            _blocked_neighbor_topk(emb, 8, node_mask=None, batch=bvec, loop=False, block_size=512)
-        )
+        # host reference: sklearn kNN per batch segment (the XLA path would
+        # itself dispatch to pallas on TPU now)
+        from sklearn.neighbors import NearestNeighbors
+
+        emb_np = np.asarray(emb)
+        b_np = np.asarray(bvec)
+        d_ref = np.full((len(emb_np), 8), np.inf, dtype=np.float32)
+        for bb in np.unique(b_np):
+            seg = np.where(b_np == bb)[0]
+            nn = NearestNeighbors(n_neighbors=9).fit(emb_np[seg])
+            dd, _ = nn.kneighbors(emb_np[seg])
+            d_ref[seg] = (dd[:, 1:] ** 2).astype(np.float32)
         match = bool(
             np.allclose(
                 np.sort(np.asarray(d_b), axis=1),
-                np.sort(np.asarray(d_xb), axis=1),
+                np.sort(d_ref, axis=1),
                 rtol=1e-3, atol=1e-3,
             )
         )
