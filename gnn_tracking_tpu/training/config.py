@@ -75,7 +75,12 @@ def find_latest_checkpoint(log_dir: str | Path, trial_name: str = "") -> Path:
     if trial_name:
         log_dir = log_dir / trial_name
     hits = sorted(
-        log_dir.glob("**/checkpoint_*"), key=lambda p: p.stat().st_mtime
+        (
+            p
+            for p in log_dir.glob("**/checkpoint_*")
+            if not p.name.endswith("_meta.json")
+        ),
+        key=lambda p: p.stat().st_mtime,
     )
     if not hits:
         msg = f"No checkpoint found below {log_dir}"

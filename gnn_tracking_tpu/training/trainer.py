@@ -181,7 +181,18 @@ class Trainer:
             )
         return self._checkpointer
 
-    def fit(self, module, datamodule, config: dict | None = None) -> dict[str, float]:
+    def fit(
+        self,
+        module,
+        datamodule,
+        config: dict | None = None,
+        *,
+        resume: bool = False,
+    ) -> dict[str, float]:
+        """Train; with ``resume=True``, restore the latest checkpoint under
+        this trainer's ``log_dir`` first (preemption recovery — the TPU
+        analog of Lightning's ``ckpt_path="last"``; epochs already covered
+        by ``module.step`` are skipped via ``max_steps`` accounting)."""
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         try:
@@ -194,6 +205,21 @@ class Trainer:
         safe_step = tolerate_some_oom_errors(
             lambda batch: module.training_step(batch)
         )
+        if resume:
+            from gnn_tracking_tpu.training.config import find_latest_checkpoint
+
+            try:
+                latest = find_latest_checkpoint(self.log_dir)
+            except FileNotFoundError:
+                latest = None
+            if latest is not None and latest.is_dir():
+                # params must exist before restore (orbax needs the template)
+                batch0 = next(iter(train_loader))
+                module.setup_params(batch0)
+                self.checkpointer.restore(module, latest)
+                logger.info(
+                    "Resumed from %s (step %d)", latest, module.step
+                )
         last_val: dict[str, float] = {}
         for epoch in range(self.max_epochs):
             t0 = time.perf_counter()

@@ -333,3 +333,39 @@ def test_async_checkpointing_roundtrip(datamodule, tmp_path):
         jax.tree_util.tree_leaves(module2.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_from_checkpoint(datamodule, tmp_path):
+    """Preemption drill: a new Trainer+module resumes from the latest
+    checkpoint in the same log dir and continues the step count."""
+    def make():
+        return ECModule(
+            model=ECForGraphTCN(
+                interaction_node_dim=4, interaction_edge_dim=4, L_ec=2,
+                hidden_dim=12,
+            ),
+            loss_fct=EdgeWeightBCELoss(),
+        )
+
+    m1 = make()
+    t1 = Trainer(
+        max_epochs=2, log_dir=tmp_path, name="drill",
+        print_validation_results=False,
+    )
+    t1.fit(m1, datamodule)
+    steps_before = m1.step
+    assert steps_before > 0
+
+    # "preempted" — fresh process state, same log dir
+    m2 = make()
+    t2 = Trainer(
+        max_epochs=1, log_dir=tmp_path, name="drill",
+        print_validation_results=False,
+    )
+    t2.fit(m2, datamodule, resume=True)
+    assert m2.step > steps_before  # continued, not restarted
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m1.params),
+        jax.tree_util.tree_leaves(m2.params),
+    ):
+        assert np.asarray(a).shape == np.asarray(b).shape
