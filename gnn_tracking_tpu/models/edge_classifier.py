@@ -31,8 +31,12 @@ class ECForGraphTCN(nn.Module):
     use_node_embedding: bool = True
     #: promise that edge_index[1] is non-decreasing
     sorted_edges: bool = False
-    #: aggregation implementation: "xla" or "pallas_sorted"
+    #: aggregation implementation: "xla", "pallas_sorted", or "fused"
     segment_impl: str = "xla"
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
     #: rematerialize interaction layers in the backward pass (memory saver)
@@ -75,9 +79,12 @@ class ECForGraphTCN(nn.Module):
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,
             split_relational=self.split_relational,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             remat=self.remat,
             name="ec_resin",
-        )(h_ec, edge_index, edge_attr_ec, data.edge_mask)
+        )(h_ec, edge_index, edge_attr_ec, data.edge_mask, extras=data.extras)
 
         w_input = edge_attr_ec
         if self.use_intermediate_edge_embeddings:

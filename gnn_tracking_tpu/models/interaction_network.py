@@ -34,9 +34,17 @@ class InteractionNetwork(nn.Module):
     aggr: str = "add"
     #: promise that edge_index[1] is non-decreasing (cheaper scatter lowering)
     sorted_edges: bool = False
-    #: "xla" or "pallas_sorted" (windowed one-hot matmul aggregation + dst
-    #: gather; requires sorted_edges, E % 1024 == 0, bounded window spread)
+    #: "xla", "pallas_sorted" (windowed one-hot matmul aggregation + dst
+    #: gather; requires sorted_edges, E % 1024 == 0, bounded window spread),
+    #: or "fused" (single Pallas kernel for gather→relational MLP→segment-add;
+    #: requires the slab edge layout from ``ops.pallas.slab_layout`` whose
+    #: metadata arrives via the ``extras`` call argument)
     segment_impl: str = "xla"
+    #: slab-layout statics for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    #: kernel compute dtype for segment_impl="fused"
+    fused_dtype: str = "bfloat16"
     #: compute the relational MLP's first linear as three split matmuls —
     #: the node-side projections run at NODE level ([N,F]@[F,H] instead of
     #: [E,2F]@[2F,H]) and are gathered per edge, skipping the [E, 3F] concat.
@@ -54,9 +62,18 @@ class InteractionNetwork(nn.Module):
         edge_index: jax.Array,
         edge_attr: jax.Array,
         edge_mask: jax.Array | None = None,
+        extras: dict | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
+        if self.segment_impl == "fused":
+            return self._fused(x, edge_index, edge_attr, extras)
+        if self.segment_impl not in ("xla", "pallas_sorted"):
+            msg = (
+                f"segment_impl={self.segment_impl!r} unknown; "
+                "expected 'xla', 'pallas_sorted', or 'fused'"
+            )
+            raise ValueError(msg)
         use_pallas = self.segment_impl == "pallas_sorted"
         if use_pallas:
             from gnn_tracking_tpu.ops.pallas.csr_segment import sorted_gather
@@ -113,6 +130,68 @@ class InteractionNetwork(nn.Module):
             agg = masked_segment_sum(
                 e_tilde, dst, num_nodes, edge_mask, indices_are_sorted=self.sorted_edges
             )
+        x_tilde = MLP(
+            output_size=self.node_outdim,
+            hidden_dim=self.node_hidden_dim,
+            name="object_model",
+        )(jnp.concatenate([x, agg], axis=1))
+        return x_tilde, e_tilde
+
+    def _fused(self, x, edge_index, edge_attr, extras):
+        """Single-kernel edge pipeline (``ops.pallas.fused_relational``).
+
+        Parameter tree: one fused first-layer kernel ``relational_w1``
+        ([2*Fx+Fe, H], split into per-input blocks for the kernel) instead of
+        the XLA path's ``relational_model`` MLP tree — same math, same torch
+        init; ``utils.param_convert`` maps between the two layouts.
+        """
+        from gnn_tracking_tpu.models.mlp import torch_bias_init, torch_linear_init
+        from gnn_tracking_tpu.ops.pallas.fused_relational import fused_relational
+
+        assert self.aggr == "add", "fused path supports add aggregation only"
+        assert extras is not None and "slab_srcloc" in extras, (
+            "segment_impl='fused' needs a slab-layout graph "
+            "(ops.pallas.slab_layout.apply_slab_layout)"
+        )
+        fx, fe, fo = x.shape[-1], edge_attr.shape[-1], self.edge_outdim
+        fan1 = 2 * fx + fe
+        h = self.edge_hidden_dim or max(fan1, fo)
+        w1 = self.param("relational_w1", torch_linear_init(), (fan1, h))
+        b1 = self.param(
+            "relational_b1", lambda k, s: torch_bias_init(k, s, fan_in=fan1), (h,)
+        )
+        w2 = self.param("relational_w2", torch_linear_init(), (h, h))
+        b2 = self.param(
+            "relational_b2", lambda k, s: torch_bias_init(k, s, fan_in=h), (h,)
+        )
+        w3 = self.param("relational_w3", torch_linear_init(), (h, fo))
+        b3 = self.param(
+            "relational_b3", lambda k, s: torch_bias_init(k, s, fan_in=h), (fo,)
+        )
+        weights = {
+            "w1d": w1[:fx], "w1s": w1[fx : 2 * fx], "w1e": w1[2 * fx :],
+            "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3,
+        }
+        e_tilde, agg = fused_relational(
+            self.fused_window, self.fused_block, self.fused_dtype, None,
+            x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
+            extras["slab_inwin"], weights,
+        )
+        # overflow edges (source beyond the 3W halo / spilled slabs): XLA
+        of_pos, of_mask = extras["slab_of_pos"], extras["slab_of_mask"]
+        e_pad = edge_attr.shape[0]
+        ofp = jnp.minimum(of_pos, e_pad - 1)
+        of_dst = edge_index[1][ofp]
+        m_of = jnp.concatenate(
+            [x[of_dst], x[edge_index[0][ofp]], edge_attr[ofp]], axis=1
+        )
+        h1 = nn.relu(m_of @ w1 + b1)
+        h2 = nn.relu(h1 @ w2 + b2)
+        et_of = (h2 @ w3 + b3) * of_mask[:, None].astype(x.dtype)
+        e_tilde = e_tilde.at[of_pos].add(et_of.astype(e_tilde.dtype), mode="drop")
+        agg = agg + jax.ops.segment_sum(
+            et_of, of_dst, num_segments=x.shape[0]
+        ).astype(agg.dtype)
         x_tilde = MLP(
             output_size=self.node_outdim,
             hidden_dim=self.node_hidden_dim,

@@ -118,6 +118,10 @@ class ResIN(nn.Module):
     segment_impl: str = "xla"
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
     #: rematerialize each interaction layer in the backward pass
     #: (``jax.checkpoint``): activation memory drops from O(L·E·H) to
     #: O(E·H), letting bigger events/batches fit per chip at ~1/3 extra
@@ -142,6 +146,9 @@ class ResIN(nn.Module):
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,
             split_relational=self.split_relational,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             name=f"layer_{i}",
         )
 
@@ -153,6 +160,7 @@ class ResIN(nn.Module):
         edge_attr: jax.Array,
         edge_mask: jax.Array | None = None,
         node_mask: jax.Array | None = None,
+        extras: dict | None = None,
     ) -> tuple[jax.Array, jax.Array, list[jax.Array] | None]:
         collect = self.collect_hidden_edge_embeds
         edge_attrs: list[jax.Array] | None = [edge_attr] if collect else None
@@ -161,7 +169,7 @@ class ResIN(nn.Module):
             for i in range(self.n_layers):
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    act(x), edge_index, act(edge_attr), edge_mask
+                    act(x), edge_index, act(edge_attr), edge_mask, extras
                 )
                 x = sqconvex_combination(
                     delta=delta_x, residue=x, alpha_residue=self.alpha
@@ -180,13 +188,13 @@ class ResIN(nn.Module):
                     x_in = MaskedBatchNorm(name=f"node_bn_{i0}")(x_in, node_mask)
                     e_in = MaskedBatchNorm(name=f"edge_bn_{i0}")(e_in, edge_mask)
                 hidden_x, hidden_e = self._make_layer(i0)(
-                    act0(x_in), edge_index, act0(e_in), edge_mask
+                    act0(x_in), edge_index, act0(e_in), edge_mask, extras
                 )
                 if self.add_bn:
                     hidden_x = MaskedBatchNorm(name=f"node_bn_{i1}")(hidden_x, node_mask)
                     hidden_e = MaskedBatchNorm(name=f"edge_bn_{i1}")(hidden_e, edge_mask)
                 delta_x, edge_attr = self._make_layer(i1)(
-                    nn.relu(hidden_x), edge_index, nn.relu(hidden_e), edge_mask
+                    nn.relu(hidden_x), edge_index, nn.relu(hidden_e), edge_mask, extras
                 )
                 x = sqconvex_combination(
                     delta=delta_x, residue=x, alpha_residue=self.alpha
@@ -201,7 +209,7 @@ class ResIN(nn.Module):
                     x_residue = x
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    act(x), edge_index, act(edge_attr), edge_mask
+                    act(x), edge_index, act(edge_attr), edge_mask, extras
                 )
                 if x_residue is not None:
                     x = sqconvex_combination(

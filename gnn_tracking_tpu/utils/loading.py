@@ -79,6 +79,14 @@ class PaddingConfig:
     #: hard caps (events above are an error — choose buckets for your stream)
     max_nodes: int | None = None
     max_edges: int | None = None
+    #: when set, re-lay out edges into the slab format consumed by the fused
+    #: interaction-network kernel (``segment_impl="fused"``). The spec is a
+    #: deterministic function of the bucketed sizes, so shape stability per
+    #: bucket is preserved.
+    slab_window: int | None = None
+    slab_block: int = 512
+    slab_slack: float = 1.5
+    slab_overflow_frac: float = 0.25
 
     def pad(self, g: EventGraph) -> EventGraph:
         n = _round_up(g.num_nodes, self.node_bucket)
@@ -90,7 +98,23 @@ class PaddingConfig:
         if self.max_edges is not None and e > self.max_edges:
             msg = f"Event with {g.num_edges} edges exceeds max_edges={self.max_edges}"
             raise ValueError(msg)
-        return g.pad_to(n, e, t)
+        g = g.pad_to(n, e, t)
+        if self.slab_window is not None:
+            from gnn_tracking_tpu.ops.pallas.slab_layout import (
+                apply_slab_layout,
+                default_spec,
+            )
+
+            spec = default_spec(
+                n,
+                e,
+                window=self.slab_window,
+                block_e=self.slab_block,
+                slack=self.slab_slack,
+                overflow_frac=self.slab_overflow_frac,
+            )
+            g = apply_slab_layout(g, spec)
+        return g
 
 
 class TrackingDataset:
