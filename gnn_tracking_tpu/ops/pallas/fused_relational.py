@@ -52,14 +52,26 @@ def _onehot(idx, rows, cols, axis, dtype):
 
 def _mxu(a, b, transpose_a=False, transpose_b=False):
     """Matmul with f32 accumulation on the MXU, no operand transposition
-    materialized (dot_general contraction picks the axes)."""
+    materialized (dot_general contraction picks the axes).
+
+    For f32 operands the MXU's default precision truncates them to bf16
+    (~1% rel err — the round-1 csr_segment lesson); f32 compute is the
+    exactness-testing path, so it pays for HIGHEST. bf16 operands are
+    already exact at default precision with f32 accumulation.
+    """
     ca = 0 if transpose_a else 1
     cb = 1 if transpose_b else 0
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if a.dtype == jnp.float32 or b.dtype == jnp.float32
+        else None
+    )
     return jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(((ca,), (cb,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

@@ -1,0 +1,336 @@
+"""Round-2 TPU battery #1: fused relational kernel on hardware.
+
+One claim, one process, clean exit (axon serializes claims; killed clients
+wedge the chip ~25 min). Experiments (each isolated in try/except):
+
+1. fused kernel fwd exactness vs XLA reference (f32 compute = HIGHEST
+   precision path) on a locality-realistic graph;
+2. fused kernel grad exactness (f32) for x / edge_attr / weights;
+3. bf16 compute drift vs f32 reference (expected ~1e-2 rel);
+4. kernel micro-timings: fwd and fwd+bwd at bench scale, W sweep;
+5. head-to-head EC train step on the SAME local graph:
+   xla-sorted vs fused, bf16 — the VERDICT #1 target (>=2x, <41 ms);
+6. rg_k64 condensation re-validation (round-1 JVP fix, ROADMAP #6).
+
+Usage: python scripts/tpu_battery_r2.py [exp ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+os.environ["JAX_TRACEBACK_FILTERING"] = "off"
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_experiments import claim_or_exit, describe, report, sync, timeit
+
+V5E_BF16_FLOPS = 197e12
+SMOKE = bool(int(os.environ.get("BATTERY_SMOKE", "0")))
+
+
+def local_graph(rng, n, e, locality, far_frac=0.02):
+    """kNN-like graph: edges connect nearby node indices (spatially sorted
+    hits), a small far fraction exercises the overflow path."""
+    dst = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    src = np.clip(dst + rng.integers(-locality, locality, size=e), 0, n - 1)
+    far = rng.random(e) < far_frac
+    src = np.where(far, rng.integers(0, n, size=e), src).astype(np.int32)
+    return src, dst
+
+
+def build_layout(rng, n, e, w, eb, fx, fe, locality=None):
+    from gnn_tracking_tpu.ops.pallas.slab_layout import default_spec, slab_partition
+
+    if locality is None:
+        locality = w
+    src, dst = local_graph(rng, n, e, locality)
+    valid = np.ones(e, dtype=bool)
+    spec = default_spec(n, e, window=w, block_e=eb)
+    part = slab_partition(src, dst, valid, n, spec)
+    e_pad = len(part["perm"])
+    take = np.maximum(part["perm"], 0)
+    ea = np.where(
+        part["perm"][:, None] >= 0,
+        rng.normal(size=(e, fe)).astype(np.float32)[take],
+        0,
+    ).astype(np.float32)
+    x = rng.normal(size=(n, fx)).astype(np.float32)
+    meta = dict(
+        sl=jnp.asarray(part["srcloc"]),
+        dl=jnp.asarray(part["dstloc"]),
+        inw=jnp.asarray(part["inwin"].astype(np.float32)),
+    )
+    stats = dict(
+        e_pad=e_pad,
+        overflow=int(part["n_overflow"]),
+        fill=float(part["inwin"].mean()),
+    )
+    return jnp.asarray(x), jnp.asarray(ea), meta, stats
+
+
+def make_weights(rng, fx, fe, h, fo):
+    def w(*s):
+        return jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+
+    return {
+        "w1d": w(fx, h), "w1s": w(fx, h), "w1e": w(fe, h),
+        "b1": w(h), "w2": w(h, h), "b2": w(h),
+        "w3": w(h, fo), "b3": w(fo),
+    }
+
+
+def exp_exact():
+    from gnn_tracking_tpu.ops.pallas.fused_relational import (
+        fused_relational,
+        fused_relational_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
+    fx = fe = 32
+    h, fo = 128, 32
+    x, ea, meta, stats = build_layout(rng, n, e, w, eb, fx, fe)
+    ws = make_weights(rng, fx, fe, h, fo)
+    report("layout_stats", **stats)
+
+    et, agg = sync(
+        fused_relational(w, eb, "float32", None, x, ea, meta["sl"], meta["dl"], meta["inw"], ws)
+    )
+    et_r, agg_r = sync(
+        fused_relational_reference(x, ea, meta["sl"], meta["dl"], meta["inw"], ws, window=w, block_e=eb)
+    )
+    d_et = float(np.abs(np.asarray(et) - np.asarray(et_r)).max())
+    rel = lambda a, b: float(
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        / (np.abs(np.asarray(b)).max() + 1e-30)
+    )
+    report(
+        "fused_fwd_exact_f32",
+        max_abs_et=d_et, rel_et=rel(et, et_r), rel_agg=rel(agg, agg_r),
+    )
+
+    # grads (f32)
+    def loss_k(x, ea, ws):
+        et, agg = fused_relational(w, eb, "float32", None, x, ea, meta["sl"], meta["dl"], meta["inw"], ws)
+        return jnp.sum(jnp.tanh(et)) + jnp.sum(jnp.sin(agg))
+
+    def loss_r(x, ea, ws):
+        et, agg = fused_relational_reference(x, ea, meta["sl"], meta["dl"], meta["inw"], ws, window=w, block_e=eb)
+        et = et * jnp.asarray(meta["inw"])[:, None]  # ref already masks; keep identical
+        return jnp.sum(jnp.tanh(et)) + jnp.sum(jnp.sin(agg))
+
+    gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
+    gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+    rels = {
+        "gx": rel(gk[0], gr[0]),
+        "gea": rel(gk[1], gr[1]),
+        **{f"g_{k}": rel(gk[2][k], gr[2][k]) for k in ws},
+    }
+    report("fused_grad_exact_f32", **{k: round(v, 8) for k, v in rels.items()})
+
+    # bf16 drift
+    et16, agg16 = sync(
+        fused_relational(w, eb, "bfloat16", None, x, ea, meta["sl"], meta["dl"], meta["inw"], ws)
+    )
+    report("fused_fwd_bf16_drift", rel_et=rel(et16, et_r), rel_agg=rel(agg16, agg_r))
+
+
+def exp_micro():
+    from gnn_tracking_tpu.ops.pallas.fused_relational import fused_relational
+
+    rng = np.random.default_rng(1)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    fx = fe = 32
+    h, fo = 128, 32
+    for w, eb in ([(128, 128)] if SMOKE else [(512, 512), (1024, 512), (256, 256)]):
+        try:
+            x, ea, meta, stats = build_layout(rng, n, e, w, eb, fx, fe)
+            ws = make_weights(rng, fx, fe, h, fo)
+            args = (x, ea, meta["sl"], meta["dl"], meta["inw"], ws)
+
+            fwd = jax.jit(
+                lambda *a: fused_relational(w, eb, "bfloat16", None, *a)[1].sum()
+            )
+            t_f = timeit(fwd, *a_cast(args), iters=2 if SMOKE else 20)
+
+            grad = jax.jit(
+                jax.grad(
+                    lambda x, ea, ws: sum(
+                        jnp.sum(o)
+                        for o in fused_relational(
+                            w, eb, "bfloat16", None, x, ea, meta["sl"], meta["dl"], meta["inw"], ws
+                        )
+                    ),
+                    argnums=(0, 2),
+                )
+            )
+            t_g = timeit(lambda x, ea, ws: grad(x, ea, ws), x, ea, ws, iters=2 if SMOKE else 20)
+            e_pad = stats["e_pad"]
+            # useful MLP FLOPs only (fwd): 2*E*(fan1*h + h*h + h*fo)
+            fl = 2 * e_pad * ((2 * fx + fe) * h + h * h + h * fo)
+            report(
+                f"fused_micro_w{w}_eb{eb}",
+                fwd_ms=t_f * 1e3, fwdbwd_ms=t_g * 1e3,
+                edges_per_s_fwdbwd=e_pad / t_g,
+                mlp_mfu_fwd=fl / t_f / V5E_BF16_FLOPS,
+                **stats,
+            )
+        except Exception as ex:
+            report(f"fused_micro_w{w}_eb{eb}", error=describe(ex)[:500])
+
+
+def a_cast(args):
+    return args
+
+
+def _bench_ec(graph, extras, tag, segment_impl, fused_w=1024, fused_b=512):
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+    IDIM, HDIM, L = 32, 128, 6
+    model = ECForGraphTCN(
+        interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+        hidden_dim=HDIM, L_ec=L,
+        sorted_edges=segment_impl != "fused",
+        segment_impl=segment_impl,
+        fused_window=fused_w, fused_block=fused_b, fused_dtype="bfloat16",
+    )
+    g = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        graph,
+    )
+    params = model.init(jax.random.PRNGKey(0), g)
+    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, g):
+        def loss_fn(p):
+            w = model.apply(p, g)["W"].astype(jnp.float32)
+            return binary_focal_loss(inpt=w, target=g.y.astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    state = [params, opt_state]
+
+    def once():
+        state[0], state[1], loss = step(state[0], state[1], g)
+        return loss
+
+    t = timeit(once, iters=2 if SMOKE else 15)
+    n_e = graph.edge_index.shape[1]
+    # useful fwd FLOPs: L IN layers (relational MLP on E + object MLP on N)
+    IN_E = 2 * n_e * ((3 * IDIM) * HDIM + HDIM * HDIM + HDIM * IDIM)
+    IN_N = 2 * graph.x.shape[0] * ((2 * IDIM) * HDIM + HDIM * HDIM + HDIM * IDIM)
+    fl_fwd = 6 * (IN_E + IN_N)
+    report(
+        tag, ms=t * 1e3, edges_per_s=n_e / t,
+        mfu_3x_fwd=3 * fl_fwd / t / V5E_BF16_FLOPS,
+    )
+    return float(once())
+
+
+def exp_ec_step():
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.ops.pallas.slab_layout import apply_slab_layout, default_spec
+
+    rng = np.random.default_rng(2)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    x = rng.normal(size=(n, 14)).astype(np.float32)
+    ea = rng.normal(size=(e, 4)).astype(np.float32)
+    y = (rng.random(e) < 0.3).astype(np.float32)
+    g = EventGraph.from_arrays(
+        x=x, edge_index=np.stack([src, dst]), edge_attr=ea, y=y
+    )
+    g_sorted = g.sort_edges_by_target()
+    loss_x = _bench_ec(g_sorted, None, "ec_step_bf16_sorted_localgraph", "xla")
+    for w, eb in ([(128, 128)] if SMOKE else [(1024, 512), (512, 512)]):
+        try:
+            spec = default_spec(n, e, window=w, block_e=eb)
+            g_f = apply_slab_layout(g, spec)
+            loss_f = _bench_ec(
+                g_f, None, f"ec_step_bf16_fused_w{w}", "fused", fused_w=w, fused_b=eb
+            )
+            report(f"ec_fused_w{w}_loss_check", loss_xla=loss_x, loss_fused=loss_f)
+        except Exception as ex:
+            report(f"ec_step_bf16_fused_w{w}", error=describe(ex)[:500])
+
+
+def exp_rg64():
+    """Re-validate rg-condensation with k=64 pallas kNN (round-1 ROADMAP #6:
+    the JVP root-cause fix in ops/knn.py was only k-sweep-compile-verified)."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.module import TCModule
+
+    rng = np.random.default_rng(3)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    IDIM, HDIM, L = 32, 128, 6
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    pid = rng.integers(0, 2048, size=n)
+    tcn_graph = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(pid[src] == pid[dst]) & (pid[src] > 0),
+        particle_id=pid,
+        pt=(2 * rng.random(2048))[pid],
+        eta=(8 * (rng.random(2048) - 0.5))[pid],
+        reconstructable=np.ones(n),
+    )
+    module = TCModule(
+        model=GraphTCN(h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM, L_ec=L, L_hc=3),
+        loss_fct=CondensationLossRG(max_n_objects=2048, max_num_neighbors=64),
+        precision="f32",
+    )
+    module.setup_params(tcn_graph)
+
+    t0 = time.perf_counter()
+    total = float(module.training_step(tcn_graph)["total"])
+    compile_s = time.perf_counter() - t0
+    t = timeit(lambda: module.training_step(tcn_graph)["total"], iters=2 if SMOKE else 5)
+    report(
+        "rg_k64_revalidation",
+        loss=total, ms=t * 1e3, compile_s=compile_s,
+        finite=bool(np.isfinite(total)),
+    )
+
+
+EXPS = {
+    "exact": exp_exact,
+    "micro": exp_micro,
+    "ec": exp_ec_step,
+    "rg64": exp_rg64,
+}
+
+
+def main():
+    claim_or_exit()
+    names = sys.argv[1:] or list(EXPS)
+    for name in names:
+        try:
+            EXPS[name]()
+        except Exception as e:
+            report(name, error=describe(e)[:600])
+    report("battery_done", ok=True)
+
+
+if __name__ == "__main__":
+    main()
