@@ -67,14 +67,20 @@ def _blocked_neighbor_topk(
                 xs, k=k, node_mask=node_mask, batch=batch, loop=loop
             )
         if batch is None:
-            # beyond the VMEM budget: stream candidate blocks from HBM
-            from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
-                pairwise_topk_streaming,
-            )
+            # Beyond the VMEM budget: principal-axis banded kNN with
+            # certified brute-force fallback (ops/pallas/windowed_topk.py) —
+            # ~(N/C)/(2R+1)x less compute than streaming all blocks. The
+            # residual `n_uncert` (queries the capped fallback couldn't
+            # certify) is ~always 0 for hit clouds; it cannot be raised
+            # from inside jit, so offline callers use
+            # :func:`knn_graph_windowed` which asserts it.
+            from gnn_tracking_tpu.ops.pallas.windowed_topk import windowed_knn
 
-            return pairwise_topk_streaming(
-                xs, k=k, node_mask=node_mask, loop=loop
+            dists, idx, _ = windowed_knn(
+                xs, k=k, node_mask=node_mask, loop=loop,
+                radius=4, block_c=1024, fallback_cap=8192,
             )
+            return dists, idx
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
     if batch is None:
@@ -146,6 +152,50 @@ def knn_graph(
     d2 = jnp.sum(diff * diff, axis=-1)
     safe = valid & (d2 > 0)
     dists = jnp.where(safe, jnp.sqrt(jnp.where(safe, d2, 1.0)), 0.0)
+    return edge_index, valid.reshape(-1), dists.reshape(-1)
+
+
+def knn_graph_windowed(
+    x: jax.Array,
+    k: int,
+    *,
+    node_mask: jax.Array | None = None,
+    radius: int = 4,
+    block_c: int = 1024,
+    fallback_cap: int = 8192,
+    max_retries: int = 3,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Guaranteed-exact full-detector kNN graph (host-driven, not jittable).
+
+    Runs :func:`...windowed_topk.windowed_knn` and, if any query remains
+    uncertified (fallback cap exhausted — adversarial distributions only),
+    re-runs with a doubled band radius and cap until certified. Same return
+    convention as :func:`knn_graph`. Use in ETL / offline graph construction
+    (reference ``models/graph_construction.py:222-237`` at the full-detector
+    scale the reference never reached).
+    """
+    from gnn_tracking_tpu.ops.pallas.windowed_topk import windowed_knn
+
+    n = x.shape[0]
+    for _ in range(max_retries):
+        dists_sq, idx, n_uncert = windowed_knn(
+            jax.lax.stop_gradient(x), k=k, node_mask=node_mask,
+            radius=radius, block_c=block_c, fallback_cap=fallback_cap,
+        )
+        if int(n_uncert) == 0:
+            break
+        radius *= 2
+        fallback_cap = min(2 * fallback_cap, n)
+    else:
+        msg = f"windowed kNN not certified exact after {max_retries} retries"
+        raise RuntimeError(msg)
+    query = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    valid = jnp.isfinite(dists_sq)
+    if node_mask is not None:
+        valid &= node_mask[:, None]
+    source = jnp.where(valid, idx, 0)
+    edge_index = jnp.stack([source.reshape(-1), query.reshape(-1)])
+    dists = jnp.sqrt(jnp.where(valid, dists_sq, 0.0))
     return edge_index, valid.reshape(-1), dists.reshape(-1)
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_streaming
+from gnn_tracking_tpu.ops.pallas.fused_relational import _resolve_interpret
 
 
 def principal_axis(x: jax.Array, iters: int = 12) -> jax.Array:
@@ -206,7 +206,7 @@ def windowed_knn(
     block_c: int = 1024,
     loop: bool = False,
     fallback_cap: int = 4096,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via principal-axis band + certified fallback.
 
@@ -217,6 +217,7 @@ def windowed_knn(
     guarantee assert it's 0 and re-run with a larger ``radius``/cap —
     see :func:`gnn_tracking_tpu.ops.knn.knn_graph_windowed`).
     """
+    interpret = _resolve_interpret(interpret)
     n, d = x.shape
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
@@ -252,6 +253,7 @@ def windowed_knn(
     certified = (covered_lo & covered_hi & found_all) | ~valid_s[:n]
 
     # --- fallback: brute-force the (capped) uncertified set ---
+    fallback_cap = min(fallback_cap, n)
     viol_score = jnp.where(certified, 0.0, 1.0)
     _, viol_idx = jax.lax.top_k(viol_score, fallback_cap)  # sorted-index ids
     fb_x = xs[viol_idx]
@@ -289,10 +291,12 @@ def _fallback_brute(q, cands, cand_valid, *, k, block_c, loop, self_ids, interpr
         c_norm = jnp.sum(cand * cand, axis=1)[None, :]
         dd = q_norm + c_norm - 2.0 * q @ cand.T
         dd = jnp.maximum(dd, 0.0)
-        col = start * block_c + jnp.arange(block_c)[None, :]
+        col = (start * block_c + jnp.arange(block_c, dtype=jnp.int32)[None, :]).astype(
+            jnp.int32
+        )
         invalid = col >= n
         if not loop:
-            invalid = invalid | (col == self_ids[:, None])
+            invalid = invalid | (col == self_ids[:, None].astype(jnp.int32))
         dd = jnp.where(invalid, jnp.inf, dd)
         all_d = jnp.concatenate([best_d, dd], axis=1)
         all_i = jnp.concatenate([best_i, jnp.broadcast_to(col, dd.shape)], axis=1)
