@@ -47,7 +47,9 @@ class ECForGraphTCN(nn.Module):
         return (self.interaction_node_dim, self.interaction_edge_dim)
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array]:
+        """``exchange``: graph-parallel halo hook (see ``ResIN.__call__``) —
+        local node rows → the extended array ``edge_index`` sources index."""
         x, edge_index, edge_attr = data.x, data.edge_index, data.edge_attr
         h_ec = nn.relu(
             MLP(
@@ -84,14 +86,18 @@ class ECForGraphTCN(nn.Module):
             fused_dtype=self.fused_dtype,
             remat=self.remat,
             name="ec_resin",
-        )(h_ec, edge_index, edge_attr_ec, data.edge_mask, extras=data.extras)
+        )(
+            h_ec, edge_index, edge_attr_ec, data.edge_mask,
+            extras=data.extras, exchange=exchange,
+        )
 
         w_input = edge_attr_ec
         if self.use_intermediate_edge_embeddings:
             w_input = jnp.concatenate(edge_attrs_ec, axis=1)
         if self.use_node_embedding:
+            h_gather = h_ec if exchange is None else exchange(h_ec)
             w_input = jnp.concatenate(
-                [h_ec[edge_index[0]], h_ec[edge_index[1]], w_input], axis=1
+                [h_gather[edge_index[0]], h_gather[edge_index[1]], w_input], axis=1
             )
         eps = 0.001
         logits = MLP(output_size=1, hidden_dim=self.hidden_dim, L=3, name="W")(w_input)
@@ -117,9 +123,15 @@ class PerfectEdgeClassification(nn.Module):
     false_below_pt: float = 0.0
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array]:
         assert 0.0 <= self.tpr <= 1.0
         assert 0.0 <= self.tnr <= 1.0
+        if exchange is not None and self.false_below_pt > 0.0:
+            # per-edge truth flips are pointwise (shard-safe); the pt cut
+            # gathers per-node pt at extended source indices, which the
+            # sharded graph shim does not carry
+            msg = "false_below_pt is not supported under graph sharding"
+            raise NotImplementedError(msg)
         r = data.y.astype(bool)
         if not math.isclose(self.tpr, 1.0):
             rand = jax.random.uniform(self.make_rng("perfect_ec"), r.shape)

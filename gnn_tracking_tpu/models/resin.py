@@ -14,6 +14,7 @@ documented non-overlapping two-layer blocks, which coincide for L == 2.
 from __future__ import annotations
 
 import math
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -161,18 +162,28 @@ class ResIN(nn.Module):
         edge_mask: jax.Array | None = None,
         node_mask: jax.Array | None = None,
         extras: dict | None = None,
+        exchange: "Callable[[jax.Array], jax.Array] | None" = None,
     ) -> tuple[jax.Array, jax.Array, list[jax.Array] | None]:
+        """``exchange`` is the graph-parallel hook: it maps local node rows
+        ``[N_loc, F]`` to the extended array ``[N_loc + halo, F]`` that
+        ``edge_index`` sources reference (``parallel/halo.gather_halo_a2a``
+        under ``shard_map``). ``None`` = single device: identity, and the
+        post-layer truncation back to ``x.shape[0]`` rows is a no-op. This
+        single hook is what lets every ResIN/TCN config train sharded from
+        the one module tree (no parallel fork of the model)."""
         collect = self.collect_hidden_edge_embeds
         edge_attrs: list[jax.Array] | None = [edge_attr] if collect else None
+        n_local = x.shape[0]
+        ex = exchange if exchange is not None else (lambda v: v)
 
         if self.residual_type == "skip1":
             for i in range(self.n_layers):
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    act(x), edge_index, act(edge_attr), edge_mask, extras
+                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras
                 )
                 x = sqconvex_combination(
-                    delta=delta_x, residue=x, alpha_residue=self.alpha
+                    delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
                 )
                 if collect:
                     edge_attrs.append(edge_attr)
@@ -188,16 +199,17 @@ class ResIN(nn.Module):
                     x_in = MaskedBatchNorm(name=f"node_bn_{i0}")(x_in, node_mask)
                     e_in = MaskedBatchNorm(name=f"edge_bn_{i0}")(e_in, edge_mask)
                 hidden_x, hidden_e = self._make_layer(i0)(
-                    act0(x_in), edge_index, act0(e_in), edge_mask, extras
+                    ex(act0(x_in)), edge_index, act0(e_in), edge_mask, extras
                 )
+                hidden_x = hidden_x[:n_local]
                 if self.add_bn:
                     hidden_x = MaskedBatchNorm(name=f"node_bn_{i1}")(hidden_x, node_mask)
                     hidden_e = MaskedBatchNorm(name=f"edge_bn_{i1}")(hidden_e, edge_mask)
                 delta_x, edge_attr = self._make_layer(i1)(
-                    nn.relu(hidden_x), edge_index, nn.relu(hidden_e), edge_mask, extras
+                    ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e), edge_mask, extras
                 )
                 x = sqconvex_combination(
-                    delta=delta_x, residue=x, alpha_residue=self.alpha
+                    delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
                 )
                 if collect:
                     edge_attrs.append(edge_attr)
@@ -209,14 +221,14 @@ class ResIN(nn.Module):
                     x_residue = x
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    act(x), edge_index, act(edge_attr), edge_mask, extras
+                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras
                 )
                 if x_residue is not None:
                     x = sqconvex_combination(
-                        delta=delta_x, residue=x_residue, alpha_residue=self.alpha
+                        delta=delta_x[:n_local], residue=x_residue, alpha_residue=self.alpha
                     )
                 else:
-                    x = delta_x
+                    x = delta_x[:n_local]
                 if collect:
                     edge_attrs.append(edge_attr)
         else:

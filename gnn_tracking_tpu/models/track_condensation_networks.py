@@ -89,7 +89,7 @@ class PointCloudTCN(nn.Module):
     L: int = 3
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
         h = data.x
         h = INConvBlock(
             indim=self.node_indim,
@@ -143,7 +143,13 @@ class ModularGraphTCN(nn.Module):
     heterogeneous_node_encoder: bool = False
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(
+        self, data: EventGraph, exchange=None
+    ) -> dict[str, jax.Array | None]:
+        """``exchange``: graph-parallel halo hook (see ``ResIN.__call__``).
+        With it, this one module IS the sharded model — every config (hetero
+        encoder, skip2, EC variants, feed_edge_weights) trains under
+        ``shard_map`` with no parallel fork of the network body."""
         edge_weights = None
         ec_edge_mask = data.edge_mask
         hit_mask = data.node_mask
@@ -151,7 +157,9 @@ class ModularGraphTCN(nn.Module):
         ec_edge_embedding = None
 
         if self.ec is not None:
-            ec_result = self.ec(data)
+            ec_result = (
+                self.ec(data) if exchange is None else self.ec(data, exchange=exchange)
+            )
             edge_weights = ec_result["W"]
             ec_node_embedding = ec_result.get("node_embedding")
             ec_edge_embedding = ec_result.get("edge_embedding")
@@ -209,7 +217,10 @@ class ModularGraphTCN(nn.Module):
         )
 
         # Track condenser runs under the post-EC edge mask.
-        h_hc, _, _ = self.hc_in(h_hc, data.edge_index, edge_attr_hc, ec_edge_mask)
+        h_hc, _, _ = self.hc_in(
+            h_hc, data.edge_index, edge_attr_hc, ec_edge_mask,
+            node_mask=hit_mask, extras=data.extras, exchange=exchange,
+        )
 
         beta = nn.sigmoid(MLP(output_size=1, hidden_dim=self.hidden_dim, L=3, name="p_beta")(h_hc))
         # Soft clipping against NaN in arctanh(beta) (reference tcn.py:287-288)
@@ -251,15 +262,21 @@ class GraphTCN(nn.Module):
     mask_orphan_nodes: bool = False
     use_ec_embeddings_for_hc: bool = False
     feed_edge_weights: bool = False
+    #: promise that edge_index[1] is non-decreasing (cheaper scatter)
+    sorted_edges: bool = False
+    #: split the relational MLP first linear into node-level projections
+    split_relational: bool = False
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
         ec = ECForGraphTCN(
             interaction_node_dim=self.h_dim,
             interaction_edge_dim=self.e_dim,
             hidden_dim=self.hidden_dim,
             L_ec=self.L_ec,
             alpha=self.alpha_ec,
+            sorted_edges=self.sorted_edges,
+            split_relational=self.split_relational,
             name="ec",
         )
         hc_in = ResIN(
@@ -269,6 +286,8 @@ class GraphTCN(nn.Module):
             relational_hidden_dim=self.hidden_dim,
             alpha=self.alpha_hc,
             n_layers=self.L_hc,
+            sorted_edges=self.sorted_edges,
+            split_relational=self.split_relational,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -283,7 +302,7 @@ class GraphTCN(nn.Module):
             use_ec_embeddings_for_hc=self.use_ec_embeddings_for_hc,
             feed_edge_weights=self.feed_edge_weights,
             name="gtcn",
-        )(data)
+        )(data, exchange=exchange)
 
 
 class PerfectECGraphTCN(nn.Module):
@@ -302,7 +321,7 @@ class PerfectECGraphTCN(nn.Module):
     feed_edge_weights: bool = False
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
         ec = PerfectEdgeClassification(tpr=self.ec_tpr, tnr=self.ec_tnr, name="ec")
         hc_in = ResIN(
             node_dim=self.h_dim,
@@ -324,7 +343,7 @@ class PerfectECGraphTCN(nn.Module):
             mask_orphan_nodes=self.mask_orphan_nodes,
             feed_edge_weights=self.feed_edge_weights,
             name="gtcn",
-        )(data)
+        )(data, exchange=exchange)
 
 
 class GraphTCNForMLGCPipeline(nn.Module):
@@ -341,9 +360,14 @@ class GraphTCNForMLGCPipeline(nn.Module):
     n_embedding_coords: int = 0
     feed_edge_weights: bool = False
     heterogeneous_node_encoder: bool = False
+    #: promise that edge_index[1] is non-decreasing (cheaper scatter)
+    sorted_edges: bool = False
+    #: split the relational MLP first linear into node-level projections
+    split_relational: bool = False
+    residual_type: str = "skip1"
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
         hc_in = ResIN(
             node_dim=self.h_dim,
             edge_dim=self.e_dim,
@@ -351,6 +375,9 @@ class GraphTCNForMLGCPipeline(nn.Module):
             relational_hidden_dim=self.hidden_dim,
             alpha=self.alpha_hc,
             n_layers=self.L_hc,
+            sorted_edges=self.sorted_edges,
+            split_relational=self.split_relational,
+            residual_type=self.residual_type,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -365,7 +392,7 @@ class GraphTCNForMLGCPipeline(nn.Module):
             feed_edge_weights=self.feed_edge_weights,
             heterogeneous_node_encoder=self.heterogeneous_node_encoder,
             name="gtcn",
-        )(data)
+        )(data, exchange=exchange)
 
 
 class PreTrainedECGraphTCN(nn.Module):
@@ -386,7 +413,7 @@ class PreTrainedECGraphTCN(nn.Module):
     feed_edge_weights: bool = False
 
     @nn.compact
-    def __call__(self, data: EventGraph) -> dict[str, jax.Array | None]:
+    def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
         hc_in = ResIN(
             node_dim=self.h_dim,
             edge_dim=self.e_dim,
@@ -408,4 +435,4 @@ class PreTrainedECGraphTCN(nn.Module):
             use_ec_embeddings_for_hc=self.use_ec_embeddings_for_hc,
             feed_edge_weights=self.feed_edge_weights,
             name="gtcn",
-        )(data)
+        )(data, exchange=exchange)

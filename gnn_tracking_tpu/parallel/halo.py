@@ -48,6 +48,7 @@ class ShardedGraph:
     x: jax.Array
     node_mask: jax.Array  # [P, N_loc]
     global_index: jax.Array  # [P, N_loc] global hit index of each local slot
+    layer: jax.Array  # [P, N_loc] detector layer (heterogeneous encoders)
     # per-shard halo [P, H]: owner shard + local slot of each mirrored hit
     halo_shard: jax.Array
     halo_local: jax.Array
@@ -141,6 +142,8 @@ def partition_event(
     sx = np.zeros((P_, n_loc) + x.shape[1:], dtype=x.dtype)
     smask = np.zeros((P_, n_loc), dtype=bool)
     sglobal = np.zeros((P_, n_loc), dtype=np.int32)
+    glayer = np.asarray(graph.layer)
+    slayer = np.zeros((P_, n_loc), dtype=np.int32)
     shalo_shard = np.zeros((P_, h_max), dtype=np.int32)
     shalo_local = np.zeros((P_, h_max), dtype=np.int32)
     shalo_mask = np.zeros((P_, h_max), dtype=bool)
@@ -180,6 +183,7 @@ def partition_event(
         sx[s, :k] = x[own]
         smask[s, :k] = node_mask[own]
         sglobal[s, :k] = own
+        slayer[s, :k] = glayer[own]
         halo = halos[s]
         shalo_shard[s, : len(halo)] = shard_of[halo]
         shalo_local[s, : len(halo)] = local_of[halo]
@@ -210,6 +214,7 @@ def partition_event(
         x=jnp.asarray(sx),
         node_mask=jnp.asarray(smask),
         global_index=jnp.asarray(sglobal),
+        layer=jnp.asarray(slayer),
         halo_shard=jnp.asarray(shalo_shard),
         halo_local=jnp.asarray(shalo_local),
         halo_mask=jnp.asarray(shalo_mask),

@@ -13,7 +13,7 @@ Usage::
     mesh = make_data_graph_mesh(n_data=2, n_graph=4)
     sgs = stack_sharded([partition_event(g, 4, sort_edges=True) for g in events])
     cds = stack_sharded([partition_condensation(g, sg_i, max_n_objects=K) ...])
-    trainer = DataGraphTCNTrainer(mesh, model=ShardedGraphTCN(...))
+    trainer = DataGraphTCNTrainer(mesh, model=GraphTCN(...))
     trainer.init(rng, sgs)
     losses = trainer.training_step(sgs, cds)
 """
@@ -29,8 +29,9 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gnn_tracking_tpu.parallel.halo import ShardedGraph
+from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
 from gnn_tracking_tpu.parallel.sharded_model import (
-    ShardedGraphTCN,
+    ShardedTCN,
     sharded_edge_bce,
 )
 from gnn_tracking_tpu.parallel.sharded_tc import (
@@ -89,7 +90,7 @@ class DataGraphTCNTrainer:
         self,
         mesh: Mesh,
         *,
-        model: ShardedGraphTCN | None = None,
+        model=None,  # single-device TCN module; wrapped in ShardedTCN
         q_min: float = 0.01,
         max_n_objects: int = 1024,
         loss_weights: dict[str, float] | None = None,
@@ -97,7 +98,8 @@ class DataGraphTCNTrainer:
     ):
         assert mesh.axis_names == ("data", "graph"), mesh.axis_names
         self.mesh = mesh
-        self.model = model or ShardedGraphTCN()
+        inner = model if model is not None else GraphTCN()
+        self.model = ShardedTCN(model=inner, axis_name="graph")
         self.q_min = q_min
         self.max_n_objects = max_n_objects
         self.loss_weights = loss_weights or {
@@ -177,7 +179,8 @@ class DataGraphTCNTrainer:
             def body(params, sg_blk, cd_blk):
                 sg_l = self._slice_local(sg_blk)
                 cd_l = self._slice_cd(cd_blk)
-                h, beta, w, _ = self.model.apply({"params": params}, sg_l, n_local)
+                out = self.model.apply({"params": params}, sg_l, n_local)
+                h, beta, w = out["H"], out["B"], out["W"]
                 losses = sharded_condensation_loss(
                     beta,
                     h,
@@ -239,8 +242,10 @@ class DataGraphTCNTrainer:
 
         def body(params, sg_blk):
             sg_l = self._slice_local(sg_blk)
-            h, beta, w, em = self.model.apply({"params": params}, sg_l, n_local)
-            return h[None, None], beta[None, None], w[None, None], em[None, None]
+            out = self.model.apply({"params": params}, sg_l, n_local)
+            return tuple(
+                out[k][None, None] for k in ("H", "B", "W", "ec_edge_mask")
+            )
 
         return jax.jit(
             shard_map(

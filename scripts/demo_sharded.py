@@ -70,10 +70,8 @@ def synthetic_event(seed: int, n_tracks=48, hits_per_track=8):
 def main() -> None:
     from gnn_tracking_tpu.metrics.cluster_metrics import tracking_metrics
     from gnn_tracking_tpu.parallel.halo import partition_event, unpartition_nodes
-    from gnn_tracking_tpu.parallel.sharded_model import (
-        ShardedGraphTCN,
-        ShardedGraphTCNTrainer,
-    )
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_model import ShardedGraphTCNTrainer
     from gnn_tracking_tpu.parallel.sharded_tc import partition_condensation
 
     n_shards = min(8, len(jax.devices()))
@@ -89,7 +87,7 @@ def main() -> None:
     mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("graph",))
     trainer = ShardedGraphTCNTrainer(
         mesh,
-        model=ShardedGraphTCN(
+        model=GraphTCN(
             h_dim=8, e_dim=6, h_outdim=3, hidden_dim=32, L_ec=2, L_hc=2,
             sorted_edges=True,
         ),

@@ -14,8 +14,8 @@ from gnn_tracking_tpu.parallel.mesh2d import (
     sharded_buckets,
     stack_sharded,
 )
+from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
 from gnn_tracking_tpu.parallel.sharded_model import (
-    ShardedGraphTCN,
     ShardedGraphTCNTrainer,
 )
 from gnn_tracking_tpu.parallel.sharded_tc import partition_condensation
@@ -40,7 +40,7 @@ def _events_and_tables():
 
 
 def _model():
-    return ShardedGraphTCN(
+    return GraphTCN(
         h_dim=6, e_dim=5, h_outdim=3, hidden_dim=16, L_ec=2, L_hc=2,
         sorted_edges=True,
     )

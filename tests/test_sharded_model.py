@@ -7,7 +7,10 @@ import pytest
 from jax.sharding import Mesh
 
 from gnn_tracking_tpu.parallel.halo import partition_event, unpartition_nodes
-from gnn_tracking_tpu.parallel.sharded_model import ShardedTCNBody, ShardedTCTrainer
+from gnn_tracking_tpu.models.track_condensation_networks import (
+    GraphTCNForMLGCPipeline,
+)
+from gnn_tracking_tpu.parallel.sharded_model import ShardedTCTrainer
 from gnn_tracking_tpu.parallel.sharded_tc import partition_condensation
 
 from .test_learning import synthetic_event
@@ -24,7 +27,7 @@ def test_sharded_tc_trainer_learns():
     mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
     trainer = ShardedTCTrainer(
         mesh,
-        model=ShardedTCNBody(h_dim=8, e_dim=8, h_outdim=3, hidden_dim=24, L_hc=2),
+        model=GraphTCNForMLGCPipeline(h_dim=8, e_dim=8, h_outdim=3, hidden_dim=24, L_hc=2),
         max_n_objects=K,
         loss_weights={"attractive": 1.0, "repulsive": 1.0, "coward": 0.5, "noise": 1.0},
         optimizer=__import__("optax").adam(3e-3),
@@ -43,13 +46,9 @@ def test_sharded_tc_trainer_learns():
 
 
 def test_sharded_body_matches_single_device_tcn():
-    """ShardedTCNBody with transplanted parameters reproduces
-    GraphTCNForMLGCPipeline (ec=None ModularGraphTCN) outputs exactly."""
-    import jax.numpy as jnp
-
-    from gnn_tracking_tpu.models.track_condensation_networks import (
-        GraphTCNForMLGCPipeline,
-    )
+    """The SAME GraphTCNForMLGCPipeline module with the SAME parameter tree
+    (under the adapter's ``model/`` prefix) reproduces single-device outputs
+    exactly when run sharded — no renaming, no parallel model fork."""
     from tests.test_models import make_graph
 
     g = make_graph(2)
@@ -60,28 +59,16 @@ def test_sharded_body_matches_single_device_tcn():
     variables = ref_model.init(jax.random.PRNGKey(5), g)
     out_ref = ref_model.apply(variables, g)
 
-    # transplant params into the sharded body's naming
-    gp = variables["params"]["gtcn"]
-    resin = variables["params"]["hc_in"]
-    sharded_params = {
-        "hc_node_encoder": gp["hc_node_encoder"],
-        "hc_edge_encoder": gp["hc_edge_encoder"],
-        **{f"hc_in_{i}": resin[f"layer_{i}"] for i in range(L_hc)},
-        "p_beta": gp["p_beta"],
-        "p_cluster": gp["p_cluster"],
-        "latent_normalization": gp["latent_normalization"],
-    }
-
     sg = partition_event(g, N_SHARDS)
     mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
     trainer = ShardedTCTrainer(
         mesh,
-        model=ShardedTCNBody(
+        model=GraphTCNForMLGCPipeline(
             h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden, L_hc=L_hc
         ),
         max_n_objects=K,
     )
-    trainer.params = sharded_params
+    trainer.params = {"model": variables["params"]}
     h_shards, beta_shards = trainer.forward(sg)
     h_global = np.asarray(unpartition_nodes(h_shards, sg, g.num_nodes))
     beta_global = np.asarray(unpartition_nodes(beta_shards, sg, g.num_nodes))
@@ -103,10 +90,8 @@ def test_sharded_graphtcn_matches_single_device():
 
     from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
     from gnn_tracking_tpu.parallel.halo import unpartition_edges
-    from gnn_tracking_tpu.parallel.sharded_model import (
-        ShardedGraphTCN,
-        ShardedGraphTCNTrainer,
-    )
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_model import ShardedGraphTCNTrainer
     from tests.test_models import make_graph
 
     g = make_graph(3)
@@ -118,25 +103,13 @@ def test_sharded_graphtcn_matches_single_device():
     variables = ref_model.init(jax.random.PRNGKey(7), g)
     out_ref = ref_model.apply(variables, g)
 
-    v = variables["params"]
-    sharded_params = {
-        "ec_node_encoder": v["ec"]["ec_node_encoder"],
-        "ec_edge_encoder": v["ec"]["ec_edge_encoder"],
-        **{f"ec_in_{i}": v["ec"]["ec_resin"][f"layer_{i}"] for i in range(L_ec)},
-        "ec_w": v["ec"]["W"],
-        "hc_node_encoder": v["gtcn"]["hc_node_encoder"],
-        "hc_edge_encoder": v["gtcn"]["hc_edge_encoder"],
-        **{f"hc_in_{i}": v["hc_in"][f"layer_{i}"] for i in range(L_hc)},
-        "p_beta": v["gtcn"]["p_beta"],
-        "p_cluster": v["gtcn"]["p_cluster"],
-        "latent_normalization": v["gtcn"]["latent_normalization"],
-    }
+    sharded_params = {"model": variables["params"]}
 
     sg = partition_event(g, N_SHARDS)
     mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
     trainer = ShardedGraphTCNTrainer(
         mesh,
-        model=ShardedGraphTCN(
+        model=GraphTCN(
             h_dim=h_dim, e_dim=e_dim, h_outdim=h_outdim, hidden_dim=hidden,
             L_ec=L_ec, L_hc=L_hc, ec_threshold=0.35,
         ),
@@ -170,10 +143,8 @@ def test_sharded_graphtcn_matches_single_device():
 @pytest.mark.slow
 def test_sharded_graphtcn_trainer_learns():
     """Full sharded GraphTCN training: condensation + EC losses all decrease."""
-    from gnn_tracking_tpu.parallel.sharded_model import (
-        ShardedGraphTCN,
-        ShardedGraphTCNTrainer,
-    )
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_model import ShardedGraphTCNTrainer
 
     g = synthetic_event(1)
     sg = partition_event(g, N_SHARDS)
@@ -181,7 +152,7 @@ def test_sharded_graphtcn_trainer_learns():
     mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
     trainer = ShardedGraphTCNTrainer(
         mesh,
-        model=ShardedGraphTCN(
+        model=GraphTCN(
             h_dim=8, e_dim=6, h_outdim=3, hidden_dim=24, L_ec=2, L_hc=2
         ),
         max_n_objects=K,
@@ -205,10 +176,8 @@ def test_sharded_graphtcn_sorted_edges_matches_unsorted():
     promise must not change any output (order-independent comparison via
     unpartition with identical transplanted parameters)."""
     from gnn_tracking_tpu.parallel.halo import unpartition_edges
-    from gnn_tracking_tpu.parallel.sharded_model import (
-        ShardedGraphTCN,
-        ShardedGraphTCNTrainer,
-    )
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_model import ShardedGraphTCNTrainer
     from tests.test_models import make_graph
 
     g = make_graph(4)
@@ -222,7 +191,7 @@ def test_sharded_graphtcn_sorted_edges_matches_unsorted():
             assert all((np.diff(d) >= 0).all() for d in dsts)
         trainer = ShardedGraphTCNTrainer(
             mesh,
-            model=ShardedGraphTCN(
+            model=GraphTCN(
                 h_dim=5, e_dim=4, h_outdim=2, hidden_dim=12, L_ec=2, L_hc=2,
                 sorted_edges=sort,
             ),
@@ -246,3 +215,63 @@ def test_sharded_graphtcn_sorted_edges_matches_unsorted():
     np.testing.assert_allclose(
         results[True]["w"][emask], results[False]["w"][emask], rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize(
+    "variant",
+    ["skip2", "hetero", "feed_ec"],
+)
+def test_sharded_config_variants_match_single_device(variant):
+    """Every TCN config trains sharded from the one module tree (VERDICT #4):
+    skip2 residuals, heterogeneous node encoder, feed_edge_weights +
+    use_ec_embeddings_for_hc — exact parity with transplanted (prefix-only)
+    parameters."""
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_model import ShardedGraphTCNTrainer
+    from tests.test_models import make_graph
+
+    g = make_graph(11)
+    common = dict(h_dim=6, e_dim=5, h_outdim=3, hidden_dim=16)
+    if variant == "skip2":
+        model = GraphTCNForMLGCPipeline(
+            **common, L_hc=2, residual_type="skip2"
+        )
+        trainer_cls, keys = ShardedTCTrainer, ("H", "B")
+    elif variant == "hetero":
+        model = GraphTCNForMLGCPipeline(
+            **common, L_hc=2, heterogeneous_node_encoder=True
+        )
+        trainer_cls, keys = ShardedTCTrainer, ("H", "B")
+    else:
+        model = GraphTCN(
+            **common, L_ec=2, L_hc=2,
+            feed_edge_weights=True, use_ec_embeddings_for_hc=True,
+        )
+        trainer_cls, keys = ShardedGraphTCNTrainer, ("H", "B", "W")
+
+    variables = model.init(jax.random.PRNGKey(13), g)
+    out_ref = model.apply(variables, g)
+
+    sg = partition_event(g, N_SHARDS)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    trainer = trainer_cls(mesh, model=model, max_n_objects=K)
+    trainer.params = {"model": variables["params"]}
+    outs = trainer.forward(sg)
+
+    nm = np.asarray(g.node_mask)
+    h_global = np.asarray(unpartition_nodes(outs[0], sg, g.num_nodes))
+    beta_global = np.asarray(unpartition_nodes(outs[1], sg, g.num_nodes))
+    np.testing.assert_allclose(
+        h_global[nm], np.asarray(out_ref["H"])[nm], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        beta_global[nm], np.asarray(out_ref["B"])[nm], rtol=1e-5, atol=1e-8
+    )
+    if "W" in keys:
+        from gnn_tracking_tpu.parallel.halo import unpartition_edges
+
+        em = np.asarray(g.edge_mask)
+        w_global = np.asarray(unpartition_edges(outs[2], sg, g.num_edges))
+        np.testing.assert_allclose(
+            w_global[em], np.asarray(out_ref["W"])[em], rtol=1e-5, atol=1e-8
+        )
