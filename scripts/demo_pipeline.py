@@ -24,7 +24,7 @@ def main() -> None:
     parser.add_argument(
         "--trackml-dir",
         type=Path,
-        default=Path("/root/reference/tests/test_data/trackml"),
+        default=Path(__file__).parent.parent / "tests" / "test_data" / "trackml",
         help="Directory with TrackML event CSVs + detectors.csv.gz",
     )
     parser.add_argument("--epochs", type=int, default=3)

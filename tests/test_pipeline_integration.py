@@ -14,11 +14,9 @@ from gnn_tracking_tpu.preprocessing.point_cloud_builder import (
     simple_data_loader,
 )
 
-TRACKML_DIR = Path("/root/reference/tests/test_data/trackml")
-
-pytestmark = pytest.mark.skipif(
-    not TRACKML_DIR.exists(), reason="bundled TrackML test event not available"
-)
+# vendored public TrackML challenge data (tests/test_data/trackml): the
+# suite no longer depends on the read-only reference checkout
+TRACKML_DIR = Path(__file__).parent / "test_data" / "trackml"
 
 ACCEPTABLE_RANGES = {
     "r": (0, 1026),
