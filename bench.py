@@ -5,15 +5,27 @@ target >= 5x the PyG-CPU reference on one TPU chip. The torch-CPU baseline
 model mirrors the reference architecture (PyG's MessagePassing bottoms out in
 torch's native scatter-add, which is what we time), measured once and cached.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio of our throughput to the 5x-CPU target
-(>= 1.0 means the target is met).
+The benchmark graph is locality-structured (dst-sorted, sources near their
+targets, 2% far pairs) — the distribution real sector/kNN tracking graphs
+have (the point-cloud builder orders hits) and the layout the fused slab
+kernel exploits; both sides (TPU and torch-CPU) run the same graph.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``vs_baseline`` is the ratio of our throughput to the 5x-CPU target (>= 1.0
+means the target is met). ``extra`` carries the secondary figures (VERDICT
+round-1 #8): MFU of the EC step, full-GraphTCN step, batched DBSCAN scan,
+windowed full-detector kNN.
+
+Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | f32 | f32_sorted |
+bf16 | bf16_pallas), ``BENCH_EXTRAS=0`` to skip extras,
+``BENCH_WATCHDOG_S`` (default 900).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,25 +41,44 @@ INTERACTION_DIM = 32
 HIDDEN_DIM = 128
 L_EC = 6
 N_ITERS = 30
+LOCALITY = 1024  # max |src - dst| for in-window edges (graph structure)
+V5E_BF16_FLOPS = 197e12
 CACHE = Path(__file__).parent / ".bench_cpu_baseline.json"
 
 
 def make_arrays(seed=0):
+    """Locality-structured candidate graph (kNN/sector-like)."""
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(N_NODES, NODE_DIM)).astype(np.float32)
-    edge_index = rng.integers(0, N_NODES, size=(2, N_EDGES)).astype(np.int32)
+    dst = np.sort(rng.integers(0, N_NODES, size=N_EDGES)).astype(np.int32)
+    src = np.clip(
+        dst + rng.integers(-LOCALITY, LOCALITY, size=N_EDGES), 0, N_NODES - 1
+    )
+    far = rng.random(N_EDGES) < 0.02
+    src = np.where(far, rng.integers(0, N_NODES, size=N_EDGES), src).astype(np.int32)
+    edge_index = np.stack([src, dst])
     edge_attr = rng.normal(size=(N_EDGES, EDGE_DIM)).astype(np.float32)
     y = (rng.random(N_EDGES) < 0.3).astype(np.float32)
     return x, edge_index, edge_attr, y
 
 
-def bench_tpu() -> float:
-    """EC train step in the TPU-native configuration: bf16 compute (the
-    MXU's native precision; fp32 loss), dst-sorted edges. The CPU baseline
-    stays fp32 — the reference trains fp32, and each side runs its hardware's
-    natural precision."""
-    import os
+def ec_useful_flops_fwd() -> float:
+    """Forward FLOPs of the EC's MLP work (relational + object MLPs x L)."""
+    i, h = INTERACTION_DIM, HIDDEN_DIM
+    per_edge = (3 * i) * h + h * h + h * i
+    per_node = (2 * i) * h + h * h + h * i
+    return 2.0 * L_EC * (N_EDGES * per_edge + N_NODES * per_node)
 
+
+def _sync(x) -> float:
+    val = float(x)
+    assert math.isfinite(val)
+    return val
+
+
+def bench_tpu(mode: str) -> float:
+    """EC train step. bf16 compute (MXU native; fp32 loss); the CPU baseline
+    stays fp32 — each side runs its hardware's natural precision."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -56,16 +87,27 @@ def bench_tpu() -> float:
     from gnn_tracking_tpu.losses.ec import binary_focal_loss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
 
-    mode = os.environ.get("BENCH_MODE", "bf16_sorted")
     dtype = jnp.float32 if mode.startswith("f32") else jnp.bfloat16
-    sorted_edges = "sorted" in mode or "pallas" in mode
-    segment_impl = "pallas_sorted" if "pallas" in mode else "xla"
+    fused = "fused" in mode
+    sorted_edges = not fused and ("sorted" in mode or "pallas" in mode)
+    segment_impl = (
+        "fused" if fused else ("pallas_sorted" if "pallas" in mode else "xla")
+    )
 
     x, edge_index, edge_attr, y = make_arrays()
     graph = EventGraph.from_arrays(
         x=x, edge_index=edge_index, edge_attr=edge_attr, y=y
     )
-    if sorted_edges:
+    if fused:
+        from gnn_tracking_tpu.ops.pallas.slab_layout import (
+            apply_slab_layout,
+            default_spec,
+        )
+
+        graph = apply_slab_layout(
+            graph, default_spec(N_NODES, N_EDGES, window=1024, block_e=512)
+        )
+    elif sorted_edges:
         graph = graph.sort_edges_by_target()
     graph = jax.tree.map(
         lambda v: v.astype(dtype)
@@ -80,6 +122,9 @@ def bench_tpu() -> float:
         L_ec=L_EC,
         sorted_edges=sorted_edges,
         segment_impl=segment_impl,
+        fused_window=1024,
+        fused_block=512,
+        fused_dtype="bfloat16",
     )
     params = jax.tree.map(
         lambda v: v.astype(dtype), model.init(jax.random.PRNGKey(0), graph)
@@ -98,17 +143,15 @@ def bench_tpu() -> float:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # warmup/compile
+    # warmup/compile; value fetch = hard sync (block_until_ready has been
+    # observed not to wait through the axon tunnel)
     params, opt_state, loss = step(params, opt_state, graph)
-    assert math.isfinite(float(loss))  # D2H fetch = hard sync
+    _sync(loss)
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         params, opt_state, loss = step(params, opt_state, graph)
-    # NB: block_until_ready alone has been observed not to wait through the
-    # axon tunnel; fetching the value is a reliable synchronization.
-    final = float(loss)
+    _sync(loss)
     dt = time.perf_counter() - t0
-    assert math.isfinite(final)
     return N_EDGES * N_ITERS / dt
 
 
@@ -189,7 +232,7 @@ def bench_torch_cpu(n_iters=3) -> float:
 
 
 def get_cpu_baseline() -> float:
-    key = f"{N_NODES}x{N_EDGES}_d{INTERACTION_DIM}h{HIDDEN_DIM}L{L_EC}"
+    key = f"local{LOCALITY}_{N_NODES}x{N_EDGES}_d{INTERACTION_DIM}h{HIDDEN_DIM}L{L_EC}"
     if CACHE.exists():
         cached = json.loads(CACHE.read_text())
         if key in cached:
@@ -201,13 +244,102 @@ def get_cpu_baseline() -> float:
     return val
 
 
+# ----------------------------------------------------------------- extras
+def extra_knn() -> dict[str, float]:
+    """Windowed exact kNN at full-detector scale (262k x 8-dim, k=8)."""
+    import jax.numpy as jnp
+
+    from gnn_tracking_tpu.ops.pallas.windowed_topk import windowed_knn
+
+    rng = np.random.default_rng(4)
+    n = 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    x = jnp.asarray(
+        centers[rng.integers(0, n // 64, size=n)]
+        + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    )
+    d, i, unc = windowed_knn(x, k=8, radius=4, fallback_cap=8192)
+    _sync(d[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        d, _, _ = windowed_knn(x, k=8, radius=4, fallback_cap=8192)
+    _sync(d[0, 0])
+    return {
+        "knn_262k_ms": (time.perf_counter() - t0) / 5 * 1e3,
+        "knn_uncertified": float(unc),
+    }
+
+
+def extra_dbscan() -> dict[str, float]:
+    """Batched DBSCAN hyperparameter scan, ms per trial (12 trials)."""
+    from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
+
+    rng = np.random.default_rng(5)
+    n = 16384
+    centers = rng.normal(size=(n // 8, 4)).astype(np.float32)
+    x = centers[rng.integers(0, n // 8, size=n)] + 0.03 * rng.normal(
+        size=(n, 4)
+    ).astype(np.float32)
+    rescan = DBSCANFastRescan(x, max_eps=0.5, max_num_neighbors=64)
+    trials = [{"eps": e, "min_samples": 3} for e in np.linspace(0.02, 0.5, 12)]
+    labels = rescan.cluster_many(trials)  # compile
+    t0 = time.perf_counter()
+    labels = rescan.cluster_many(trials)
+    np.asarray(labels)
+    return {"dbscan_ms_per_trial": (time.perf_counter() - t0) / len(trials) * 1e3}
+
+
+def extra_graphtcn() -> dict[str, float]:
+    """Full GraphTCN (EC + condensation) train step, events/s."""
+    import jax
+    import optax
+
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.oc import CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.module import TCModule
+
+    rng = np.random.default_rng(6)
+    x, edge_index, edge_attr, _ = make_arrays(6)
+    pid = rng.integers(0, 2048, size=N_NODES)
+    g = EventGraph.from_arrays(
+        x=x,
+        edge_index=edge_index,
+        edge_attr=edge_attr,
+        y=(pid[edge_index[0]] == pid[edge_index[1]]) & (pid[edge_index[0]] > 0),
+        particle_id=pid,
+        pt=(2 * rng.random(2048))[pid],
+        eta=(8 * (rng.random(2048) - 0.5))[pid],
+        reconstructable=np.ones(N_NODES),
+    )
+    module = TCModule(
+        model=GraphTCN(
+            h_dim=INTERACTION_DIM,
+            e_dim=INTERACTION_DIM,
+            h_outdim=8,
+            hidden_dim=HIDDEN_DIM,
+            L_ec=L_EC,
+            L_hc=3,
+        ),
+        loss_fct=CondensationLossTiger(max_n_objects=2048, object_block_size=256),
+        precision="bf16",
+    )
+    module.setup_params(g)
+    _sync(module.training_step(g)["total"])  # compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = module.training_step(g)
+    _sync(out["total"])
+    dt = (time.perf_counter() - t0) / 5
+    return {"graphtcn_events_per_s": 1.0 / dt, "graphtcn_ms": dt * 1e3}
+
+
 def main():
     # Watchdog: the axon-tunneled chip serializes claims across processes; if
     # a stale claim wedges the device, exit instead of hanging forever.
-    import os
     import threading
 
-    budget = float(os.environ.get("BENCH_WATCHDOG_S", "480"))
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
     done = threading.Event()
 
     def _watchdog():
@@ -217,8 +349,30 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    mode = os.environ.get("BENCH_MODE", "bf16_sorted")
     cpu = get_cpu_baseline()
-    tpu = bench_tpu()
+    t_start = time.perf_counter()
+    tpu = bench_tpu(mode)
+    step_ms = N_EDGES / tpu * 1e3
+    extra = {
+        "mode": mode,
+        "ec_step_ms": round(step_ms, 2),
+        # 3x-forward approximation for fwd+bwd useful-FLOP throughput
+        "ec_mfu": round(3 * ec_useful_flops_fwd() / (step_ms / 1e3) / V5E_BF16_FLOPS, 5),
+    }
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        for name, fn in (
+            ("knn", extra_knn),
+            ("dbscan", extra_dbscan),
+            ("graphtcn", extra_graphtcn),
+        ):
+            if time.perf_counter() - t_start > budget - 300:
+                extra[name + "_skipped"] = "time budget"
+                continue
+            try:
+                extra.update({k: round(v, 3) for k, v in fn().items()})
+            except Exception as e:  # noqa: BLE001
+                extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
     done.set()
     target = 5.0 * cpu
     print(
@@ -228,6 +382,7 @@ def main():
                 "value": round(tpu),
                 "unit": "edges/s",
                 "vs_baseline": round(tpu / target, 3),
+                "extra": extra,
             }
         )
     )

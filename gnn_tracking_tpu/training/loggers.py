@@ -16,6 +16,7 @@ callable can fan metrics out to any backend.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -47,7 +48,15 @@ def collect_run_metadata(config: dict | None = None) -> dict[str, Any]:
 
 
 class RunLogger:
-    """JSONL/CSV metric logger with optional fan-out hooks."""
+    """JSONL/CSV metric logger with TensorBoard events + fan-out hooks.
+
+    TensorBoard: when the writer is importable (torch's bundled
+    ``SummaryWriter`` — event files readable by standard TensorBoard /
+    W&B sync, reference ``training/callbacks.py:87-144``), scalars are
+    mirrored to ``<log_dir>/tb/`` and the run config goes in as a text
+    summary. ``tensorboard=False`` disables; ``None`` (default) =
+    auto-enable if available.
+    """
 
     def __init__(
         self,
@@ -55,6 +64,7 @@ class RunLogger:
         *,
         config: dict | None = None,
         csv: bool = False,
+        tensorboard: bool | None = None,
         log_hook: Callable[[int, dict[str, float]], None] | None = None,
     ):
         self.log_dir = Path(log_dir)
@@ -63,9 +73,24 @@ class RunLogger:
         self._csv = self.log_dir / "metrics.csv" if csv else None
         self._csv_keys: list[str] | None = None
         self._hook = log_hook
+        meta = collect_run_metadata(config)
         (self.log_dir / "run_meta.json").write_text(
-            json.dumps(collect_run_metadata(config), indent=2, default=str)
+            json.dumps(meta, indent=2, default=str)
         )
+        self._tb = None
+        if tensorboard is not False:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.log_dir / "tb"))
+                self._tb.add_text(
+                    "run_meta",
+                    "```json\n" + json.dumps(meta, indent=2, default=str) + "\n```",
+                    0,
+                )
+            except Exception:  # noqa: BLE001 - TB is best-effort
+                if tensorboard is True:
+                    raise
 
     def log(self, step: int, metrics: dict[str, float]) -> None:
         record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
@@ -79,8 +104,17 @@ class RunLogger:
                 f.write(
                     ",".join(str(record.get(k, "")) for k in self._csv_keys) + "\n"
                 )
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step" and not math.isnan(v):
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
         if self._hook is not None:
             self._hook(step, metrics)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
 
     def read_history(self) -> list[dict[str, float]]:
         if not self._jsonl.exists():

@@ -177,20 +177,28 @@ def stage_tc(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
             node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
         ),
     )
+    import optax
+
     # truth-based EC isolates condensation + clustering quality on real
     # data (the reference's TC stage equally assumes a trained/perfect EC:
-    # reference training/tc.py + tcn.py:389-454)
+    # reference training/tc.py + tcn.py:389-454). Pure attractive/repulsive
+    # potentials + gradient clipping: with the beta terms on, beta collapses
+    # toward 0 on small events (q -> q_min, flat potentials) and adam's
+    # decayed second moment turns the first real gradient into a divergent
+    # step — same recipe as scripts/demo_sharded.py.
     module = TCModule(
         model=PerfectECGraphTCN(
             h_dim=16, e_dim=16, h_outdim=4, hidden_dim=48, L_hc=3
         ),
         loss_fct=CondensationLossTiger(
-            lw_noise=1.0, lw_coward=0.1, max_n_objects=512
+            lw_noise=0.0, lw_coward=0.0, max_n_objects=512
         ),
         cluster_scanner=DBSCANHyperParamScanner(
             eps_range=(0.01, 0.5), n_trials=12, keep_best=4, seed=0
         ),
-        lr=2e-3,
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(2e-3)
+        ),
     )
     trainer = Trainer(max_epochs=epochs, log_dir=workdir / "runs_tc")
     metrics = trainer.fit(module, dm)

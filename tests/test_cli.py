@@ -24,10 +24,13 @@ def data_dirs(tmp_path_factory):
     return root
 
 
-def test_cli_fit_from_yaml(data_dirs, tmp_path):
-    template = Path(__file__).parent / "test_configs" / "tc.yml"
+@pytest.mark.parametrize("name", ["tc.yml", "ml_hetero.yml", "ml_heteroenc.yml"])
+def test_cli_fit_from_yaml(data_dirs, tmp_path, name):
+    """Reference parity: tests/test_lightning_from_config_training.py:25-53
+    smoke-fits every bundled config YAML, incl. the heterogeneous ML models."""
+    template = Path(__file__).parent / "test_configs" / name
     config_text = template.read_text().replace("__TMPDIR__", str(data_dirs))
-    cfg = tmp_path / "tc.yml"
+    cfg = tmp_path / name
     cfg.write_text(config_text)
     metrics = cli_main(["fit", "--config", str(cfg)])
     assert "total" in metrics
