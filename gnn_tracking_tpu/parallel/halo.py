@@ -270,6 +270,74 @@ def gather_halo_a2a(x_local: jax.Array, sg: "ShardedGraph", axis_name: str = "gr
     return jnp.concatenate([x_local, halo_x], axis=0)
 
 
+def ring_halo_distance(sg: "ShardedGraph") -> int:
+    """Largest ring distance any halo row must travel (host-side check).
+
+    With φ-sorted contiguous shards (``partition_event`` default) boundary
+    sources live on ring-adjacent shards, so this is usually 1 — the
+    condition under which :func:`gather_halo_ring`'s ``max_dist=1`` is
+    exact. φ wraps, so shard 0 and shard P-1 are ring neighbors.
+    """
+    import numpy as np
+
+    send_mask = np.asarray(sg.send_mask)  # [owner, requester, Hp]
+    p = send_mask.shape[0]
+    dmax = 0
+    for o in range(p):
+        for r in range(p):
+            if o != r and send_mask[o, r].any():
+                d = abs(o - r)
+                dmax = max(dmax, min(d, p - d))
+    return dmax
+
+
+def gather_halo_ring(
+    x_local: jax.Array,
+    sg: "ShardedGraph",
+    axis_name: str = "graph",
+    max_dist: int = 1,
+):
+    """Inside ``shard_map``: halo fetch via neighbor ``ppermute`` steps.
+
+    Where :func:`gather_halo_a2a` launches one all-to-all whose send buffer
+    is padded for ALL ``P`` peers (``[P, Hp, F]`` on the wire even when only
+    neighbors need rows), this sends ``2·max_dist`` point-to-point ppermutes
+    of ``[Hp, F]`` — for φ-contiguous shards (halo distance 1) that is a
+    ``P/2``× traffic cut and every transfer rides a physical neighbor ICI
+    link. The per-distance steps carry no data dependence between them, so
+    XLA's latency-hiding scheduler is free to overlap them with each other
+    and with any independent local compute in the surrounding layer.
+
+    EXACT only when every halo row's owner is within ``max_dist`` ring hops
+    (check with :func:`ring_halo_distance`); rows beyond are dropped.
+    """
+    p = sg.send_local.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    h = sg.halo_mask.shape[0]
+    halo_x = jnp.zeros((h,) + x_local.shape[1:], dtype=x_local.dtype)
+    for d in range(1, p):
+        if min(d, p - d) > max_dist:
+            continue
+        req = (me + d) % p  # the requester this shard serves at step d
+        rows = jnp.take(sg.send_local, req, axis=0)  # [Hp]
+        mask = jnp.take(sg.send_mask, req, axis=0)
+        buf = jnp.where(mask[:, None], x_local[rows], 0)
+        perm = [(i, (i + d) % p) for i in range(p)]
+        got = jax.lax.ppermute(buf, axis_name, perm)  # rows from owner me-d
+        owner = (me - d) % p
+        slots = jnp.take(sg.recv_slot, owner, axis=0)
+        vmask = jnp.take(sg.recv_mask, owner, axis=0)
+        halo_x = halo_x.at[jnp.where(vmask, slots, h)].add(got, mode="drop")
+    return jnp.concatenate([x_local, halo_x], axis=0)
+
+
+HALO_IMPLS: dict[str, Callable] = {
+    "all_gather": gather_halo,
+    "a2a": gather_halo_a2a,
+    "ring": gather_halo_ring,
+}
+
+
 def make_sharded_apply(
     mesh: Mesh,
     n_local: int,

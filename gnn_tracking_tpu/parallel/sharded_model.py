@@ -83,19 +83,34 @@ class ShardedTCN(nn.Module):
     Parameters nest under ``model/`` — strip/add that prefix to move
     checkpoints between sharded and single-device runs (or use
     ``{"model": single_device_params}``).
+
+    ``halo_impl``: ``"a2a"`` (default, always exact), ``"ring"``
+    (neighbor-ppermute, minimal ICI traffic — requires
+    ``halo.ring_halo_distance(sg) <= ring_max_dist``), or ``"all_gather"``.
     """
 
     model: nn.Module
     axis_name: str = "graph"
+    halo_impl: str = "a2a"
+    ring_max_dist: int = 1
 
     @nn.compact
     def __call__(
         self, sg_local: ShardedGraph, n_local: int
     ) -> dict[str, jax.Array | None]:
-        data = shard_as_eventgraph(sg_local)
+        from gnn_tracking_tpu.parallel.halo import HALO_IMPLS, gather_halo_ring
 
-        def exchange(a: jax.Array) -> jax.Array:
-            return gather_halo_a2a(a, sg_local, self.axis_name)
+        data = shard_as_eventgraph(sg_local)
+        if self.halo_impl == "ring":
+            def exchange(a: jax.Array) -> jax.Array:
+                return gather_halo_ring(
+                    a, sg_local, self.axis_name, max_dist=self.ring_max_dist
+                )
+        else:
+            fetch = HALO_IMPLS[self.halo_impl]
+
+            def exchange(a: jax.Array) -> jax.Array:
+                return fetch(a, sg_local, self.axis_name)
 
         return self.model(data, exchange=exchange)
 
@@ -138,10 +153,15 @@ class ShardedTCTrainer:
         loss_weights: dict[str, float] | None = None,
         optimizer: optax.GradientTransformation | None = None,
         axis_name: str = "graph",
+        halo_impl: str = "a2a",
+        ring_max_dist: int = 1,
     ):
         self.mesh = mesh
         inner = model if model is not None else self._default_model()
-        self.model = ShardedTCN(model=inner, axis_name=axis_name)
+        self.model = ShardedTCN(
+            model=inner, axis_name=axis_name,
+            halo_impl=halo_impl, ring_max_dist=ring_max_dist,
+        )
         self.q_min = q_min
         self.max_n_objects = max_n_objects
         self.loss_weights = loss_weights or {

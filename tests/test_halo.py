@@ -144,3 +144,98 @@ def test_sharded_gradients_match(setup):
     g_ref = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_halo_matches_a2a_and_allgather():
+    """Neighbor-ppermute halo fetch is exact when the partition's ring
+    distance is within max_dist (phi-contiguous shards -> distance 1)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from gnn_tracking_tpu.parallel.halo import (
+        gather_halo,
+        gather_halo_a2a,
+        gather_halo_ring,
+        partition_event,
+        ring_halo_distance,
+    )
+    from tests.test_learning import synthetic_event
+
+    g = synthetic_event(3)
+    n_shards = 4
+    sg = partition_event(g, n_shards)
+    dist = ring_halo_distance(sg)
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("graph",))
+    x_feat = jnp.asarray(np.asarray(sg.x), dtype=jnp.float32)
+
+    def run(fetch, **kw):
+        def body(sg_blk):
+            sg_l = jax.tree.map(lambda v: v[0], sg_blk)
+            return fetch(sg_l.x, sg_l, "graph", **kw)[None]
+
+        spec = jax.tree.map(lambda _: P("graph"), sg)
+        return np.asarray(
+            jax.jit(
+                shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=P("graph"))
+            )(sg)
+        )
+
+    ref = run(gather_halo)
+    a2a = run(gather_halo_a2a)
+    ring = run(gather_halo_ring, max_dist=max(dist, 1))
+    np.testing.assert_array_equal(a2a, ref)
+    np.testing.assert_array_equal(ring, ref)
+
+
+def test_ring_halo_insufficient_distance_drops_rows():
+    """max_dist below the partition's true ring distance must NOT silently
+    equal the exact fetch (guards the exactness precondition)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from gnn_tracking_tpu.parallel.halo import (
+        gather_halo,
+        gather_halo_ring,
+        partition_event,
+        ring_halo_distance,
+    )
+
+    from gnn_tracking_tpu.graphs import EventGraph
+
+    rng = np.random.default_rng(7)
+    n = 64
+    # random (non-phi-local) edges force halo sources from far shards
+    ei = rng.integers(0, n, size=(2, 400))
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 5)).astype(np.float32),
+        edge_index=ei,
+        edge_attr=rng.normal(size=(400, 3)).astype(np.float32),
+        y=np.zeros(400),
+    )
+    sg = partition_event(g, 4, sort_key=rng.permutation(n).astype(float))
+    dist = ring_halo_distance(sg)
+    assert dist == 2  # P=4: farthest ring distance
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("graph",))
+
+    def run(fetch, **kw):
+        def body(sg_blk):
+            sg_l = jax.tree.map(lambda v: v[0], sg_blk)
+            return fetch(sg_l.x, sg_l, "graph", **kw)[None]
+
+        spec = jax.tree.map(lambda _: P("graph"), sg)
+        return np.asarray(
+            jax.jit(
+                shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=P("graph"))
+            )(sg)
+        )
+
+    ref = run(gather_halo)
+    full = run(gather_halo_ring, max_dist=2)
+    np.testing.assert_array_equal(full, ref)
+    short = run(gather_halo_ring, max_dist=1)
+    assert not np.array_equal(short, ref)

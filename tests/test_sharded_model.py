@@ -275,3 +275,31 @@ def test_sharded_config_variants_match_single_device(variant):
         np.testing.assert_allclose(
             w_global[em], np.asarray(out_ref["W"])[em], rtol=1e-5, atol=1e-8
         )
+
+
+def test_sharded_ring_halo_matches_a2a():
+    """halo_impl='ring' (neighbor ppermute) gives the same forward as the
+    default a2a exchange on a phi-contiguous partition."""
+    from gnn_tracking_tpu.parallel.halo import ring_halo_distance
+
+    g = synthetic_event(4)
+    sg = partition_event(g, N_SHARDS)
+    dist = ring_halo_distance(sg)
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    model = GraphTCNForMLGCPipeline(h_dim=6, e_dim=5, h_outdim=3, hidden_dim=16, L_hc=2)
+    outs = {}
+    params = None
+    for impl in ("a2a", "ring"):
+        trainer = ShardedTCTrainer(
+            mesh, model=model, max_n_objects=K,
+            halo_impl=impl, ring_max_dist=max(dist, 1),
+        )
+        if params is None:
+            trainer.init(jax.random.PRNGKey(2), sg)
+            params = trainer.params
+        else:
+            trainer.params = params
+        h, beta = trainer.forward(sg)
+        outs[impl] = (np.asarray(h), np.asarray(beta))
+    np.testing.assert_array_equal(outs["ring"][0], outs["a2a"][0])
+    np.testing.assert_array_equal(outs["ring"][1], outs["a2a"][1])
