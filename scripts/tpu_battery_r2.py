@@ -386,12 +386,68 @@ def exp_knnbig():
         report("learned_gc_300k_step", error=describe(ex)[:500])
 
 
+def exp_cc():
+    """CC inner loop: XLA neighbor-table CC vs the single-kernel Pallas CC
+    (VMEM-resident labels; probes Mosaic's 1-D dynamic-gather), plus the
+    batched DBSCAN scan (VERDICT #7 target: <30 ms/trial from 56)."""
+    from gnn_tracking_tpu.ops.cc import connected_components_neighbors
+    from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
+
+    rng = np.random.default_rng(6)
+    n, k = (1024, 8) if SMOKE else (16384, 64)
+    # clustered points -> realistic DBSCAN neighbor structure
+    centers = rng.normal(size=(n // 8, 4)).astype(np.float32)
+    x = centers[rng.integers(0, n // 8, size=n)] + 0.03 * rng.normal(
+        size=(n, 4)
+    ).astype(np.float32)
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=k).fit(x)
+    dd, ii = nn.kneighbors(x)
+    # symmetrized mask within a radius
+    idx = jnp.asarray(ii.astype(np.int32))
+    mask = jnp.asarray(dd < 0.1)
+
+    ref = connected_components_neighbors(idx, mask)
+    sync(ref)
+    t_x = timeit(lambda: connected_components_neighbors(idx, mask), iters=2 if SMOKE else 20)
+    report("cc_xla_neighbors", ms=t_x * 1e3)
+
+    try:
+        from gnn_tracking_tpu.ops.pallas.cc_kernel import cc_neighbors_pallas
+
+        got = sync(cc_neighbors_pallas(idx, mask))
+        match = bool(np.array_equal(np.asarray(got), np.asarray(ref)))
+        t_p = timeit(lambda: cc_neighbors_pallas(idx, mask), iters=2 if SMOKE else 20)
+        report("cc_pallas_vmem", ms=t_p * 1e3, match=match)
+    except Exception as ex:
+        report("cc_pallas_vmem", error=describe(ex)[:500])
+
+    # full batched DBSCAN scan
+    try:
+        rescan = DBSCANFastRescan(
+            np.asarray(x), max_eps=0.5, max_num_neighbors=k
+        )
+        trials = [
+            {"eps": e, "min_samples": 3} for e in np.linspace(0.02, 0.5, 12)
+        ]
+        labels = rescan.cluster_many(trials)
+        np.asarray(labels)
+        t0 = time.perf_counter()
+        np.asarray(rescan.cluster_many(trials))
+        t = time.perf_counter() - t0
+        report("dbscan_batched_scan", ms_per_trial=t / len(trials) * 1e3)
+    except Exception as ex:
+        report("dbscan_batched_scan", error=describe(ex)[:500])
+
+
 EXPS = {
     "exact": exp_exact,
     "micro": exp_micro,
     "ec": exp_ec_step,
     "rg64": exp_rg64,
     "knnbig": exp_knnbig,
+    "cc": exp_cc,
 }
 
 
