@@ -57,10 +57,16 @@ class EventPlotter:
 
 
 class PointCloudPlotter:
-    """Sectored point-cloud views (reference ``plotting.py:79-175``)."""
+    """Sectored point-cloud views (reference ``plotting.py:79-175``).
 
-    def __init__(self, graphs: list[EventGraph]):
+    Point-cloud feature columns follow the builder layout
+    (``preprocessing/point_cloud_builder.py``): 0=r, 1=phi, 2=z, 3=eta,
+    4=u, 5=v.
+    """
+
+    def __init__(self, graphs: list[EventGraph], n_sectors: int = 64):
         self.graphs = graphs
+        self.n_sectors = n_sectors
 
     def plot_sectors(self, coords=(1, 3)):
         from matplotlib import pyplot as plt
@@ -72,6 +78,75 @@ class PointCloudPlotter:
             ax.scatter(x[:, coords[0]], x[:, coords[1]], s=1, c=sector, cmap="tab20")
         return fig, ax
 
+    def plot_ep_rv_uv(self, axs=None, pixel_only: bool = False):
+        """Per-sector (eta, phi) / (z, r) / (u, v) panels, one color per
+        sector (reference ``plotting.py:86-126``)."""
+        from matplotlib import cm
+        from matplotlib import pyplot as plt
+
+        if axs is None:
+            _, axs = plt.subplots(1, 3, figsize=(18, 5))
+        colors = cm.prism(np.linspace(0, 1, max(len(self.graphs), 2)))
+        s = 0.5 if pixel_only else 2.0
+        for i, g in enumerate(self.graphs):
+            x = np.asarray(g.x)[np.asarray(g.node_mask)]
+            kw = {"s": s, "color": colors[i]}
+            axs[0].scatter(x[:, 3], x[:, 1], **kw)
+            axs[1].scatter(x[:, 2], x[:, 0], **kw)
+            axs[2].scatter(x[:, 4], x[:, 5], **kw)
+        for ax, (a, b) in zip(
+            axs, [(r"$\eta$", r"$\phi$"), ("$z$ [mm]", "$r$ [mm]"),
+                  ("u [1/mm]", "v [1/mm]")]
+        ):
+            ax.set_xlabel(a)
+            ax.set_ylabel(b)
+        return axs
+
+    def plot_ep_rv_uv_with_boundary(
+        self,
+        sector: int,
+        di: float,
+        ds: float,
+        *,
+        ulim=(0.0, 0.035),
+        vlim=(-0.004, 0.004),
+        pixel_only: bool = False,
+    ):
+        """One sector's hits in rotated (u, v) with the original and
+        extended (overlap) sector boundary lines overlaid — the view used
+        to tune the sectorization overlap parameters ``di``/``ds``
+        (reference ``plotting.py:128-175``)."""
+        from matplotlib import pyplot as plt
+
+        fig, axs = plt.subplots(1, 3, figsize=(18, 5))
+        g = self.graphs[sector]
+        x = np.asarray(g.x)[np.asarray(g.node_mask)]
+        theta = np.pi / self.n_sectors
+        rot = 2 * sector * theta
+        u, v = x[:, 4], x[:, 5]
+        ur = u * np.cos(rot) - v * np.sin(rot)
+        vr = u * np.sin(rot) + v * np.cos(rot)
+        s = 0.5 if pixel_only else 3.0
+        axs[0].scatter(x[:, 3], x[:, 1], s=s)
+        axs[0].set_xlabel(r"$\eta$")
+        axs[0].set_ylabel(r"$\phi$")
+        axs[1].scatter(x[:, 2], x[:, 0], s=s)
+        axs[1].set_xlabel("$z$ [mm]")
+        axs[1].set_ylabel("$r$ [mm]")
+        axs[2].scatter(ur, vr, s=s)
+        slope = np.arctan(theta)
+        xr = np.linspace(ulim[0], ulim[1], 200)
+        axs[2].plot(xr, slope * xr, "k-", label="Original sector")
+        axs[2].plot(xr, -slope * xr, "k-")
+        axs[2].plot(xr, ds * slope * xr + di, "k--", label="Extended sector")
+        axs[2].plot(xr, -ds * slope * xr - di, "k--")
+        axs[2].set_xlim(ulim)
+        axs[2].set_ylim(vlim)
+        axs[2].set_xlabel(r"$u_\mathrm{rot}$ [1/mm]")
+        axs[2].set_ylabel(r"$v_\mathrm{rot}$ [1/mm]")
+        axs[2].legend(loc="best")
+        return fig, axs
+
 
 class GraphPlotter:
     """Graph views with true/false edge coloring
@@ -79,6 +154,27 @@ class GraphPlotter:
 
     def __init__(self, data: EventGraph):
         self.data = data
+
+    def _edge_collection(self, xs, ys, max_edges: int):
+        """True/false edge segments as one vectorized LineCollection each
+        (the reference draws per-edge ``ax.plot`` calls — O(E) artists;
+        ``plotting.py:197-273``)."""
+        from matplotlib.collections import LineCollection
+
+        ei = np.asarray(self.data.edge_index)
+        em = np.asarray(self.data.edge_mask)
+        y = np.asarray(self.data.y).astype(bool)
+        idx = np.where(em)[0][:max_edges]
+        a, b = ei[0, idx], ei[1, idx]
+        segs = np.stack(
+            [np.stack([xs[a], ys[a]], axis=1), np.stack([xs[b], ys[b]], axis=1)],
+            axis=1,
+        )
+        t = y[idx]
+        return (
+            LineCollection(segs[t], colors="g", alpha=0.6, lw=0.5),
+            LineCollection(segs[~t], colors="r", alpha=0.1, lw=0.5),
+        )
 
     def plot_rz(self, ax=None, max_edges: int = 5000):
         from matplotlib import pyplot as plt
@@ -89,20 +185,50 @@ class GraphPlotter:
         nm = np.asarray(self.data.node_mask)
         r, z = x[:, 0], x[:, 2]
         ax.scatter(z[nm], r[nm], s=1, c="k")
-        ei = np.asarray(self.data.edge_index)
-        em = np.asarray(self.data.edge_mask)
-        y = np.asarray(self.data.y)
-        idx = np.where(em)[0][:max_edges]
-        for i in idx:
-            a, b = ei[0, i], ei[1, i]
-            ax.plot(
-                [z[a], z[b]], [r[a], r[b]],
-                color="g" if y[i] else "r",
-                alpha=0.6 if y[i] else 0.1,
-                lw=0.5,
-            )
+        for coll in self._edge_collection(z, r, max_edges):
+            ax.add_collection(coll)
         ax.set_xlabel("z")
         ax.set_ylabel("r")
+        return ax
+
+    def plot_ep_rz_uv(self, axs=None, max_edges: int = 5000):
+        """Three-panel graph view — (eta, phi), (z, r), (u, v) — with
+        true/false edges drawn in every projection
+        (reference ``plotting.py:197-273``)."""
+        from matplotlib import pyplot as plt
+
+        if axs is None:
+            _, axs = plt.subplots(1, 3, figsize=(18, 5))
+        x = np.asarray(self.data.x)
+        nm = np.asarray(self.data.node_mask)
+        panels = [
+            (x[:, 3], x[:, 1], (r"$\eta$", r"$\phi$")),
+            (x[:, 2], x[:, 0], ("$z$ [mm]", "$r$ [mm]")),
+            (x[:, 4], x[:, 5], ("u [1/mm]", "v [1/mm]")),
+        ]
+        for ax, (xs, ys, (la, lb)) in zip(axs, panels):
+            ax.scatter(xs[nm], ys[nm], s=1, c="k")
+            for coll in self._edge_collection(xs, ys, max_edges):
+                ax.add_collection(coll)
+            ax.set_xlabel(la)
+            ax.set_ylabel(lb)
+        return axs
+
+    def plot_2d(self, ax=None, max_edges: int = 5000):
+        """Transverse x-y view with edges (reference ``plotting.py:274-333``)."""
+        from matplotlib import pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        x = np.asarray(self.data.x)
+        nm = np.asarray(self.data.node_mask)
+        r, phi = x[:, 0], x[:, 1]
+        px, py = r * np.cos(phi), r * np.sin(phi)
+        ax.scatter(px[nm], py[nm], s=1, c="k")
+        for coll in self._edge_collection(px, py, max_edges):
+            ax.add_collection(coll)
+        ax.set_xlabel("x [mm]")
+        ax.set_ylabel("y [mm]")
         return ax
 
     def plot_3d(self, max_edges: int = 2000):

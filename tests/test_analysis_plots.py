@@ -94,3 +94,46 @@ def test_latent_plot(graph):
 def test_graph_plotter(graph):
     plot_rz(graph, max_edges=50)
     GraphPlotter(graph).plot_3d(max_edges=20)
+
+
+def test_selected_pids_collateral_views(graph):
+    """Collateral-hit panels (reference latent.py:88-179): hits sharing a
+    cluster with a selected particle but from another particle are marked."""
+    import matplotlib
+    matplotlib.use("Agg")
+    rng = np.random.default_rng(0)
+    latent = rng.normal(size=(graph.num_nodes, 2))
+    # labels: cluster = particle id, but move one foreign hit into pid 1's cluster
+    labels = np.asarray(graph.particle_id).copy()
+    pid = np.asarray(graph.particle_id)
+    foreign = np.where(pid != 1)[0][0]
+    labels[foreign] = 1
+    p = SelectedPidsPlot(graph, latent, labels=labels, selected_pids=[1, 2])
+    mask = p.get_collateral_mask(1)
+    assert mask[foreign]
+    assert not mask[pid == 1].any()
+    plot = p.plot_latent(circles=True, eps=0.3)
+    assert plot.ax is not None
+    plot2 = p.plot_phi_eta()
+    assert plot2.ax is not None
+
+
+def test_graph_plotter_panels(graph):
+    import matplotlib
+    matplotlib.use("Agg")
+    axs = GraphPlotter(graph).plot_ep_rz_uv(max_edges=50)
+    assert len(axs) == 3
+    ax = GraphPlotter(graph).plot_2d(max_edges=50)
+    assert ax is not None
+
+
+def test_point_cloud_plotter_panels(graph):
+    import matplotlib
+    matplotlib.use("Agg")
+    from gnn_tracking_tpu.utils.plotting import PointCloudPlotter
+
+    pcp = PointCloudPlotter([graph, graph], n_sectors=8)
+    axs = pcp.plot_ep_rv_uv(pixel_only=True)
+    assert len(axs) == 3
+    fig, axs = pcp.plot_ep_rv_uv_with_boundary(1, di=0.0005, ds=1.3)
+    assert len(axs) == 3
