@@ -181,17 +181,18 @@ def stage_tc(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
 
     # truth-based EC isolates condensation + clustering quality on real
     # data (the reference's TC stage equally assumes a trained/perfect EC:
-    # reference training/tc.py + tcn.py:389-454). Pure attractive/repulsive
-    # potentials + gradient clipping: with the beta terms on, beta collapses
-    # toward 0 on small events (q -> q_min, flat potentials) and adam's
-    # decayed second moment turns the first real gradient into a divergent
-    # step — same recipe as scripts/demo_sharded.py.
+    # reference training/tc.py + tcn.py:389-454). Recipe (sweep 2026-08-17,
+    # BENCH_NOTES): q_min=0.5 keeps the potentials alive when beta sags
+    # (gradient floor ~q_min^2 instead of 1e-4), lw_coward=0.5 + lw_noise=1.0
+    # re-inflate beta, clip_by_global_norm guards the flat-potential adam
+    # divergence. 800 epochs -> double-majority(pt>0.9) = 1.000 on the
+    # bundled event; the earlier pure-potential recipe collapsed to 0.016.
     module = TCModule(
         model=PerfectECGraphTCN(
             h_dim=16, e_dim=16, h_outdim=4, hidden_dim=48, L_hc=3
         ),
         loss_fct=CondensationLossTiger(
-            lw_noise=0.0, lw_coward=0.0, max_n_objects=512
+            q_min=0.5, lw_noise=1.0, lw_coward=0.5, max_n_objects=512
         ),
         cluster_scanner=DBSCANHyperParamScanner(
             eps_range=(0.01, 0.5), n_trials=12, keep_best=4, seed=0
@@ -223,9 +224,9 @@ def main() -> None:
         type=Path,
         default=Path(__file__).parent.parent / "tests" / "test_data" / "trackml",
     )
-    parser.add_argument("--epochs-ec", type=int, default=40)
-    parser.add_argument("--epochs-ml", type=int, default=40)
-    parser.add_argument("--epochs-tc", type=int, default=60)
+    parser.add_argument("--epochs-ec", type=int, default=80)
+    parser.add_argument("--epochs-ml", type=int, default=120)
+    parser.add_argument("--epochs-tc", type=int, default=800)
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument(
         "--stages", default="A,B,C", help="comma subset of A (EC), B (ML), C (TC)"
