@@ -43,11 +43,31 @@ def _resolve_interpret(interpret):
     return interpret
 
 
-def _onehot(idx, rows, cols, axis, dtype):
-    """One-hot matrix from local indices; `axis` is the index-carrying dim."""
-    it = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1 - axis)
-    ref = idx[:, None] if axis == 0 else idx[None, :]
-    return (it == ref).astype(dtype)
+def _onehot_t(idx_row, rows, cols, dtype):
+    """Transposed one-hot: ``oh[n, e] = (n == idx[0, e])``.
+
+    ``idx_row`` is a ``[1, E]`` i32 block — the index streams are shipped as
+    2-D ``[n_blocks, block_e]`` arrays because Mosaic rejects rank-1 s32
+    operands whose block shape disagrees with XLA's 1-D tiling (T(1024) vs
+    T(512) layout-verification failure, seen on hardware). Keeping the index
+    dim in lanes means no in-kernel transpose: gathers contract the one-hot's
+    row axis (``transpose_a``), scatters contract its column axis.
+    """
+    it = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    return (it == idx_row).astype(dtype)
+
+
+def _tile_row(ref, flat):
+    """Select row ``flat % 8`` of an ``[8, eb]`` index tile as ``[1, eb]``.
+
+    Pallas TPU block shapes need sublane counts divisible by 8, so per-edge
+    streams ride as 8-row tiles (block index ``flat // 8``); each grid step
+    extracts its own row with an iota compare + sublane reduce.
+    """
+    tile = ref[:]
+    rsel = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0) == flat % 8
+    return jnp.sum(jnp.where(rsel, tile, jnp.zeros_like(tile)), axis=0,
+                   keepdims=True)
 
 
 def _mxu(a, b, transpose_a=False, transpose_b=False):
@@ -76,25 +96,38 @@ def _mxu(a, b, transpose_a=False, transpose_b=False):
 
 
 def _gather3(sl, xw0, xw1, xw2, w, eb, dtype):
-    """x[src] for srcloc in [0, 3W) from three W-row windows."""
-    out = _mxu(_onehot(sl, eb, w, 0, dtype), xw0)
-    out += _mxu(_onehot(sl - w, eb, w, 0, dtype), xw1)
-    out += _mxu(_onehot(sl - 2 * w, eb, w, 0, dtype), xw2)
+    """x[src] for srcloc in [0, 3W) from three W-row windows.
+
+    ``sl`` is ``[1, eb]``; each term contracts the one-hot's window axis so
+    the result is ``[eb, Fx]`` without materializing any transpose.
+    """
+    out = _mxu(_onehot_t(sl, w, eb, dtype), xw0, transpose_a=True)
+    out += _mxu(_onehot_t(sl - w, w, eb, dtype), xw1, transpose_a=True)
+    out += _mxu(_onehot_t(sl - 2 * w, w, eb, dtype), xw2, transpose_a=True)
     return out
 
 
 def _mlp_fwd(gdst, gsrc, ea, ws, dtype):
-    """relu((concat @ W1)+b1) → relu(@W2+b2) → @W3+b3, concat-free."""
+    """relu((concat @ W1)+b1) → relu(@W2+b2) → @W3+b3, concat-free.
+
+    Also returns the ReLU masks, taken on the f32 pre-activations: Mosaic
+    has no bf16 vector ``cmpf`` on v5e, and casting the bf16 activations
+    back to f32 for the comparison re-materializes the pre-cast f32 value
+    into the following matmul (mixed f32×bf16 ``tpu.matmul`` = compile
+    error). Masks straight off the f32 accumulators avoid both.
+    """
     w1d, w1s, w1e, b1, w2, b2, w3, b3 = ws
     pre1 = _mxu(gdst.astype(dtype), w1d)
     pre1 += _mxu(gsrc.astype(dtype), w1s)
     pre1 += _mxu(ea, w1e)
-    h1 = jnp.maximum(pre1 + b1.astype(jnp.float32), 0.0).astype(dtype)
-    h2 = jnp.maximum(
-        _mxu(h1, w2) + b2.astype(jnp.float32), 0.0
-    ).astype(dtype)
+    pre1 = pre1 + b1.astype(jnp.float32)
+    m1 = pre1 > 0.0
+    h1 = jnp.maximum(pre1, 0.0).astype(dtype)
+    pre2 = _mxu(h1, w2) + b2.astype(jnp.float32)
+    m2 = pre2 > 0.0
+    h2 = jnp.maximum(pre2, 0.0).astype(dtype)
     et = _mxu(h2, w3) + b3.astype(jnp.float32)
-    return h1, h2, et
+    return h1, h2, et, m1, m2
 
 
 def _fwd_kernel(
@@ -102,29 +135,31 @@ def _fwd_kernel(
     xw0_ref, xw1_ref, xw2_ref,
     w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     eout_ref, agg_ref,
-    *, w: int, dtype,
+    *, w: int, cmax: int, dtype,
 ):
     eb = ea_ref.shape[0]
-    sl = sl_ref[:]
-    dl = dl_ref[:]
-    inw = inw_ref[:].astype(jnp.float32)
+    flat = pl.program_id(0) * cmax + pl.program_id(1)
+    sl = _tile_row(sl_ref, flat)  # [1, eb]
+    dl = _tile_row(dl_ref, flat)
+    inw = _tile_row(inw_ref, flat).astype(jnp.float32)  # [1, eb]
+    inw_col = inw.reshape(eb, 1)
 
     gsrc = _gather3(sl, xw0_ref[:], xw1_ref[:], xw2_ref[:], w, eb, dtype)
-    oh_dl = _onehot(dl, eb, w, 0, dtype)
-    gdst = _mxu(oh_dl, xw1_ref[:])
+    oh_dl = _onehot_t(dl, w, eb, dtype)  # [w, eb]
+    gdst = _mxu(oh_dl, xw1_ref[:], transpose_a=True)
     ws = (
         w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
-    _, _, et = _mlp_fwd(gdst, gsrc, ea_ref[:], ws, dtype)
-    et = et * inw[:, None]
+    _, _, et, _, _ = _mlp_fwd(gdst, gsrc, ea_ref[:], ws, dtype)
+    et = et * inw_col
     eout_ref[:] = et.astype(eout_ref.dtype)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         agg_ref[:] = jnp.zeros_like(agg_ref)
 
-    agg_ref[:] += _mxu(oh_dl, et.astype(dtype), transpose_a=True)
+    agg_ref[:] += _mxu(oh_dl, et.astype(dtype))
 
 
 def _bwd_kernel(
@@ -134,31 +169,33 @@ def _bwd_kernel(
     geout_ref, gagg_ref,
     gea_ref, gxd_ref, gxs_ref,
     gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
-    *, w: int, dtype,
+    *, w: int, cmax: int, dtype,
 ):
     eb = ea_ref.shape[0]
-    sl = sl_ref[:]
-    dl = dl_ref[:]
-    inw = inw_ref[:].astype(jnp.float32)
+    flat = pl.program_id(0) * cmax + pl.program_id(1)
+    sl = _tile_row(sl_ref, flat)  # [1, eb]
+    dl = _tile_row(dl_ref, flat)
+    inw = _tile_row(inw_ref, flat).astype(jnp.float32)  # [1, eb]
+    inw_col = inw.reshape(eb, 1)
 
     # --- recompute forward ---
     gsrc = _gather3(sl, xw0_ref[:], xw1_ref[:], xw2_ref[:], w, eb, dtype)
-    oh_dl = _onehot(dl, eb, w, 0, dtype)
-    gdst = _mxu(oh_dl, xw1_ref[:])
+    oh_dl = _onehot_t(dl, w, eb, dtype)  # [w, eb]
+    gdst = _mxu(oh_dl, xw1_ref[:], transpose_a=True)
     ws = (
         w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
-    h1, h2, _ = _mlp_fwd(gdst, gsrc, ea_ref[:], ws, dtype)
+    h1, h2, _, m1, m2 = _mlp_fwd(gdst, gsrc, ea_ref[:], ws, dtype)
 
     # --- cotangent of the raw MLP output ---
-    # fwd: e_out = et*inw; agg += onehot_T(dl) @ (et*inw)
+    # fwd: e_out = et*inw; agg += onehot(dl) @ (et*inw)
     g_et = geout_ref[:].astype(jnp.float32)
-    g_et += _mxu(oh_dl, gagg_ref[:].astype(dtype))
-    g_et = (g_et * inw[:, None]).astype(dtype)
+    g_et += _mxu(oh_dl, gagg_ref[:].astype(dtype), transpose_a=True)
+    g_et = (g_et * inw_col).astype(dtype)
 
-    g_h2 = (_mxu(g_et, w3_ref[:], transpose_b=True) * (h2 > 0)).astype(dtype)
-    g_h1 = (_mxu(g_h2, w2_ref[:], transpose_b=True) * (h1 > 0)).astype(dtype)
+    g_h2 = (_mxu(g_et, w3_ref[:], transpose_b=True) * m2).astype(dtype)
+    g_h1 = (_mxu(g_h2, w2_ref[:], transpose_b=True) * m1).astype(dtype)
     g_gdst = _mxu(g_h1, w1d_ref[:], transpose_b=True).astype(dtype)
     g_gsrc = _mxu(g_h1, w1s_ref[:], transpose_b=True).astype(dtype)
     gea_ref[:] = _mxu(g_h1, w1e_ref[:], transpose_b=True).astype(gea_ref.dtype)
@@ -169,10 +206,10 @@ def _bwd_kernel(
         gxd_ref[:] = jnp.zeros_like(gxd_ref)
         gxs_ref[:] = jnp.zeros_like(gxs_ref)
 
-    gxd_ref[:] += _mxu(oh_dl, g_gdst, transpose_a=True)
+    gxd_ref[:] += _mxu(oh_dl, g_gdst)
     for i in range(3):
-        oh_s = _onehot(sl - i * w, eb, w, 0, dtype)
-        gxs_ref[0, pl.ds(i * w, w), :] += _mxu(oh_s, g_gsrc, transpose_a=True)
+        oh_s = _onehot_t(sl - i * w, w, eb, dtype)
+        gxs_ref[0, pl.ds(i * w, w), :] += _mxu(oh_s, g_gsrc)
 
     # --- weight grads: f32 accumulators revisited across the whole grid ---
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
@@ -181,14 +218,22 @@ def _bwd_kernel(
                   gw3_ref, gb3_ref):
             r[:] = jnp.zeros_like(r)
 
-    gw1d_ref[:] += _mxu(gdst, g_h1, transpose_a=True)
-    gw1s_ref[:] += _mxu(gsrc, g_h1, transpose_a=True)
+    # gathers return f32 accumulators; cast to the compute dtype so the
+    # weight-grad matmuls are single-precision (Mosaic rejects f32×bf16).
+    # Exact: a one-hot gather of bf16 data round-trips through f32 losslessly.
+    gw1d_ref[:] += _mxu(gdst.astype(dtype), g_h1, transpose_a=True)
+    gw1s_ref[:] += _mxu(gsrc.astype(dtype), g_h1, transpose_a=True)
     gw1e_ref[:] += _mxu(ea_ref[:], g_h1, transpose_a=True)
     gb1_ref[:] += jnp.sum(g_h1.astype(jnp.float32), axis=0, keepdims=True)
     gw2_ref[:] += _mxu(h1, g_h2, transpose_a=True)
     gb2_ref[:] += jnp.sum(g_h2.astype(jnp.float32), axis=0, keepdims=True)
     gw3_ref[:] += _mxu(h2, g_et, transpose_a=True)
     gb3_ref[:] += jnp.sum(g_et.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _rows8(a):
+    """Pad a [nb, eb] stream to a row multiple of 8 (tile granularity)."""
+    return jnp.pad(a, ((0, (-a.shape[0]) % 8), (0, 0)))
 
 
 def _pad_x(x, w, s_slabs):
@@ -198,14 +243,19 @@ def _pad_x(x, w, s_slabs):
 
 def _common_specs(w, f_ea, eb, cmax, shapes):
     """in_specs shared by fwd and bwd (edge streams, x windows, weights)."""
-    edge_idx = lambda s, c: (s * cmax + c,)
     edge_idx2 = lambda s, c: (s * cmax + c, 0)
+    idx_tile = lambda s, c: ((s * cmax + c) // 8, 0)
     const2 = lambda s, c: (0, 0)
     return [
         pl.BlockSpec((eb, f_ea), edge_idx2),  # edge_attr
-        pl.BlockSpec((eb,), edge_idx),  # srcloc
-        pl.BlockSpec((eb,), edge_idx),  # dstloc
-        pl.BlockSpec((eb,), edge_idx),  # inwin
+        # index streams ride as [n_blocks, eb] rows: rank-1 s32 operands hit
+        # a Mosaic/XLA layout-verification mismatch on hardware (T(1024) vs
+        # block-sized tiling), and sublane-1 blocks violate the (8, 128)
+        # block-divisibility rule — so each grid step maps an 8-row tile and
+        # selects its own row in-kernel (``_tile_row``).
+        pl.BlockSpec((8, eb), idx_tile),  # srcloc
+        pl.BlockSpec((8, eb), idx_tile),  # dstloc
+        pl.BlockSpec((8, eb), idx_tile),  # inwin
         pl.BlockSpec((w, shapes["fx"]), lambda s, c: (s, 0)),  # x win s-1
         pl.BlockSpec((w, shapes["fx"]), lambda s, c: (s + 1, 0)),  # win s
         pl.BlockSpec((w, shapes["fx"]), lambda s, c: (s + 2, 0)),  # win s+1
@@ -284,8 +334,10 @@ def _fwd_impl(window, block_e, compute_dtype, interpret,
         window, block_e, x, edge_attr, weights, cd
     )
     fo = weights["w3"].shape[1]
-    inw = inwin.astype(jnp.float32)
-    kernel = functools.partial(_fwd_kernel, w=window, dtype=cd)
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
+    kernel = functools.partial(_fwd_kernel, w=window, cmax=cmax, dtype=cd)
     eout, agg = pl.pallas_call(
         kernel,
         grid=(s_slabs, cmax),
@@ -300,7 +352,7 @@ def _fwd_impl(window, block_e, compute_dtype, interpret,
         ],
         interpret=interpret,
     )(
-        ea, srcloc, dstloc, inw, xp[:, :], xp, xp,
+        ea, sl2, dl2, inw2, xp[:, :], xp, xp,
         wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
         wl["w2"], wl["b2"], wl["w3"], wl["b3"],
     )
@@ -316,11 +368,13 @@ def _bwd_impl(window, block_e, compute_dtype, interpret, res, cts):
         window, block_e, x, edge_attr, weights, cd
     )
     fo = weights["w3"].shape[1]
-    inw = inwin.astype(jnp.float32)
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
     gagg_p = jnp.pad(
         g_agg.astype(cd), ((0, s_slabs * window - n), (0, 0))
     )
-    kernel = functools.partial(_bwd_kernel, w=window, dtype=cd)
+    kernel = functools.partial(_bwd_kernel, w=window, cmax=cmax, dtype=cd)
     h = weights["w2"].shape[0]
     edge_idx2 = lambda s, c: (s * cmax + c, 0)
     const2 = lambda s, c: (0, 0)
@@ -360,7 +414,7 @@ def _bwd_impl(window, block_e, compute_dtype, interpret, res, cts):
         ],
         interpret=interpret,
     )(
-        ea, srcloc, dstloc, inw, xp, xp, xp,
+        ea, sl2, dl2, inw2, xp, xp, xp,
         wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
         wl["w2"], wl["b2"], wl["w3"], wl["b3"],
         g_eout.astype(cd), gagg_p,

@@ -28,6 +28,14 @@ Usage::
 from __future__ import annotations
 
 import argparse
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; claiming the chip from a
+# long CPU-bound training loop wedges it for other clients, so force the
+# platform in-process before any JAX import unless --tpu is passed.
+if "--tpu" not in __import__("sys").argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import json
 import sys
 from pathlib import Path
@@ -230,6 +238,11 @@ def main() -> None:
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument(
         "--stages", default="A,B,C", help="comma subset of A (EC), B (ML), C (TC)"
+    )
+    parser.add_argument(
+        "--tpu",
+        action="store_true",
+        help="run on the TPU (default: force the CPU backend in-process)",
     )
     args = parser.parse_args()
 
