@@ -67,18 +67,16 @@ def _blocked_neighbor_topk(
                 xs, k=k, node_mask=node_mask, batch=batch, loop=loop
             )
         if batch is None:
-            # Beyond the VMEM budget: principal-axis banded kNN with
-            # certified brute-force fallback (ops/pallas/windowed_topk.py) —
-            # ~(N/C)/(2R+1)x less compute than streaming all blocks. The
-            # residual `n_uncert` (queries the capped fallback couldn't
-            # certify) is ~always 0 for hit clouds; it cannot be raised
-            # from inside jit, so offline callers use
-            # :func:`knn_graph_windowed` which asserts it.
-            from gnn_tracking_tpu.ops.pallas.windowed_topk import windowed_knn
+            # Beyond the VMEM budget: IVF-certified kNN (ops/ivf_knn.py) —
+            # k-means cells + triangle-inequality certification + capped
+            # brute fallback. Exact whenever the returned `n_uncert` is 0
+            # (~always for hit/latent clouds); it cannot be raised from
+            # inside jit, so offline callers needing the hard guarantee use
+            # :func:`knn_graph_ivf`, which asserts and retries.
+            from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
 
-            dists, idx, _ = windowed_knn(
-                xs, k=k, node_mask=node_mask, loop=loop,
-                radius=4, block_c=1024, fallback_cap=8192,
+            dists, idx, _ = ivf_knn(
+                xs, k=k, node_mask=node_mask, loop=loop
             )
             return dists, idx
     if node_mask is None:
@@ -188,6 +186,50 @@ def knn_graph_windowed(
         fallback_cap = min(2 * fallback_cap, n)
     else:
         msg = f"windowed kNN not certified exact after {max_retries} retries"
+        raise RuntimeError(msg)
+    query = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    valid = jnp.isfinite(dists_sq)
+    if node_mask is not None:
+        valid &= node_mask[:, None]
+    source = jnp.where(valid, idx, 0)
+    edge_index = jnp.stack([source.reshape(-1), query.reshape(-1)])
+    dists = jnp.sqrt(jnp.where(valid, dists_sq, 0.0))
+    return edge_index, valid.reshape(-1), dists.reshape(-1)
+
+
+def knn_graph_ivf(
+    x: jax.Array,
+    k: int,
+    *,
+    node_mask: jax.Array | None = None,
+    n_probe: int = 16,
+    fallback_cap: int = 8192,
+    max_retries: int = 3,
+    **ivf_kwargs,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Guaranteed-exact full-detector kNN graph (host-driven, not jittable).
+
+    Runs :func:`gnn_tracking_tpu.ops.ivf_knn.ivf_knn` and, while any query
+    remains uncertified (fallback cap exhausted), retries with doubled probe
+    width and fallback cap. Same return convention as :func:`knn_graph`.
+    Use in ETL / offline graph construction (reference
+    ``models/graph_construction.py:222-237`` at the full-detector scale the
+    reference never reached).
+    """
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    n = x.shape[0]
+    for _ in range(max_retries):
+        dists_sq, idx, n_uncert = ivf_knn(
+            jax.lax.stop_gradient(x), k=k, node_mask=node_mask,
+            n_probe=n_probe, fallback_cap=fallback_cap, **ivf_kwargs,
+        )
+        if int(n_uncert) == 0:
+            break
+        n_probe *= 2
+        fallback_cap = min(2 * fallback_cap, n)
+    else:
+        msg = f"IVF kNN not certified exact after {max_retries} retries"
         raise RuntimeError(msg)
     query = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
     valid = jnp.isfinite(dists_sq)

@@ -1,0 +1,107 @@
+"""IVF-certified exact kNN vs brute force (ops/ivf_knn.py).
+
+The clustered cloud mirrors a learned condensation latent (the case that
+defeats the banded/windowed kNN); exactness must hold with n_uncert == 0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+from gnn_tracking_tpu.ops.knn import knn_graph
+
+
+def _brute(x, k, mask=None, loop=False):
+    # same f32 norm-expansion formula as the IVF path, so fp rounding
+    # cancels and any mismatch is an algorithmic miss, not noise
+    x = np.asarray(x, np.float32)
+    sq = (x * x).sum(-1)
+    d = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    d = np.maximum(d, 0.0)
+    if not loop:
+        np.fill_diagonal(d, np.inf)
+    if mask is not None:
+        d[:, ~mask] = np.inf
+        d[~mask, :] = np.inf
+    sd = np.sort(d, axis=1)[:, :k]
+    return sd
+
+
+def _check(x, k, mask=None, **kw):
+    dists, idx, n_uncert = ivf_knn(
+        jnp.asarray(x), k=k,
+        node_mask=None if mask is None else jnp.asarray(mask), **kw
+    )
+    assert int(n_uncert) == 0
+    ref = _brute(x, k, mask)
+    got = np.sort(np.asarray(dists), axis=1)
+    rows = np.ones(len(x), bool) if mask is None else mask
+    finite = np.isfinite(ref[rows])
+    # f32 norm-expansion noise scales with ||x||^2; near-ties inside that
+    # band are legitimately implementation-order dependent
+    scale = float(np.max((np.asarray(x, np.float64) ** 2).sum(-1)))
+    atol = max(1e-5, 64 * np.finfo(np.float32).eps * scale)
+    np.testing.assert_allclose(
+        got[rows][finite], ref[rows][finite], rtol=1e-4, atol=atol
+    )
+    # returned indices reproduce the distances
+    xr = np.asarray(x, np.float64)
+    d_from_idx = ((xr[:, None, :] - xr[np.asarray(idx)]) ** 2).sum(-1)
+    ok = np.isfinite(np.asarray(dists)) & rows[:, None]
+    np.testing.assert_allclose(
+        d_from_idx[ok], np.asarray(dists)[ok], rtol=1e-3, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_clustered_latent(seed):
+    rng = np.random.default_rng(seed)
+    n = 4096
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    _check(x, 8, n_cells=64, cell_cap=192, n_probe=8, fallback_cap=1024)
+
+
+def test_uniform():
+    # uniform low-d clouds certify poorly (cell radius ~ cell spacing, so
+    # the triangle bound is weak) — exactness then rides the fallback pass,
+    # which must cover every uncertified query
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2048, 4)).astype(np.float32)
+    _check(x, 4, n_cells=32, cell_cap=192, n_probe=16, fallback_cap=2048)
+
+
+def test_masked_and_duplicates():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1024, 3)).astype(np.float32)
+    x[100:110] = x[50:60]  # exact duplicates
+    mask = rng.random(1024) > 0.2
+    _check(x, 4, mask=mask, n_cells=16, cell_cap=256, n_probe=6,
+           fallback_cap=1024)
+
+
+def test_spill_overflow_goes_to_extra_set():
+    # one giant cluster overflows its cell; exactness must survive via the
+    # extra set
+    rng = np.random.default_rng(4)
+    x = 0.01 * rng.normal(size=(2048, 4)).astype(np.float32)
+    x[:64] += 0.5  # a far small cluster
+    _check(x, 4, n_cells=16, cell_cap=64, n_probe=4, extra_cap=2048,
+           fallback_cap=2048)
+
+
+def test_matches_knn_graph_convention():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(512, 4)).astype(np.float32)
+    ei, mask, dists = knn_graph(jnp.asarray(x), 4)
+    d_ref = np.sort(_brute(x, 4), axis=1)
+    got, _, nu = ivf_knn(jnp.asarray(x), k=4, n_cells=8, cell_cap=192,
+                         n_probe=4, fallback_cap=512)
+    assert int(nu) == 0
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got), 1), d_ref, rtol=1e-4, atol=1e-5
+    )
