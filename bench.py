@@ -246,10 +246,10 @@ def get_cpu_baseline() -> float:
 
 # ----------------------------------------------------------------- extras
 def extra_knn() -> dict[str, float]:
-    """Windowed exact kNN at full-detector scale (262k x 8-dim, k=8)."""
+    """IVF-certified exact kNN at full-detector scale (262k x 8-dim, k=8)."""
     import jax.numpy as jnp
 
-    from gnn_tracking_tpu.ops.pallas.windowed_topk import windowed_knn
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
 
     rng = np.random.default_rng(4)
     n = 262144
@@ -258,11 +258,11 @@ def extra_knn() -> dict[str, float]:
         centers[rng.integers(0, n // 64, size=n)]
         + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
     )
-    d, i, unc = windowed_knn(x, k=8, radius=4, fallback_cap=8192)
+    d, i, unc = ivf_knn(x, k=8)
     _sync(d[0, 0])
     t0 = time.perf_counter()
     for _ in range(5):
-        d, _, _ = windowed_knn(x, k=8, radius=4, fallback_cap=8192)
+        d, _, _ = ivf_knn(x, k=8)
     _sync(d[0, 0])
     return {
         "knn_262k_ms": (time.perf_counter() - t0) / 5 * 1e3,
