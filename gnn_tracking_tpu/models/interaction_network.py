@@ -67,7 +67,7 @@ class InteractionNetwork(nn.Module):
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
         if self.segment_impl == "fused":
-            return self._fused(x, edge_index, edge_attr, extras)
+            return self._fused(x, edge_index, edge_attr, extras, edge_mask)
         if self.segment_impl not in ("xla", "pallas_sorted"):
             msg = (
                 f"segment_impl={self.segment_impl!r} unknown; "
@@ -137,13 +137,21 @@ class InteractionNetwork(nn.Module):
         )(jnp.concatenate([x, agg], axis=1))
         return x_tilde, e_tilde
 
-    def _fused(self, x, edge_index, edge_attr, extras):
+    def _fused(self, x, edge_index, edge_attr, extras, edge_mask=None):
         """Single-kernel edge pipeline (``ops.pallas.fused_relational``).
 
         Parameter tree: one fused first-layer kernel ``relational_w1``
         ([2*Fx+Fe, H], split into per-input blocks for the kernel) instead of
         the XLA path's ``relational_model`` MLP tree — same math, same torch
         init; ``utils.param_convert`` maps between the two layouts.
+
+        A dynamic ``edge_mask`` (e.g. the EC cut in the HC stack) folds into
+        the kernel's runtime ``inwin`` stream — masked edges contribute
+        nothing to the aggregation, exactly like the XLA path's
+        ``masked_segment_sum``. NOTE: the XLA path leaves masked edges'
+        ``e_tilde`` values intact (they are only ever consumed under the
+        same mask downstream); here they come out zeroed. Everything
+        observable through the mask is identical.
         """
         from gnn_tracking_tpu.models.mlp import torch_bias_init, torch_linear_init
         from gnn_tracking_tpu.ops.pallas.fused_relational import fused_relational
@@ -172,10 +180,13 @@ class InteractionNetwork(nn.Module):
             "w1d": w1[:fx], "w1s": w1[fx : 2 * fx], "w1e": w1[2 * fx :],
             "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3,
         }
+        inwin = extras["slab_inwin"]
+        if edge_mask is not None:
+            inwin = inwin * edge_mask.astype(inwin.dtype)
         e_tilde, agg = fused_relational(
             self.fused_window, self.fused_block, self.fused_dtype, None,
             x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
-            extras["slab_inwin"], weights,
+            inwin, weights,
         )
         # overflow edges (source beyond the 3W halo / spilled slabs): XLA
         of_pos, of_mask = extras["slab_of_pos"], extras["slab_of_mask"]
@@ -187,7 +198,10 @@ class InteractionNetwork(nn.Module):
         )
         h1 = nn.relu(m_of @ w1 + b1)
         h2 = nn.relu(h1 @ w2 + b2)
-        et_of = (h2 @ w3 + b3) * of_mask[:, None].astype(x.dtype)
+        of_scale = of_mask.astype(x.dtype)
+        if edge_mask is not None:
+            of_scale = of_scale * edge_mask[ofp].astype(x.dtype)
+        et_of = (h2 @ w3 + b3) * of_scale[:, None]
         e_tilde = e_tilde.at[of_pos].add(et_of.astype(e_tilde.dtype), mode="drop")
         agg = agg + jax.ops.segment_sum(
             et_of, of_dst, num_segments=x.shape[0]

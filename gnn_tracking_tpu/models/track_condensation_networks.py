@@ -266,6 +266,13 @@ class GraphTCN(nn.Module):
     sorted_edges: bool = False
     #: split the relational MLP first linear into node-level projections
     split_relational: bool = False
+    #: IN aggregation implementation: "xla", "pallas_sorted", or "fused"
+    #: ("fused" = single-kernel slab pipeline; needs apply_slab_layout data)
+    segment_impl: str = "xla"
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -277,6 +284,10 @@ class GraphTCN(nn.Module):
             alpha=self.alpha_ec,
             sorted_edges=self.sorted_edges,
             split_relational=self.split_relational,
+            segment_impl=self.segment_impl,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             name="ec",
         )
         hc_in = ResIN(
@@ -288,6 +299,10 @@ class GraphTCN(nn.Module):
             n_layers=self.L_hc,
             sorted_edges=self.sorted_edges,
             split_relational=self.split_relational,
+            segment_impl=self.segment_impl,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -319,6 +334,15 @@ class PerfectECGraphTCN(nn.Module):
     ec_threshold: float = 0.5
     mask_orphan_nodes: bool = False
     feed_edge_weights: bool = False
+    #: promise that edge_index[1] is non-decreasing (cheaper scatter)
+    sorted_edges: bool = False
+    #: IN aggregation implementation: "xla", "pallas_sorted", or "fused"
+    #: ("fused" = single-kernel slab pipeline; needs apply_slab_layout data)
+    segment_impl: str = "xla"
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -330,6 +354,11 @@ class PerfectECGraphTCN(nn.Module):
             relational_hidden_dim=self.hidden_dim,
             alpha=self.alpha_hc,
             n_layers=self.L_hc,
+            sorted_edges=self.sorted_edges,
+            segment_impl=self.segment_impl,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -364,6 +393,13 @@ class GraphTCNForMLGCPipeline(nn.Module):
     sorted_edges: bool = False
     #: split the relational MLP first linear into node-level projections
     split_relational: bool = False
+    #: IN aggregation implementation: "xla", "pallas_sorted", or "fused"
+    #: ("fused" = single-kernel slab pipeline; needs apply_slab_layout data)
+    segment_impl: str = "xla"
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
     residual_type: str = "skip1"
 
     @nn.compact
@@ -377,6 +413,10 @@ class GraphTCNForMLGCPipeline(nn.Module):
             n_layers=self.L_hc,
             sorted_edges=self.sorted_edges,
             split_relational=self.split_relational,
+            segment_impl=self.segment_impl,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             residual_type=self.residual_type,
             name="hc_in",
         )
@@ -411,6 +451,15 @@ class PreTrainedECGraphTCN(nn.Module):
     mask_orphan_nodes: bool = False
     use_ec_embeddings_for_hc: bool = False
     feed_edge_weights: bool = False
+    #: promise that edge_index[1] is non-decreasing (cheaper scatter)
+    sorted_edges: bool = False
+    #: IN aggregation implementation: "xla", "pallas_sorted", or "fused"
+    #: ("fused" = single-kernel slab pipeline; needs apply_slab_layout data)
+    segment_impl: str = "xla"
+    #: slab-layout statics + compute dtype for segment_impl="fused"
+    fused_window: int = 1024
+    fused_block: int = 512
+    fused_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -421,6 +470,11 @@ class PreTrainedECGraphTCN(nn.Module):
             relational_hidden_dim=self.hidden_dim,
             alpha=self.alpha_hc,
             n_layers=self.L_hc,
+            sorted_edges=self.sorted_edges,
+            segment_impl=self.segment_impl,
+            fused_window=self.fused_window,
+            fused_block=self.fused_block,
+            fused_dtype=self.fused_dtype,
             name="hc_in",
         )
         return ModularGraphTCN(
