@@ -480,6 +480,62 @@ def exp_ivf():
     report("ivf_knn_262k_uniform", ms=t_u * 1e3, n_uncert=int(uncu))
 
 
+def exp_tcn():
+    """Full GraphTCN (EC + condensation) step: fused IN kernels vs sorted
+    XLA, bf16, at bench scale (round-2 wrapper plumbing)."""
+    import optax as _optax
+
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.oc import CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.ops.pallas.slab_layout import apply_slab_layout, default_spec
+    from gnn_tracking_tpu.training.module import TCModule
+
+    rng = np.random.default_rng(7)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    pid = rng.integers(0, 2048, size=n)
+    g0 = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(pid[src] == pid[dst]) & (pid[src] > 0),
+        particle_id=pid,
+        pt=(2 * rng.random(2048))[pid],
+        eta=(8 * (rng.random(2048) - 0.5))[pid],
+        reconstructable=np.ones(n),
+    )
+    for tag, impl in (("sorted", "xla"), ("fused", "fused")):
+        try:
+            if impl == "fused":
+                w, eb = (128, 128) if SMOKE else (1024, 512)
+                g = apply_slab_layout(g0, default_spec(n, e, window=w, block_e=eb))
+            else:
+                g, w, eb = g0.sort_edges_by_target(), 1024, 512
+            module = TCModule(
+                model=GraphTCN(
+                    h_dim=32, e_dim=32, h_outdim=8, hidden_dim=128,
+                    L_ec=6, L_hc=3,
+                    sorted_edges=impl == "xla",
+                    segment_impl=impl,
+                    fused_window=w, fused_block=eb,
+                ),
+                loss_fct=CondensationLossTiger(
+                    max_n_objects=2048, object_block_size=256
+                ),
+                precision="bf16",
+            )
+            module.setup_params(g)
+            sync(module.training_step(g)["total"])  # compile
+            t = timeit(
+                lambda: module.training_step(g)["total"],
+                iters=2 if SMOKE else 10,
+            )
+            report(f"graphtcn_step_{tag}", ms=t * 1e3, events_per_s=1.0 / t)
+        except Exception as ex:
+            report(f"graphtcn_step_{tag}", error=describe(ex)[:500])
+
+
 EXPS = {
     "exact": exp_exact,
     "micro": exp_micro,
@@ -488,6 +544,7 @@ EXPS = {
     "knnbig": exp_knnbig,
     "cc": exp_cc,
     "ivf": exp_ivf,
+    "tcn": exp_tcn,
 }
 
 
