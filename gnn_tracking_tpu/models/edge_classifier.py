@@ -41,6 +41,9 @@ class ECForGraphTCN(nn.Module):
     split_relational: bool = False
     #: rematerialize interaction layers in the backward pass (memory saver)
     remat: bool = False
+    #: static local/halo edge boundary for compute/comm overlap under an
+    #: exchange hook (``ShardedGraph.e_split``); 0 = off
+    halo_edge_split: int = 0
 
     @property
     def latent_dim(self) -> tuple[int, int]:
@@ -85,6 +88,7 @@ class ECForGraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             remat=self.remat,
+            halo_edge_split=self.halo_edge_split,
             name="ec_resin",
         )(
             h_ec, edge_index, edge_attr_ec, data.edge_mask,

@@ -63,11 +63,19 @@ class InteractionNetwork(nn.Module):
         edge_attr: jax.Array,
         edge_mask: jax.Array | None = None,
         extras: dict | None = None,
+        *,
+        n_local: int | None = None,
+        halo_split: int | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
         if self.segment_impl == "fused":
             return self._fused(x, edge_index, edge_attr, extras, edge_mask)
+        if halo_split is not None and n_local is not None:
+            return self._halo_overlap(
+                x, edge_index, edge_attr, edge_mask,
+                n_local=n_local, halo_split=halo_split,
+            )
         if self.segment_impl not in ("xla", "pallas_sorted"):
             msg = (
                 f"segment_impl={self.segment_impl!r} unknown; "
@@ -130,6 +138,64 @@ class InteractionNetwork(nn.Module):
             agg = masked_segment_sum(
                 e_tilde, dst, num_nodes, edge_mask, indices_are_sorted=self.sorted_edges
             )
+        x_tilde = MLP(
+            output_size=self.node_outdim,
+            hidden_dim=self.node_hidden_dim,
+            name="object_model",
+        )(jnp.concatenate([x, agg], axis=1))
+        return x_tilde, e_tilde
+
+    def _halo_overlap(
+        self, x, edge_index, edge_attr, edge_mask, *, n_local, halo_split
+    ):
+        """Compute/communication-overlapped message pass for sharded graphs.
+
+        ``x`` is the exchange-extended array ``concat([x_local, halo])`` and
+        edges are laid out ``[local-source block | halo-source block]``
+        with the static boundary ``halo_split``
+        (``parallel.halo.partition_event(halo_edges_last=True)``). The local
+        block's messages read only ``x[:n_local]`` — XLA's simplifier folds
+        that slice back to the pre-collective operand, so the latency-hiding
+        scheduler can run the halo ppermutes/all-to-all concurrently with
+        the local relational MLP; only the (small) halo block waits on the
+        wire. Same math as the plain path, block order preserved.
+        """
+        assert self.aggr == "add", "halo overlap supports add aggregation"
+        assert self.segment_impl == "xla", (
+            "halo overlap is an XLA-path feature (the fused kernel is "
+            "single-device)"
+        )
+        if self.split_relational:
+            msg = "halo_split + split_relational is not implemented"
+            raise NotImplementedError(msg)
+        num_nodes = x.shape[0]
+        x_loc = x[:n_local]
+        src, dst = edge_index[0], edge_index[1]
+        rel = MLP(
+            output_size=self.edge_outdim,
+            hidden_dim=self.edge_hidden_dim,
+            name="relational_model",
+        )
+        s_l, d_l = src[:halo_split], dst[:halo_split]
+        s_h, d_h = src[halo_split:], dst[halo_split:]
+        # local block: every source is provably < n_local
+        m_l = jnp.concatenate(
+            [x_loc[d_l], x_loc[s_l], edge_attr[:halo_split]], axis=1
+        )
+        et_l = rel(m_l)
+        # halo block: sources may index the exchanged rows
+        m_h = jnp.concatenate(
+            [x_loc[d_h], x[s_h], edge_attr[halo_split:]], axis=1
+        )
+        et_h = rel(m_h)  # same module instance -> shared parameters
+        mask_l = edge_mask[:halo_split] if edge_mask is not None else None
+        mask_h = edge_mask[halo_split:] if edge_mask is not None else None
+        agg = masked_segment_sum(
+            et_l, d_l, num_nodes, mask_l, indices_are_sorted=self.sorted_edges
+        ) + masked_segment_sum(
+            et_h, d_h, num_nodes, mask_h, indices_are_sorted=self.sorted_edges
+        )
+        e_tilde = jnp.concatenate([et_l, et_h], axis=0)
         x_tilde = MLP(
             output_size=self.node_outdim,
             hidden_dim=self.node_hidden_dim,

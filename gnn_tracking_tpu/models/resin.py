@@ -123,6 +123,11 @@ class ResIN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: static boundary from ``partition_event(halo_edges_last=True)``
+    #: (``ShardedGraph.e_split``): under an exchange hook, edges before it
+    #: provably never read halo rows, so each layer computes their messages
+    #: concurrently with the halo collective (compute/comm overlap). 0 = off.
+    halo_edge_split: int = 0
     #: rematerialize each interaction layer in the backward pass
     #: (``jax.checkpoint``): activation memory drops from O(L·E·H) to
     #: O(E·H), letting bigger events/batches fit per chip at ~1/3 extra
@@ -175,12 +180,15 @@ class ResIN(nn.Module):
         edge_attrs: list[jax.Array] | None = [edge_attr] if collect else None
         n_local = x.shape[0]
         ex = exchange if exchange is not None else (lambda v: v)
+        split = self.halo_edge_split if exchange is not None else 0
+        layer_kw = {"n_local": n_local, "halo_split": split or None}
 
         if self.residual_type == "skip1":
             for i in range(self.n_layers):
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras
+                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras,
+                    **layer_kw,
                 )
                 x = sqconvex_combination(
                     delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
@@ -199,14 +207,16 @@ class ResIN(nn.Module):
                     x_in = MaskedBatchNorm(name=f"node_bn_{i0}")(x_in, node_mask)
                     e_in = MaskedBatchNorm(name=f"edge_bn_{i0}")(e_in, edge_mask)
                 hidden_x, hidden_e = self._make_layer(i0)(
-                    ex(act0(x_in)), edge_index, act0(e_in), edge_mask, extras
+                    ex(act0(x_in)), edge_index, act0(e_in), edge_mask, extras,
+                    **layer_kw,
                 )
                 hidden_x = hidden_x[:n_local]
                 if self.add_bn:
                     hidden_x = MaskedBatchNorm(name=f"node_bn_{i1}")(hidden_x, node_mask)
                     hidden_e = MaskedBatchNorm(name=f"edge_bn_{i1}")(hidden_e, edge_mask)
                 delta_x, edge_attr = self._make_layer(i1)(
-                    ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e), edge_mask, extras
+                    ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e),
+                    edge_mask, extras, **layer_kw,
                 )
                 x = sqconvex_combination(
                     delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
@@ -221,7 +231,8 @@ class ResIN(nn.Module):
                     x_residue = x
                 act = nn.relu if i > 0 else (lambda v: v)
                 delta_x, edge_attr = self._make_layer(i)(
-                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras
+                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras,
+                    **layer_kw,
                 )
                 if x_residue is not None:
                     x = sqconvex_combination(

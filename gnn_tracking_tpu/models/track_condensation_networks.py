@@ -273,6 +273,9 @@ class GraphTCN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: static local/halo edge boundary for compute/comm overlap under an
+    #: exchange hook (``ShardedGraph.e_split``); 0 = off
+    halo_edge_split: int = 0
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -288,6 +291,7 @@ class GraphTCN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            halo_edge_split=self.halo_edge_split,
             name="ec",
         )
         hc_in = ResIN(
@@ -303,6 +307,7 @@ class GraphTCN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            halo_edge_split=self.halo_edge_split,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -343,6 +348,9 @@ class PerfectECGraphTCN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: static local/halo edge boundary for compute/comm overlap under an
+    #: exchange hook (``ShardedGraph.e_split``); 0 = off
+    halo_edge_split: int = 0
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -359,6 +367,7 @@ class PerfectECGraphTCN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            halo_edge_split=self.halo_edge_split,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -400,6 +409,9 @@ class GraphTCNForMLGCPipeline(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: static local/halo edge boundary for compute/comm overlap under an
+    #: exchange hook (``ShardedGraph.e_split``); 0 = off
+    halo_edge_split: int = 0
     residual_type: str = "skip1"
 
     @nn.compact
@@ -417,6 +429,7 @@ class GraphTCNForMLGCPipeline(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            halo_edge_split=self.halo_edge_split,
             residual_type=self.residual_type,
             name="hc_in",
         )
@@ -460,6 +473,9 @@ class PreTrainedECGraphTCN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: static local/halo edge boundary for compute/comm overlap under an
+    #: exchange hook (``ShardedGraph.e_split``); 0 = off
+    halo_edge_split: int = 0
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -475,6 +491,7 @@ class PreTrainedECGraphTCN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            halo_edge_split=self.halo_edge_split,
             name="hc_in",
         )
         return ModularGraphTCN(

@@ -66,6 +66,10 @@ class ShardedGraph:
     edge_mask: jax.Array  # [P, E_loc]
     y: jax.Array  # [P, E_loc] edge truth labels (zeros if the event has none)
     edge_global: jax.Array  # [P, E_loc] global edge index of each local edge
+    #: static edge-block boundary (``halo_edges_last=True``): every edge at
+    #: index >= e_split (in EVERY shard) may source a halo row; edges before
+    #: it are guaranteed local-source. 0 = no such guarantee.
+    e_split: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_shards(self) -> int:
@@ -82,6 +86,7 @@ def partition_event(
     *,
     sort_key: np.ndarray | None = None,
     sort_edges: bool = False,
+    halo_edges_last: bool = False,
     pad_to: dict | None = None,
 ) -> ShardedGraph:
     """Host-side partitioner: sort hits (default: by azimuth φ of the second
@@ -94,9 +99,17 @@ def partition_event(
     lowering measured ~8-12%% faster on v5e (BENCH_NOTES.md).
 
     ``pad_to`` sets minimum per-shard buffer sizes
-    (``{"n_local", "e_local", "halo", "halo_pair"}``) so several events
-    partition to IDENTICAL shapes — required to stack them on a ``data``
-    mesh axis (``parallel/mesh2d.stack_sharded``).
+    (``{"n_local", "e_local", "halo", "halo_pair", "e_halo"}``) so several
+    events partition to IDENTICAL shapes — required to stack them on a
+    ``data`` mesh axis (``parallel/mesh2d.stack_sharded``).
+
+    ``halo_edges_last=True`` additionally orders each shard's edges as
+    ``[local-source block | halo-source block]`` with a STATIC boundary
+    (``ShardedGraph.e_split``, uniform across shards): everything before the
+    boundary provably never reads a halo row. Interaction networks use this
+    to compute the local-edge messages concurrently with the halo exchange
+    (compute/communication overlap — the collective's results are only
+    consumed by the tail block).
     """
     pad_to = pad_to or {}
     n = graph.num_nodes
@@ -119,19 +132,37 @@ def partition_event(
 
     # assign edges to the shard of their target
     dst_shard = shard_of[ei[1]]
+    src_shard = shard_of[ei[0]]
     per_shard_edges = []
+    per_shard_halo_edges: list[np.ndarray] = []
     for s in range(n_shards):
         idx = np.where(em & (dst_shard == s))[0]
+        if halo_edges_last:
+            idx_h = idx[src_shard[idx] != s]
+            idx = idx[src_shard[idx] == s]
+            if sort_edges:
+                idx_h = idx_h[np.argsort(local_of[ei[1, idx_h]], kind="stable")]
+            per_shard_halo_edges.append(idx_h)
         if sort_edges:
             idx = idx[np.argsort(local_of[ei[1, idx]], kind="stable")]
         per_shard_edges.append(idx)
-    e_loc = max((len(e) for e in per_shard_edges), default=1)
-    e_loc = max(e_loc, 1, int(pad_to.get("e_local", 0)))
+    if halo_edges_last:
+        e_split = max((len(e) for e in per_shard_edges), default=1)
+        e_split = max(e_split, 1, int(pad_to.get("e_local", 0)))
+        e_halo = max((len(e) for e in per_shard_halo_edges), default=1)
+        e_halo = max(e_halo, 1, int(pad_to.get("e_halo", 0)))
+        e_loc = e_split + e_halo
+    else:
+        e_split = 0
+        e_loc = max((len(e) for e in per_shard_edges), default=1)
+        e_loc = max(e_loc, 1, int(pad_to.get("e_local", 0)))
 
     # halo: per shard, unique remote sources
     halos = []
     for s in range(n_shards):
         idx = per_shard_edges[s]
+        if halo_edges_last:
+            idx = np.concatenate([idx, per_shard_halo_edges[s]])
         src = ei[0, idx]
         remote = np.unique(src[shard_of[src] != s])
         halos.append(remote)
@@ -190,25 +221,32 @@ def partition_event(
         shalo_mask[s, : len(halo)] = True
         # remote source → extended local index n_loc + halo slot
         halo_slot = {g: n_loc + j for j, g in enumerate(halo)}
-        idx = per_shard_edges[s]
-        src, dst = ei[0, idx], ei[1, idx]
-        src_local = np.array(
-            [
-                local_of[g] if shard_of[g] == s else halo_slot[g]
-                for g in src
-            ],
-            dtype=np.int32,
-        )
-        sei[s, 0, : len(idx)] = src_local
-        sei[s, 1, : len(idx)] = local_of[dst]
-        if sort_edges:
-            # masked tail keeps dst non-decreasing (points at last local node)
-            sei[s, 1, len(idx) :] = n_loc - 1
-        sea[s, : len(idx)] = ea[idx]
-        sem[s, : len(idx)] = True
-        if ey is not None and len(ey):
-            sy[s, : len(idx)] = ey[idx]
-        seg[s, : len(idx)] = idx
+
+        def fill_block(idx, off, cap):
+            src, dst = ei[0, idx], ei[1, idx]
+            src_local = np.array(
+                [
+                    local_of[g] if shard_of[g] == s else halo_slot[g]
+                    for g in src
+                ],
+                dtype=np.int32,
+            )
+            sei[s, 0, off : off + len(idx)] = src_local
+            sei[s, 1, off : off + len(idx)] = local_of[dst]
+            if sort_edges:
+                # masked tail keeps dst non-decreasing (last local node)
+                sei[s, 1, off + len(idx) : off + cap] = n_loc - 1
+            sea[s, off : off + len(idx)] = ea[idx]
+            sem[s, off : off + len(idx)] = True
+            if ey is not None and len(ey):
+                sy[s, off : off + len(idx)] = ey[idx]
+            seg[s, off : off + len(idx)] = idx
+
+        if halo_edges_last:
+            fill_block(per_shard_edges[s], 0, e_split)
+            fill_block(per_shard_halo_edges[s], e_split, e_loc - e_split)
+        else:
+            fill_block(per_shard_edges[s], 0, e_loc)
 
     return ShardedGraph(
         x=jnp.asarray(sx),
@@ -227,6 +265,7 @@ def partition_event(
         edge_mask=jnp.asarray(sem),
         y=jnp.asarray(sy),
         edge_global=jnp.asarray(seg),
+        e_split=e_split,
     )
 
 
