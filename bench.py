@@ -349,17 +349,30 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    mode = os.environ.get("BENCH_MODE", "bf16_sorted")
+    mode = os.environ.get("BENCH_MODE", "auto")
     cpu = get_cpu_baseline()
     t_start = time.perf_counter()
-    tpu = bench_tpu(mode)
+    extra = {}
+    if mode == "auto":
+        # race the sorted-XLA and fused-kernel EC steps, report the winner
+        results = {}
+        for m in ("bf16_sorted", "bf16_fused"):
+            try:
+                results[m] = bench_tpu(m)
+            except Exception as e:  # noqa: BLE001
+                extra[m + "_error"] = f"{type(e).__name__}: {e}"[:200]
+        mode, tpu = max(results.items(), key=lambda kv: kv[1])
+        for m, v in results.items():
+            extra[m + "_edges_per_s"] = round(v)
+    else:
+        tpu = bench_tpu(mode)
     step_ms = N_EDGES / tpu * 1e3
-    extra = {
+    extra.update({
         "mode": mode,
         "ec_step_ms": round(step_ms, 2),
         # 3x-forward approximation for fwd+bwd useful-FLOP throughput
         "ec_mfu": round(3 * ec_useful_flops_fwd() / (step_ms / 1e3) / V5E_BF16_FLOPS, 5),
-    }
+    })
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         for name, fn in (
             ("knn", extra_knn),
