@@ -260,7 +260,9 @@ def exp_ec_step():
     )
     g_sorted = g.sort_edges_by_target()
     loss_x = _bench_ec(g_sorted, None, "ec_step_bf16_sorted_localgraph", "xla")
-    for w, eb in ([(128, 128)] if SMOKE else [(1024, 512), (512, 512)]):
+    # w must cover the graph's locality (1024) or the overflow list blows
+    # its cap (battery #2: w=512 -> SlabLayoutError); sweep block_e instead
+    for w, eb in ([(128, 128)] if SMOKE else [(1024, 512), (1024, 1024)]):
         try:
             spec = default_spec(n, e, window=w, block_e=eb)
             g_f = apply_slab_layout(g, spec)
