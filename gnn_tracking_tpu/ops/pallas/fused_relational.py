@@ -37,6 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: row-mask lowering variant: "diag" (MXU diagonal matmul — default),
+#: "reshape" (lane->sublane relayout; produced wrong results on hardware
+#: in the round-2 battery, kept for bisection), "none" (debug, no mask).
+MASK_IMPL = "diag"
+
+
 def _resolve_interpret(interpret):
     if interpret is None:
         return jax.default_backend() != "tpu"
@@ -68,6 +74,23 @@ def _tile_row(ref, flat):
     rsel = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0) == flat % 8
     return jnp.sum(jnp.where(rsel, tile, jnp.zeros_like(tile)), axis=0,
                    keepdims=True)
+
+
+def _row_scale(et, inw_row, dtype):
+    """``et * inw[e]`` per edge row, as a diagonal-matmul: no relayout.
+
+    ``inw_row`` is ``[1, eb]`` (lanes); scaling ``et [eb, F]`` per row needs
+    the mask along sublanes. A ``reshape(eb, 1)`` is a lane→sublane
+    relayout, which is a suspect construct on hardware; the MXU route is
+    unambiguous: ``D = diag(inw)`` built from a 2-D iota equality (inw
+    broadcasts along rows), then ``D @ et``. Cost ``eb²·F`` MACs per block —
+    small next to the MLP.
+    """
+    eb = et.shape[0]
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 1)
+    diag = jnp.where(i0 == i1, jnp.broadcast_to(inw_row, (eb, eb)), 0.0)
+    return _mxu(diag.astype(dtype), et.astype(dtype))
 
 
 def _mxu(a, b, transpose_a=False, transpose_b=False):
@@ -135,14 +158,13 @@ def _fwd_kernel(
     xw0_ref, xw1_ref, xw2_ref,
     w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     eout_ref, agg_ref,
-    *, w: int, cmax: int, dtype,
+    *, w: int, cmax: int, dtype, mask_impl: str = "diag",
 ):
     eb = ea_ref.shape[0]
     flat = pl.program_id(0) * cmax + pl.program_id(1)
     sl = _tile_row(sl_ref, flat)  # [1, eb]
     dl = _tile_row(dl_ref, flat)
     inw = _tile_row(inw_ref, flat).astype(jnp.float32)  # [1, eb]
-    inw_col = inw.reshape(eb, 1)
 
     gsrc = _gather3(sl, xw0_ref[:], xw1_ref[:], xw2_ref[:], w, eb, dtype)
     oh_dl = _onehot_t(dl, w, eb, dtype)  # [w, eb]
@@ -152,7 +174,11 @@ def _fwd_kernel(
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
     _, _, et, _, _ = _mlp_fwd(gdst, gsrc, ea_ref[:], ws, dtype)
-    et = et * inw_col
+    if mask_impl == "reshape":
+        et = et * inw.reshape(eb, 1)
+    elif mask_impl == "diag":
+        et = _row_scale(et, inw, dtype)
+    # "none": debug only — no masking
     eout_ref[:] = et.astype(eout_ref.dtype)
 
     @pl.when(pl.program_id(1) == 0)
@@ -169,14 +195,13 @@ def _bwd_kernel(
     geout_ref, gagg_ref,
     gea_ref, gxd_ref, gxs_ref,
     gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
-    *, w: int, cmax: int, dtype,
+    *, w: int, cmax: int, dtype, mask_impl: str = "diag",
 ):
     eb = ea_ref.shape[0]
     flat = pl.program_id(0) * cmax + pl.program_id(1)
     sl = _tile_row(sl_ref, flat)  # [1, eb]
     dl = _tile_row(dl_ref, flat)
     inw = _tile_row(inw_ref, flat).astype(jnp.float32)  # [1, eb]
-    inw_col = inw.reshape(eb, 1)
 
     # --- recompute forward ---
     gsrc = _gather3(sl, xw0_ref[:], xw1_ref[:], xw2_ref[:], w, eb, dtype)
@@ -192,7 +217,12 @@ def _bwd_kernel(
     # fwd: e_out = et*inw; agg += onehot(dl) @ (et*inw)
     g_et = geout_ref[:].astype(jnp.float32)
     g_et += _mxu(oh_dl, gagg_ref[:].astype(dtype), transpose_a=True)
-    g_et = (g_et * inw_col).astype(dtype)
+    if mask_impl == "reshape":
+        g_et = (g_et * inw.reshape(eb, 1)).astype(dtype)
+    elif mask_impl == "diag":
+        g_et = _row_scale(g_et, inw, dtype).astype(dtype)
+    else:
+        g_et = g_et.astype(dtype)
 
     g_h2 = (_mxu(g_et, w3_ref[:], transpose_b=True) * m2).astype(dtype)
     g_h1 = (_mxu(g_h2, w2_ref[:], transpose_b=True) * m1).astype(dtype)
@@ -337,7 +367,9 @@ def _fwd_impl(window, block_e, compute_dtype, interpret,
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
     inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
-    kernel = functools.partial(_fwd_kernel, w=window, cmax=cmax, dtype=cd)
+    kernel = functools.partial(
+        _fwd_kernel, w=window, cmax=cmax, dtype=cd, mask_impl=MASK_IMPL
+    )
     eout, agg = pl.pallas_call(
         kernel,
         grid=(s_slabs, cmax),
@@ -374,7 +406,9 @@ def _bwd_impl(window, block_e, compute_dtype, interpret, res, cts):
     gagg_p = jnp.pad(
         g_agg.astype(cd), ((0, s_slabs * window - n), (0, 0))
     )
-    kernel = functools.partial(_bwd_kernel, w=window, cmax=cmax, dtype=cd)
+    kernel = functools.partial(
+        _bwd_kernel, w=window, cmax=cmax, dtype=cd, mask_impl=MASK_IMPL
+    )
     h = weights["w2"].shape[0]
     edge_idx2 = lambda s, c: (s * cmax + c, 0)
     const2 = lambda s, c: (0, 0)

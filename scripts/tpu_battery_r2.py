@@ -443,6 +443,92 @@ def exp_cc():
         report("dbscan_batched_scan", error=describe(ex)[:500])
 
 
+def exp_exact2():
+    """Bisect the hardware-only fused-kernel error (battery #5: f32 fwd
+    rel 0.006, gea rel 0.28 vs interpret-exact). Variants isolate the
+    row-mask lowering ("none"/"reshape"/"diag") from the index row-select
+    and gathers; bad-row statistics localize the corruption."""
+    import gnn_tracking_tpu.ops.pallas.fused_relational as FR
+
+    rng = np.random.default_rng(0)
+    n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
+    fx = fe = 32
+    h, fo = 128, 32
+    x, ea, meta, stats = build_layout(rng, n, e, w, eb, fx, fe)
+    ws = make_weights(rng, fx, fe, h, fo)
+    ones = jnp.ones_like(meta["inw"])
+
+    def xla_ref(inw_arr):
+        from gnn_tracking_tpu.ops.pallas.fused_relational import (
+            fused_relational_reference,
+        )
+
+        return fused_relational_reference(
+            x, ea, meta["sl"], meta["dl"], inw_arr, ws, window=w, block_e=eb
+        )
+
+    def stats_vs(tag, got, ref):
+        got, ref = np.asarray(got, np.float64), np.asarray(ref, np.float64)
+        err = np.abs(got - ref).max(axis=1)
+        scale = np.abs(ref).max() + 1e-30
+        bad = np.where(err > 1e-3 * scale)[0]
+        out = {
+            "rel": float(err.max() / scale),
+            "n_bad_rows": int(len(bad)),
+        }
+        if len(bad):
+            blocks = np.unique(bad // eb)
+            out["bad_blocks"] = blocks[:12].tolist()
+            out["bad_block_mod8"] = np.unique(blocks % 8).tolist()
+            out["first_bad_rows_in_block"] = np.unique(bad % eb)[:8].tolist()
+        report(tag, **out)
+
+    for variant, inw_arr in (
+        ("none", ones),
+        ("reshape", meta["inw"]),
+        ("diag", meta["inw"]),
+    ):
+        try:
+            FR.MASK_IMPL = variant
+            et, agg = sync(
+                FR.fused_relational(
+                    w, eb, "float32", None, x, ea,
+                    meta["sl"], meta["dl"], inw_arr, ws,
+                )
+            )
+            et_r, agg_r = sync(xla_ref(inw_arr))
+            stats_vs(f"exact2_fwd_{variant}_et", et, et_r)
+            stats_vs(f"exact2_fwd_{variant}_agg", agg, agg_r)
+
+            def loss_k(x_, ea_, ws_):
+                et_, agg_ = FR.fused_relational(
+                    w, eb, "float32", None, x_, ea_,
+                    meta["sl"], meta["dl"], inw_arr, ws_,
+                )
+                return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+            def loss_r(x_, ea_, ws_):
+                et_, agg_ = xla_ref_d(x_, ea_, ws_)
+                return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+            from gnn_tracking_tpu.ops.pallas.fused_relational import (
+                fused_relational_reference,
+            )
+
+            def xla_ref_d(x_, ea_, ws_):
+                return fused_relational_reference(
+                    x_, ea_, meta["sl"], meta["dl"], inw_arr, ws_,
+                    window=w, block_e=eb,
+                )
+
+            gk = sync(jax.grad(loss_k, argnums=(1,))(x, ea, ws))[0]
+            gr = sync(jax.grad(loss_r, argnums=(1,))(x, ea, ws))[0]
+            stats_vs(f"exact2_gea_{variant}", gk, gr)
+        except Exception as ex:
+            report(f"exact2_{variant}", error=describe(ex)[:400])
+    FR.MASK_IMPL = "diag"
+
+
 def exp_ivf():
     """IVF-certified exact kNN at full-detector scale (VERDICT #2 target:
     exact at 262k x 8 in <150 ms; replaces the banded kNN that could not
@@ -540,6 +626,7 @@ def exp_tcn():
 
 EXPS = {
     "exact": exp_exact,
+    "exact2": exp_exact2,
     "micro": exp_micro,
     "ec": exp_ec_step,
     "rg64": exp_rg64,
