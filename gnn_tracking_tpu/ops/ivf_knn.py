@@ -94,7 +94,7 @@ def ivf_knn(
     fallback_cap: int = 8192,
     lloyd_iters: int = 2,
     block_n: int = 4096,
-    group_cells: int = 8,
+    group_cells: int = 32,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -110,7 +110,13 @@ def ivf_knn(
     xf = jnp.where(node_mask[:, None], x.astype(jnp.float32), _FAR)
 
     if n_cells is None:
-        n_cells = max(8, min(4096, n // 128))
+        # cells must be FINER than the data's cluster granularity or the
+        # certification radius blows up: a cell spanning two latent
+        # clusters has rad ~ inter-cluster distance and poisons the
+        # triangle bound for every query it neighbors (round-2 hardware
+        # battery: n//128 cells -> 77k/262k uncertified). n//32 keeps
+        # cells at fragment scale; 8192 caps the [C, C] centroid table.
+        n_cells = max(8, min(8192, n // 32))
     if cell_cap is None:
         cell_cap = max(8, (3 * n) // n_cells)
     n_probe = min(n_probe, n_cells)
@@ -200,14 +206,27 @@ def ivf_knn(
         bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
         if not loop:
             bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
-        # extra set: every query also scans the spill points
-        de = _pdist2(q, x_extra).reshape(g, cell_cap, extra_cap)
+
+        # extra set: every query also scans the spill points — but only
+        # when spill exists (the scan is the dominant HBM cost otherwise)
+        def scan_extra(q):
+            de = _pdist2(q, x_extra).reshape(g, cell_cap, extra_cap)
+            ebad = ~jnp.broadcast_to(extra_valid[None, None, :], de.shape)
+            if not loop:
+                ebad |= (
+                    extra_ids[None, None, :]
+                    == qid.reshape(g, cell_cap)[:, :, None]
+                )
+            return jnp.where(ebad, jnp.inf, de)
+
+        de = jax.lax.cond(
+            n_spill > 0,
+            scan_extra,
+            lambda q: jnp.full((g, cell_cap, extra_cap), jnp.inf, jnp.float32),
+            q,
+        )
         eid_b = jnp.broadcast_to(extra_ids[None, None, :], de.shape)
-        ebad = ~jnp.broadcast_to(extra_valid[None, None, :], de.shape)
-        if not loop:
-            ebad |= eid_b == qid.reshape(g, cell_cap)[:, :, None]
-        dall = jnp.concatenate([jnp.where(bad, jnp.inf, dd),
-                                jnp.where(ebad, jnp.inf, de)], axis=2)
+        dall = jnp.concatenate([jnp.where(bad, jnp.inf, dd), de], axis=2)
         iall = jnp.concatenate([cid_b, eid_b], axis=2)
         neg, pos = jax.lax.top_k(-dall, k)
         return -neg, jnp.take_along_axis(iall, pos, axis=2)
@@ -231,12 +250,15 @@ def ivf_knn(
 
     def certify(args):
         q, vis, r = args
+        b = q.shape[0]
         dc = jnp.sqrt(_pdist2(q, centroids))  # [B, C]
         bound = dc - rad[None, :]
-        vm = jnp.any(
-            vis[:, :, None] == jnp.arange(n_cells, dtype=jnp.int32)[None, None, :],
-            axis=1,
+        # visited mask via scatter (a [B, T, C] iota compare is ~T x the
+        # memory traffic of the bound matrix itself)
+        rows = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], vis.shape
         )
+        vm = jnp.zeros((b, n_cells), bool).at[rows, vis].set(True)
         bound = jnp.where(vm, jnp.inf, bound)
         # absolute safety margin: distance matmuls (HIGHEST) are good to
         # ~1e-6 relative; never let fp noise certify a borderline query
@@ -256,18 +278,35 @@ def ivf_knn(
     ).reshape(-1)[:n]
     certified = (cert & found_all & (spill_lost == 0)) | ~node_mask
 
-    # --- 5. fallback -------------------------------------------------------
+    # --- 5. fallback (skipped entirely when everything certified) ----------
     from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
 
-    _, viol_idx = jax.lax.top_k(jnp.where(certified, 0.0, 1.0), fallback_cap)
-    fb_d, fb_i = _fallback_brute(
-        xf[viol_idx], xf, node_mask, k=k, block_c=1024, loop=loop,
-        self_ids=viol_idx.astype(jnp.int32), interpret=False,
+    n_viol = jnp.sum(~certified)
+
+    def run_fallback(carry):
+        dists, idx = carry
+        _, viol_idx = jax.lax.top_k(
+            jnp.where(certified, 0.0, 1.0), fallback_cap
+        )
+        fb_d, fb_i = _fallback_brute(
+            xf[viol_idx], xf, node_mask, k=k, block_c=1024, loop=loop,
+            self_ids=viol_idx.astype(jnp.int32), interpret=False,
+        )
+        take_fb = ~certified[viol_idx]
+        dists = dists.at[viol_idx].set(
+            jnp.where(take_fb[:, None], fb_d, dists[viol_idx])
+        )
+        idx = idx.at[viol_idx].set(
+            jnp.where(take_fb[:, None], fb_i, idx[viol_idx])
+        )
+        n_handled = jnp.sum(take_fb)
+        return dists, idx, n_handled
+
+    dists, idx, n_handled = jax.lax.cond(
+        n_viol > 0,
+        run_fallback,
+        lambda carry: (carry[0], carry[1], jnp.array(0, n_viol.dtype)),
+        (dists, idx),
     )
-    take_fb = ~certified[viol_idx]
-    dists = dists.at[viol_idx].set(
-        jnp.where(take_fb[:, None], fb_d, dists[viol_idx])
-    )
-    idx = idx.at[viol_idx].set(jnp.where(take_fb[:, None], fb_i, idx[viol_idx]))
-    n_uncert = jnp.sum(~certified) - jnp.sum(take_fb)
+    n_uncert = n_viol - n_handled
     return dists, idx, n_uncert
