@@ -568,6 +568,68 @@ def exp_ivf():
     report("ivf_knn_262k_uniform", ms=t_u * 1e3, n_uncert=int(uncu))
 
 
+def exp_decomp():
+    """Decompose the fused-vs-sorted EC step gap (battery #5: 143 vs 81 ms):
+    forward-only and L_ec=1 variants isolate per-layer cost from the head
+    (encoders + W-MLP + loss) at E vs E_pad rows."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+    from gnn_tracking_tpu.ops.pallas.slab_layout import apply_slab_layout, default_spec
+
+    rng = np.random.default_rng(2)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    g0 = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(rng.random(e) < 0.3).astype(np.float32),
+    )
+    w, eb = (128, 128) if SMOKE else (1024, 512)
+    variants = {
+        "sorted": g0.sort_edges_by_target(),
+        "fused": apply_slab_layout(g0, default_spec(n, e, window=w, block_e=eb)),
+    }
+    for impl, g in variants.items():
+        g = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, g)
+        for L in (1, 6):
+            model = ECForGraphTCN(
+                interaction_node_dim=32, interaction_edge_dim=32,
+                hidden_dim=128, L_ec=L,
+                sorted_edges=impl == "sorted",
+                segment_impl="xla" if impl == "sorted" else "fused",
+                fused_window=w, fused_block=eb, fused_dtype="bfloat16",
+            )
+            params = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16),
+                model.init(jax.random.PRNGKey(0), g),
+            )
+
+            fwd = jax.jit(lambda p, g: model.apply(p, g)["W"].sum())
+            sync(fwd(params, g))
+            t_f = timeit(lambda: fwd(params, g), iters=2 if SMOKE else 15)
+
+            @jax.jit
+            def fb(p, g):
+                def loss_fn(p):
+                    wg = model.apply(p, g)["W"].astype(jnp.float32)
+                    return binary_focal_loss(
+                        inpt=wg, target=g.y.astype(jnp.float32)
+                    )
+
+                return jax.value_and_grad(loss_fn)(p)[0]
+
+            sync(fb(params, g))
+            t_b = timeit(lambda: fb(params, g), iters=2 if SMOKE else 15)
+            report(
+                f"decomp_{impl}_L{L}",
+                fwd_ms=t_f * 1e3, fwdbwd_ms=t_b * 1e3,
+            )
+
+
 def exp_tcn():
     """Full GraphTCN (EC + condensation) step: fused IN kernels vs sorted
     XLA, bf16, at bench scale (round-2 wrapper plumbing)."""
@@ -634,6 +696,7 @@ EXPS = {
     "cc": exp_cc,
     "ivf": exp_ivf,
     "tcn": exp_tcn,
+    "decomp": exp_decomp,
 }
 
 
