@@ -448,7 +448,49 @@ def exp_exact2():
     rel 0.006, gea rel 0.28 vs interpret-exact). Variants isolate the
     row-mask lowering ("none"/"reshape"/"diag") from the index row-select
     and gathers; bad-row statistics localize the corruption."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
     import gnn_tracking_tpu.ops.pallas.fused_relational as FR
+
+    # --- 0. _tile_row in isolation: copy each block's selected index row ---
+    try:
+        eb0, nb0, cmax0 = 128, 24, 3
+
+        def rowsel_kernel(t_ref, o_ref, *, cmax):
+            flat = pl.program_id(0) * cmax + pl.program_id(1)
+            row = FR._tile_row(t_ref, flat)  # [1, eb]
+            rsel = (
+                jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0) == flat % 8
+            )
+
+            @pl.when(flat % 8 == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+            o_ref[:] += jnp.where(rsel, jnp.broadcast_to(row, o_ref.shape), 0)
+
+        tiles = np.arange(nb0 * eb0, dtype=np.int32).reshape(nb0, eb0)
+        tiles_p = np.pad(tiles, ((0, (-nb0) % 8), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(rowsel_kernel, cmax=cmax0),
+            grid=(nb0 // cmax0, cmax0),
+            in_specs=[
+                pl.BlockSpec((8, eb0), lambda s, c: ((s * cmax0 + c) // 8, 0))
+            ],
+            out_specs=pl.BlockSpec(
+                (8, eb0), lambda s, c: ((s * cmax0 + c) // 8, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb0, eb0), jnp.int32),
+            interpret=False,
+        )(jnp.asarray(tiles_p))
+        got = np.asarray(sync(out))
+        n_bad = int((got != tiles).sum())
+        report("exact2_tile_row", n_bad=n_bad,
+               first_bad=np.argwhere(got != tiles)[:4].tolist())
+    except Exception as ex:
+        report("exact2_tile_row", error=describe(ex)[:400])
 
     rng = np.random.default_rng(0)
     n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
