@@ -99,9 +99,16 @@ class ECForGraphTCN(nn.Module):
         if self.use_intermediate_edge_embeddings:
             w_input = jnp.concatenate(edge_attrs_ec, axis=1)
         if self.use_node_embedding:
+            from gnn_tracking_tpu.ops.segment import sorted_take
+
             h_gather = h_ec if exchange is None else exchange(h_ec)
+            h_dst = (
+                sorted_take(h_gather, edge_index[1])
+                if self.sorted_edges
+                else h_gather[edge_index[1]]
+            )
             w_input = jnp.concatenate(
-                [h_gather[edge_index[0]], h_gather[edge_index[1]], w_input], axis=1
+                [h_gather[edge_index[0]], h_dst, w_input], axis=1
             )
         eps = 0.001
         logits = MLP(output_size=1, hidden_dim=self.hidden_dim, L=3, name="W")(w_input)

@@ -15,7 +15,7 @@ from flax import linen as nn
 import jax.numpy as jnp
 
 from gnn_tracking_tpu.models.mlp import MLP
-from gnn_tracking_tpu.ops.segment import masked_segment_sum
+from gnn_tracking_tpu.ops.segment import masked_segment_sum, sorted_take
 
 
 class InteractionNetwork(nn.Module):
@@ -103,6 +103,9 @@ class InteractionNetwork(nn.Module):
             )
             if use_pallas:
                 g_dst = sorted_gather(p_dst, dst)
+            elif self.sorted_edges:
+                # sorted-scatter backward (the EC step is bwd-scatter bound)
+                g_dst = sorted_take(p_dst, dst)
             else:
                 g_dst = p_dst[dst]
             m1 = nn.relu(g_dst + p_src[src] + p_e)
@@ -114,7 +117,12 @@ class InteractionNetwork(nn.Module):
                 name="relational_rest",
             )(m1)
         else:
-            x_dst = sorted_gather(x, dst) if use_pallas else x[dst]
+            if use_pallas:
+                x_dst = sorted_gather(x, dst)
+            elif self.sorted_edges:
+                x_dst = sorted_take(x, dst)
+            else:
+                x_dst = x[dst]
             m = jnp.concatenate([x_dst, x[src], edge_attr], axis=1)
             e_tilde = MLP(
                 output_size=self.edge_outdim,
@@ -179,13 +187,14 @@ class InteractionNetwork(nn.Module):
         s_l, d_l = src[:halo_split], dst[:halo_split]
         s_h, d_h = src[halo_split:], dst[halo_split:]
         # local block: every source is provably < n_local
+        take_d = sorted_take if self.sorted_edges else (lambda a, i: a[i])
         m_l = jnp.concatenate(
-            [x_loc[d_l], x_loc[s_l], edge_attr[:halo_split]], axis=1
+            [take_d(x_loc, d_l), x_loc[s_l], edge_attr[:halo_split]], axis=1
         )
         et_l = rel(m_l)
         # halo block: sources may index the exchanged rows
         m_h = jnp.concatenate(
-            [x_loc[d_h], x[s_h], edge_attr[halo_split:]], axis=1
+            [take_d(x_loc, d_h), x[s_h], edge_attr[halo_split:]], axis=1
         )
         et_h = rel(m_h)  # same module instance -> shared parameters
         mask_l = edge_mask[:halo_split] if edge_mask is not None else None

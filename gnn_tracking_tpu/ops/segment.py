@@ -18,6 +18,37 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def sorted_take(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """``x[idx]`` whose BACKWARD uses the sorted-scatter lowering.
+
+    The forward is an ordinary row gather. Its autodiff transpose is a
+    scatter-add, which XLA lowers serially for unsorted indices — on a v5e
+    the EC train step spends ~2/3 of its time in exactly these backward
+    scatters (round-2 battery decomposition: fwd 24 ms, fwd+bwd 81 ms at
+    262k edges). When ``idx`` is non-decreasing (the ``sorted_edges``
+    promise: edges sorted by target), the cotangent scatter is a sorted
+    segment-sum, so this custom VJP passes ``indices_are_sorted=True`` —
+    same values, cheaper lowering. ONLY use under the sorted promise.
+    """
+    return x[idx]
+
+
+def _sorted_take_fwd(x, idx):
+    return x[idx], (idx, x.shape[0])
+
+
+def _sorted_take_bwd(res, g):
+    idx, n = res
+    gx = jax.ops.segment_sum(
+        g, idx, num_segments=n, indices_are_sorted=True
+    )
+    return gx.astype(g.dtype), None
+
+
+sorted_take.defvjp(_sorted_take_fwd, _sorted_take_bwd)
+
+
 def gather_edge_endpoints(x: jax.Array, edge_index: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Gather (source, target) node features for every edge.
 

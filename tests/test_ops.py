@@ -170,3 +170,29 @@ def test_dbscan_fast_path_matches_generic():
         np.testing.assert_array_equal(fast, generic)
         ref = DBSCAN(eps=eps, min_samples=ms).fit_predict(x)
         np.testing.assert_array_equal(fast, ref)
+
+
+def test_sorted_take_matches_plain_gather_and_grad():
+    """sorted_take: same values and cotangents as x[idx] (sorted indices)."""
+    import jax
+    import numpy as np
+
+    from gnn_tracking_tpu.ops.segment import sorted_take
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(50, 7)).astype(np.float32))
+    idx = jnp.asarray(np.sort(rng.integers(0, 50, size=300)).astype(np.int32))
+
+    np.testing.assert_array_equal(
+        np.asarray(sorted_take(x, idx)), np.asarray(x[idx])
+    )
+
+    def f_sorted(x):
+        return jnp.sum(jnp.sin(sorted_take(x, idx)) * 2.0)
+
+    def f_plain(x):
+        return jnp.sum(jnp.sin(x[idx]) * 2.0)
+
+    g_s = jax.grad(f_sorted)(x)
+    g_p = jax.grad(f_plain)(x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_p), rtol=1e-6)
