@@ -208,7 +208,9 @@ def ivf_knn(
             bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
 
         # extra set: every query also scans the spill points — but only
-        # when spill exists (the scan is the dominant HBM cost otherwise)
+        # when spill exists, and pre-reduced to its own top-k so the main
+        # top_k never widens by extra_cap (that widening alone cost
+        # seconds at 262k on hardware)
         def scan_extra(q):
             de = _pdist2(q, x_extra).reshape(g, cell_cap, extra_cap)
             ebad = ~jnp.broadcast_to(extra_valid[None, None, :], de.shape)
@@ -217,17 +219,21 @@ def ivf_knn(
                     extra_ids[None, None, :]
                     == qid.reshape(g, cell_cap)[:, :, None]
                 )
-            return jnp.where(ebad, jnp.inf, de)
+            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), k)
+            ide = jnp.broadcast_to(extra_ids[None, None, :], de.shape)
+            return -neg_e, jnp.take_along_axis(ide, pos_e, axis=2)
 
-        de = jax.lax.cond(
+        de_k, ie_k = jax.lax.cond(
             n_spill > 0,
             scan_extra,
-            lambda q: jnp.full((g, cell_cap, extra_cap), jnp.inf, jnp.float32),
+            lambda q: (
+                jnp.full((g, cell_cap, k), jnp.inf, jnp.float32),
+                jnp.zeros((g, cell_cap, k), jnp.int32),
+            ),
             q,
         )
-        eid_b = jnp.broadcast_to(extra_ids[None, None, :], de.shape)
-        dall = jnp.concatenate([jnp.where(bad, jnp.inf, dd), de], axis=2)
-        iall = jnp.concatenate([cid_b, eid_b], axis=2)
+        dall = jnp.concatenate([jnp.where(bad, jnp.inf, dd), de_k], axis=2)
+        iall = jnp.concatenate([cid_b, ie_k], axis=2)
         neg, pos = jax.lax.top_k(-dall, k)
         return -neg, jnp.take_along_axis(iall, pos, axis=2)
 

@@ -593,15 +593,28 @@ def exp_ivf():
     )
 
     if not SMOKE:
-        d_s, _ = sync(pairwise_topk_streaming(x, k=8))
-        match = bool(
-            np.allclose(
-                np.sort(np.asarray(d_i), axis=1),
-                np.sort(np.asarray(d_s), axis=1),
-                rtol=1e-3, atol=1e-4,
+        # precision-consistent exactness check: brute-force a random query
+        # subset with the SAME HIGHEST-precision distance formula (the
+        # streaming Pallas kernel runs at default MXU precision, whose ~1%
+        # bf16 operand truncation fails any tight comparison)
+        from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
+
+        sub = jnp.asarray(rng.choice(n, size=4096, replace=False).astype(np.int32))
+        fb_d, _ = sync(
+            _fallback_brute(
+                x[sub], x, jnp.ones((n,), bool), k=8, block_c=1024,
+                loop=False, self_ids=sub, interpret=False,
             )
         )
-        report("ivf_knn_262k_exact", match=match)
+        got = np.sort(np.asarray(d_i)[np.asarray(sub)], axis=1)
+        ref = np.sort(np.asarray(fb_d), axis=1)
+        bad = (~np.isclose(got, ref, rtol=1e-4, atol=1e-5)).any(axis=1)
+        report(
+            "ivf_knn_262k_exact",
+            match=bool(~bad.any()),
+            frac_bad=float(bad.mean()),
+            max_rel=float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-30)),
+        )
 
     # uniform worst case: certification is weak, fallback carries exactness
     xu = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
@@ -662,7 +675,10 @@ def exp_decomp():
                         inpt=wg, target=g.y.astype(jnp.float32)
                     )
 
-                return jax.value_and_grad(loss_fn)(p)[0]
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                # consume the grads or XLA DCEs the whole backward
+                gsum = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(grads))
+                return loss + 0.0 * gsum
 
             sync(fb(params, g))
             t_b = timeit(lambda: fb(params, g), iters=2 if SMOKE else 15)
