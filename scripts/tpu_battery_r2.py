@@ -571,6 +571,74 @@ def exp_exact2():
     FR.MASK_IMPL = "diag"
 
 
+def exp_prec():
+    """Isolate the f32 'HIGHEST' discrepancy (exact2: every row off by
+    ~bf16 scale even unmasked): single matmuls inside a minimal Pallas
+    kernel vs XLA HIGHEST on identical f32 data."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+    idx = jnp.asarray(
+        np.sort(rng.integers(0, 512, size=512)).astype(np.int32)
+    ).reshape(1, 512)
+    xw = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32))
+
+    def k_plain(a_ref, b_ref, o_ref, *, prec):
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], b_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    for name, prec in (
+        ("highest", jax.lax.Precision.HIGHEST),
+        ("default", None),
+    ):
+        try:
+            out = pl.pallas_call(
+                functools.partial(k_plain, prec=prec),
+                out_shape=jax.ShapeDtypeStruct((512, 128), jnp.float32),
+                interpret=False,
+            )(a, b)
+            ref = jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+            rel = float(
+                jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30)
+            )
+            report(f"prec_plain_{name}", rel=sync(jnp.asarray(rel)))
+        except Exception as ex:
+            report(f"prec_plain_{name}", error=describe(ex)[:300])
+
+    # transposed-contraction one-hot gather (the kernel's _gather pattern)
+    def k_onehot(idx_ref, xw_ref, o_ref, *, prec):
+        it = jax.lax.broadcasted_iota(jnp.int32, (512, 512), 0)
+        oh = (it == idx_ref[:]).astype(jnp.float32)
+        o_ref[:] = jax.lax.dot_general(
+            oh, xw_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    for name, prec in (
+        ("highest", jax.lax.Precision.HIGHEST),
+        ("default", None),
+    ):
+        try:
+            out = pl.pallas_call(
+                functools.partial(k_onehot, prec=prec),
+                out_shape=jax.ShapeDtypeStruct((512, 128), jnp.float32),
+                interpret=False,
+            )(idx, xw)
+            ref = xw[idx[0]]
+            rel = float(
+                jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30)
+            )
+            report(f"prec_onehot_{name}", rel=sync(jnp.asarray(rel)))
+        except Exception as ex:
+            report(f"prec_onehot_{name}", error=describe(ex)[:300])
+
+
 def exp_ivf():
     """IVF-certified exact kNN at full-detector scale (VERDICT #2 target:
     exact at 262k x 8 in <150 ms; replaces the banded kNN that could not
@@ -755,6 +823,7 @@ EXPS = {
     "ivf": exp_ivf,
     "tcn": exp_tcn,
     "decomp": exp_decomp,
+    "prec": exp_prec,
 }
 
 
