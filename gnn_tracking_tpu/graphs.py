@@ -204,15 +204,26 @@ class EventGraph:
         # zeroed by the mask either way)
         last = jnp.int32(self.num_nodes - 1)
         ei = jnp.stack([ei[0], jnp.where(mask, ei[1], last)])
+        extras = {
+            k: (v[order] if v.shape[0] == self.num_edges else v)
+            for k, v in self.extras.items()
+        }
+        # source-sort auxiliary: a permutation making edge sources
+        # non-decreasing. The backward of every x[src] gather is a
+        # scatter-add, which XLA lowers serially for unsorted indices —
+        # with this permutation the models route the cotangent through a
+        # SORTED segment-sum instead (ops.segment.take_sorted_by; the EC
+        # step is backward-scatter bound, round-2 battery decomposition).
+        src = ei[0]
+        src_perm = jnp.argsort(src, stable=True).astype(jnp.int32)
+        extras["src_perm"] = src_perm
+        extras["src_sorted"] = src[src_perm].astype(jnp.int32)
         return self.replace(
             edge_index=ei,
             edge_attr=self.edge_attr[order],
             y=self.y[order],
             edge_mask=mask,
-            extras={
-                k: (v[order] if v.shape[0] == self.num_edges else v)
-                for k, v in self.extras.items()
-            },
+            extras=extras,
         )
 
     def compact(self) -> "EventGraph":

@@ -99,6 +99,7 @@ class ECForGraphTCN(nn.Module):
         if self.use_intermediate_edge_embeddings:
             w_input = jnp.concatenate(edge_attrs_ec, axis=1)
         if self.use_node_embedding:
+            from gnn_tracking_tpu.models.interaction_network import _src_take
             from gnn_tracking_tpu.ops.segment import sorted_take
 
             h_gather = h_ec if exchange is None else exchange(h_ec)
@@ -107,9 +108,8 @@ class ECForGraphTCN(nn.Module):
                 if self.sorted_edges
                 else h_gather[edge_index[1]]
             )
-            w_input = jnp.concatenate(
-                [h_gather[edge_index[0]], h_dst, w_input], axis=1
-            )
+            h_src = _src_take(h_gather, edge_index[0], data.extras)
+            w_input = jnp.concatenate([h_src, h_dst, w_input], axis=1)
         eps = 0.001
         logits = MLP(output_size=1, hidden_dim=self.hidden_dim, L=3, name="W")(w_input)
         edge_weights = eps + (1 - 2 * eps) * nn.sigmoid(logits)

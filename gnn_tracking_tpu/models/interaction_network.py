@@ -15,7 +15,19 @@ from flax import linen as nn
 import jax.numpy as jnp
 
 from gnn_tracking_tpu.models.mlp import MLP
-from gnn_tracking_tpu.ops.segment import masked_segment_sum, sorted_take
+from gnn_tracking_tpu.ops.segment import (
+    masked_segment_sum,
+    sorted_take,
+    take_sorted_by,
+)
+
+
+def _src_take(x, src, extras):
+    """x[src] with a sorted-scatter backward when the graph carries the
+    source-sort auxiliary (EventGraph.sort_edges_by_target)."""
+    if extras is not None and "src_perm" in extras:
+        return take_sorted_by(x, src, extras["src_perm"], extras["src_sorted"])
+    return x[src]
 
 
 class InteractionNetwork(nn.Module):
@@ -108,7 +120,7 @@ class InteractionNetwork(nn.Module):
                 g_dst = sorted_take(p_dst, dst)
             else:
                 g_dst = p_dst[dst]
-            m1 = nn.relu(g_dst + p_src[src] + p_e)
+            m1 = nn.relu(g_dst + _src_take(p_src, src, extras) + p_e)
             # remaining layers of the (L=3) relational MLP
             e_tilde = MLP(
                 output_size=self.edge_outdim,
@@ -123,7 +135,7 @@ class InteractionNetwork(nn.Module):
                 x_dst = sorted_take(x, dst)
             else:
                 x_dst = x[dst]
-            m = jnp.concatenate([x_dst, x[src], edge_attr], axis=1)
+            m = jnp.concatenate([x_dst, _src_take(x, src, extras), edge_attr], axis=1)
             e_tilde = MLP(
                 output_size=self.edge_outdim,
                 hidden_dim=self.edge_hidden_dim,

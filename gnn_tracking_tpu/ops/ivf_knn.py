@@ -206,36 +206,8 @@ def ivf_knn(
         bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
         if not loop:
             bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
-
-        # extra set: every query also scans the spill points — but only
-        # when spill exists, and pre-reduced to its own top-k so the main
-        # top_k never widens by extra_cap (that widening alone cost
-        # seconds at 262k on hardware)
-        def scan_extra(q):
-            de = _pdist2(q, x_extra).reshape(g, cell_cap, extra_cap)
-            ebad = ~jnp.broadcast_to(extra_valid[None, None, :], de.shape)
-            if not loop:
-                ebad |= (
-                    extra_ids[None, None, :]
-                    == qid.reshape(g, cell_cap)[:, :, None]
-                )
-            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), k)
-            ide = jnp.broadcast_to(extra_ids[None, None, :], de.shape)
-            return -neg_e, jnp.take_along_axis(ide, pos_e, axis=2)
-
-        de_k, ie_k = jax.lax.cond(
-            n_spill > 0,
-            scan_extra,
-            lambda q: (
-                jnp.full((g, cell_cap, k), jnp.inf, jnp.float32),
-                jnp.zeros((g, cell_cap, k), jnp.int32),
-            ),
-            q,
-        )
-        dall = jnp.concatenate([jnp.where(bad, jnp.inf, dd), de_k], axis=2)
-        iall = jnp.concatenate([cid_b, ie_k], axis=2)
-        neg, pos = jax.lax.top_k(-dall, k)
-        return -neg, jnp.take_along_axis(iall, pos, axis=2)
+        neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), k)
+        return -neg, jnp.take_along_axis(cid_b, pos, axis=2)
 
     pd, pi = jax.lax.map(probe, cells.reshape(n_groups, g))
     pd = pd.reshape(-1, k)[: n_cells * cell_cap]
@@ -246,6 +218,40 @@ def ivf_knn(
     tgt = jnp.where(vb, ib, n)
     dists = jnp.full((n, k), jnp.inf, jnp.float32).at[tgt].set(pd, mode="drop")
     idx = jnp.zeros((n, k), jnp.int32).at[tgt].set(pi, mode="drop")
+
+    # extra-set pass (original indexing, blockwise, only if spill exists):
+    # every query merges the spill points' top-k with its bucket result so
+    # candidate coverage stays complete
+    def extra_pass(carry):
+        dists, idx = carry
+        xq = jnp.pad(xf, ((0, (-n) % block_n), (0, 0)), constant_values=_FAR)
+        qi = jnp.pad(
+            jnp.arange(n, dtype=jnp.int32), (0, (-n) % block_n),
+            constant_values=-1,
+        )
+
+        def one(args):
+            q, qid = args
+            de = _pdist2(q, x_extra)  # [B, extra_cap]
+            ebad = ~extra_valid[None, :]
+            if not loop:
+                ebad = ebad | (extra_ids[None, :] == qid[:, None])
+            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), k)
+            return -neg_e, extra_ids[pos_e]
+
+        de, ie = jax.lax.map(
+            one, (xq.reshape(-1, block_n, d), qi.reshape(-1, block_n))
+        )
+        de = de.reshape(-1, k)[:n]
+        ie = ie.reshape(-1, k)[:n]
+        dall = jnp.concatenate([dists, de], axis=1)
+        iall = jnp.concatenate([idx, ie], axis=1)
+        neg, pos = jax.lax.top_k(-dall, k)
+        return -neg, jnp.take_along_axis(iall, pos, axis=1)
+
+    dists, idx = jax.lax.cond(
+        n_spill > 0, extra_pass, lambda c: c, (dists, idx)
+    )
 
     # --- 4. certification --------------------------------------------------
     kth = jnp.sqrt(

@@ -96,7 +96,13 @@ def _blocked_neighbor_topk(
     def one_block(args):
         bq, bnorm, bbatch, bidx = args
         # [B, N] squared euclidean distances via the MXU-friendly expansion
-        d = bnorm[:, None] + sq_norms[None, :] - 2.0 * bq @ x.T
+        # HIGHEST: default MXU precision truncates f32 operands to bf16 and
+        # the norm-expansion then cancels catastrophically for tight
+        # clusters (battery #7: ~1%% operand error -> 100%%+ distance error
+        # at intra-cluster scale), mis-ranking neighbors
+        d = bnorm[:, None] + sq_norms[None, :] - 2.0 * jnp.dot(
+            bq, x.T, precision=jax.lax.Precision.HIGHEST
+        )
         d = jnp.maximum(d, 0.0)
         invalid = ~node_mask[None, :] | (bbatch[:, None] != batch[None, :])
         if not loop:

@@ -56,7 +56,8 @@ def _pairwise_topk_kernel(
         cand = x_ref[pl.ds(start, block_c), :]  # [C, D]
         c_norm = jnp.sum(cand * cand, axis=1)[None, :]  # [1, C]
         d = q_norm + c_norm - 2.0 * jnp.dot(
-            q, cand.T, preferred_element_type=jnp.float32
+            q, cand.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d = jnp.maximum(d, 0.0)
         col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, block_c), 1)
@@ -138,7 +139,8 @@ def _pairwise_topk_stream_kernel(
     c_norm = jnp.sum(cand * cand, axis=1)[None, :]
     start = j * block_c
     d = q_norm + c_norm - 2.0 * jnp.dot(
-        q, cand.T, preferred_element_type=jnp.float32
+        q, cand.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d = jnp.maximum(d, 0.0)
     col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, block_c), 1)

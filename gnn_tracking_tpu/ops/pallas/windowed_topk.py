@@ -84,7 +84,8 @@ def _banded_topk_kernel(
         cand = c_ref[:]
         c_norm = jnp.sum(cand * cand, axis=1)[None, :]
         d = q_norm + c_norm - 2.0 * jnp.dot(
-            q, cand.T, preferred_element_type=jnp.float32
+            q, cand.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d = jnp.maximum(d, 0.0)
         start = cb * block_c
@@ -289,7 +290,9 @@ def _fallback_brute(q, cands, cand_valid, *, k, block_c, loop, self_ids, interpr
         best_d, best_i = carry
         cand = jax.lax.dynamic_slice(c_p, (start * block_c, 0), (block_c, d))
         c_norm = jnp.sum(cand * cand, axis=1)[None, :]
-        dd = q_norm + c_norm - 2.0 * q @ cand.T
+        dd = q_norm + c_norm - 2.0 * jnp.dot(
+            q, cand.T, precision=jax.lax.Precision.HIGHEST
+        )
         dd = jnp.maximum(dd, 0.0)
         col = (start * block_c + jnp.arange(block_c, dtype=jnp.int32)[None, :]).astype(
             jnp.int32

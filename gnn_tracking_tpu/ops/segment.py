@@ -14,6 +14,8 @@ unsorted indices; hot paths can swap in the Pallas fused kernel from
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,37 @@ def _sorted_take_bwd(res, g):
 
 
 sorted_take.defvjp(_sorted_take_fwd, _sorted_take_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_sorted_by(
+    x: jax.Array, idx: jax.Array, perm: jax.Array, idx_sorted: jax.Array
+) -> jax.Array:
+    """``x[idx]`` whose backward scatters through a PRECOMPUTED sort.
+
+    For index streams that are not naturally sorted (edge *sources*), a
+    static permutation ``perm`` with ``idx_sorted = idx[perm]`` lets the
+    cotangent ride the sorted-scatter lowering: gather the edge cotangents
+    into sort order (cheap) + ``segment_sum(indices_are_sorted=True)``,
+    instead of the serial unsorted scatter-add XLA emits for the autodiff
+    transpose of a gather. Exactly the same values and gradients.
+    """
+    return x[idx]
+
+
+def _take_sorted_by_fwd(x, idx, perm, idx_sorted):
+    return x[idx], (idx, perm, idx_sorted, x.shape[0])
+
+
+def _take_sorted_by_bwd(res, g):
+    idx, perm, idx_sorted, n = res
+    gx = jax.ops.segment_sum(
+        g[perm], idx_sorted, num_segments=n, indices_are_sorted=True
+    )
+    return gx.astype(g.dtype), None, None, None
+
+
+take_sorted_by.defvjp(_take_sorted_by_fwd, _take_sorted_by_bwd)
 
 
 def gather_edge_endpoints(x: jax.Array, edge_index: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -196,3 +196,24 @@ def test_sorted_take_matches_plain_gather_and_grad():
     g_s = jax.grad(f_sorted)(x)
     g_p = jax.grad(f_plain)(x)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_p), rtol=1e-6)
+
+
+def test_take_sorted_by_matches_plain_gather_and_grad():
+    """take_sorted_by: same values/grads as x[idx] via a precomputed sort."""
+    import jax
+    import numpy as np
+
+    from gnn_tracking_tpu.ops.segment import take_sorted_by
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(40, 5)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=200).astype(np.int32))
+    perm = jnp.argsort(idx, stable=True).astype(jnp.int32)
+    idx_sorted = idx[perm]
+
+    np.testing.assert_array_equal(
+        np.asarray(take_sorted_by(x, idx, perm, idx_sorted)), np.asarray(x[idx])
+    )
+    g_s = jax.grad(lambda x: jnp.sum(jnp.cos(take_sorted_by(x, idx, perm, idx_sorted))))(x)
+    g_p = jax.grad(lambda x: jnp.sum(jnp.cos(x[idx])))(x)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_p), rtol=1e-6)
