@@ -607,7 +607,7 @@ def exp_prec():
             rel = float(
                 jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30)
             )
-            report(f"prec_plain_{name}", rel=sync(jnp.asarray(rel)))
+            report(f"prec_plain_{name}", rel=float(sync(jnp.asarray(rel))))
         except Exception as ex:
             report(f"prec_plain_{name}", error=describe(ex)[:300])
 
@@ -634,7 +634,7 @@ def exp_prec():
             rel = float(
                 jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30)
             )
-            report(f"prec_onehot_{name}", rel=sync(jnp.asarray(rel)))
+            report(f"prec_onehot_{name}", rel=float(sync(jnp.asarray(rel))))
         except Exception as ex:
             report(f"prec_onehot_{name}", error=describe(ex)[:300])
 
