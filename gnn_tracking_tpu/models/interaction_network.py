@@ -23,11 +23,20 @@ from gnn_tracking_tpu.ops.segment import (
 
 
 def _src_take(x, src, extras):
-    """x[src] with a sorted-scatter backward when the graph carries the
-    source-sort auxiliary (EventGraph.sort_edges_by_target)."""
+    """x[src] with a sorted-scatter backward.
+
+    Uses the precomputed source-sort auxiliary when the graph carries it
+    (``EventGraph.sort_edges_by_target``); otherwise computes the
+    permutation in-graph — ``argsort`` is jit-traceable, XLA CSEs the
+    identical sort across the layer stack, and the ``indices_are_sorted``
+    promise holds because the indices really are sorted at runtime. Either
+    way the cotangent rides the sorted segment-sum instead of the serial
+    unsorted scatter-add (the EC step's backward bottleneck).
+    """
     if extras is not None and "src_perm" in extras:
         return take_sorted_by(x, src, extras["src_perm"], extras["src_sorted"])
-    return x[src]
+    perm = jnp.argsort(src).astype(jnp.int32)
+    return take_sorted_by(x, src, perm, src[perm])
 
 
 class InteractionNetwork(nn.Module):
