@@ -79,6 +79,7 @@ def _principal_order(x, valid):
     static_argnames=(
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
+        "certify",
     ),
 )
 def ivf_knn(
@@ -95,6 +96,7 @@ def ivf_knn(
     lloyd_iters: int = 2,
     block_n: int = 4096,
     group_cells: int = 32,
+    certify: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -107,7 +109,14 @@ def ivf_knn(
     n, d = x.shape
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
-    xf = jnp.where(node_mask[:, None], x.astype(jnp.float32), _FAR)
+    xf = jnp.where(node_mask[:, None], x.astype(jnp.float32), 0.0)
+    # center the cloud: the ``qn + cn - 2qc`` expansion cancels norm-scale
+    # terms to produce distance-scale results, so any global offset eats
+    # f32 mantissa bits (observed: 4e-5 absolute noise on 0.01 distances
+    # at coordinate norms ~200 -> near-tie neighbor swaps)
+    w = node_mask.astype(jnp.float32)
+    mean = jnp.sum(xf * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    xf = jnp.where(node_mask[:, None], xf - mean[None, :], _FAR)
 
     if n_cells is None:
         # cells must be FINER than the data's cluster granularity or the
@@ -122,6 +131,12 @@ def ivf_knn(
     n_probe = min(n_probe, n_cells)
     fallback_cap = min(fallback_cap, n)
     extra_cap = min(extra_cap, n)
+    # candidate width: carry k+8 candidates through every merge, then
+    # re-rank with the direct (q-p)^2 formula at the end — the norm
+    # expansion's f32 cancellation noise (~1e-3 relative on clustered
+    # clouds) only has to keep the true kNN inside the top k+8, not rank
+    # them exactly
+    kw = k + 8
 
     # --- 1. coarse quantization -------------------------------------------
     order0 = _principal_order(xf, node_mask)
@@ -193,10 +208,16 @@ def ivf_knn(
     cells = jnp.pad(jnp.arange(n_cells, dtype=jnp.int32), (0, pad_c))
 
     def probe(cell_ids):
-        q = xb3[cell_ids].reshape(g * cell_cap, d)
+        # shift each cell's queries AND candidates by the cell centroid:
+        # distances are shift-invariant, but the local frame keeps norms at
+        # neighborhood scale so the norm-expansion matmul stays precise
+        shift = centroids[cell_ids][:, None, :]  # [g, 1, d]
+        q = (xb3[cell_ids] - shift).reshape(g * cell_cap, d)
         qid = ib2[cell_ids].reshape(g * cell_cap)
         cand_cells = nbr[cell_ids]  # [g, T]
-        cx = xb3[cand_cells].reshape(g, n_probe * cell_cap, d)
+        cx = (
+            xb3[cand_cells].reshape(g, n_probe * cell_cap, d) - shift
+        )
         cid = ib2[cand_cells].reshape(g, n_probe * cell_cap)
         cvalid = vb2[cand_cells].reshape(g, n_probe * cell_cap)
         dd = jax.vmap(_pdist2)(
@@ -206,18 +227,20 @@ def ivf_knn(
         bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
         if not loop:
             bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
-        neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), k)
+        neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
         return -neg, jnp.take_along_axis(cid_b, pos, axis=2)
 
     pd, pi = jax.lax.map(probe, cells.reshape(n_groups, g))
-    pd = pd.reshape(-1, k)[: n_cells * cell_cap]
-    pi = pi.reshape(-1, k)[: n_cells * cell_cap]
+    pd = pd.reshape(-1, kw)[: n_cells * cell_cap]
+    pi = pi.reshape(-1, kw)[: n_cells * cell_cap]
 
     # scatter bucket results back to original indexing; empty slots aim
     # out of range so mode="drop" discards them (no slot-0 collisions)
     tgt = jnp.where(vb, ib, n)
-    dists = jnp.full((n, k), jnp.inf, jnp.float32).at[tgt].set(pd, mode="drop")
-    idx = jnp.zeros((n, k), jnp.int32).at[tgt].set(pi, mode="drop")
+    dists = jnp.full((n, kw), jnp.inf, jnp.float32).at[tgt].set(
+        pd, mode="drop"
+    )
+    idx = jnp.zeros((n, kw), jnp.int32).at[tgt].set(pi, mode="drop")
 
     # extra-set pass (original indexing, blockwise, only if spill exists):
     # every query merges the spill points' top-k with its bucket result so
@@ -236,22 +259,118 @@ def ivf_knn(
             ebad = ~extra_valid[None, :]
             if not loop:
                 ebad = ebad | (extra_ids[None, :] == qid[:, None])
-            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), k)
+            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), kw)
             return -neg_e, extra_ids[pos_e]
 
         de, ie = jax.lax.map(
             one, (xq.reshape(-1, block_n, d), qi.reshape(-1, block_n))
         )
-        de = de.reshape(-1, k)[:n]
-        ie = ie.reshape(-1, k)[:n]
+        de = de.reshape(-1, kw)[:n]
+        ie = ie.reshape(-1, kw)[:n]
         dall = jnp.concatenate([dists, de], axis=1)
         iall = jnp.concatenate([idx, ie], axis=1)
-        neg, pos = jax.lax.top_k(-dall, k)
+        neg, pos = jax.lax.top_k(-dall, kw)
         return -neg, jnp.take_along_axis(iall, pos, axis=1)
 
+    def spill_probe(carry):
+        """Probe pass for the spilled queries themselves.
+
+        A spilled (over-cap) point is not in any bucket, so the grouped
+        probe never ran for it — before this pass its only candidates were
+        the *other* spill points (extra set), yet certification assumed it
+        had scanned its ``nbr[assign]`` neighborhood (round-2 battery #8:
+        1% of queries certified-but-wrong at 262k). Scan those cells'
+        buckets here so the triangle bound's premise holds for every query.
+        """
+        dists, idx = carry
+        own_cell = assign[extra_ids]
+        cand_cells = nbr[own_cell]  # [X, T]
+        shift_x = centroids[own_cell]  # [X, d] local frame (see probe)
+        bq = min(1024, extra_cap)
+        pad_x = (-extra_cap) % bq
+
+        def one(args):
+            q, qid, cc, qvalid, sh = args  # [B,d],[B],[B,T],[B],[B,d]
+            b = q.shape[0]
+            q = q - sh
+            cx = xb3[cc].reshape(b, n_probe * cell_cap, d) - sh[:, None, :]
+            cid = ib2[cc].reshape(b, n_probe * cell_cap)
+            cv = vb2[cc].reshape(b, n_probe * cell_cap)
+            qn = jnp.sum(q * q, axis=-1)[:, None]
+            cn = jnp.sum(cx * cx, axis=-1)
+            dd = qn + cn - 2.0 * jnp.einsum(
+                "bd,bjd->bj", q, cx, precision=_HIGH
+            )
+            dd = jnp.maximum(dd, 0.0)
+            bad = ~cv | ~qvalid[:, None]
+            if not loop:
+                bad |= cid == qid[:, None]
+            neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
+            return -neg, jnp.take_along_axis(cid, pos, axis=1)
+
+        dp, ip = jax.lax.map(
+            one,
+            (
+                jnp.pad(x_extra, ((0, pad_x), (0, 0)), constant_values=_FAR)
+                .reshape(-1, bq, d),
+                jnp.pad(extra_ids, (0, pad_x)).reshape(-1, bq),
+                jnp.pad(cand_cells, ((0, pad_x), (0, 0))).reshape(
+                    -1, bq, n_probe
+                ),
+                jnp.pad(extra_valid, (0, pad_x)).reshape(-1, bq),
+                jnp.pad(shift_x, ((0, pad_x), (0, 0))).reshape(-1, bq, d),
+            ),
+        )
+        dp = dp.reshape(-1, kw)[:extra_cap]
+        ip = ip.reshape(-1, kw)[:extra_cap]
+        dall = jnp.concatenate([dists[extra_ids], dp], axis=1)
+        iall = jnp.concatenate([idx[extra_ids], ip], axis=1)
+        neg, pos = jax.lax.top_k(-dall, kw)
+        dm = -neg
+        im = jnp.take_along_axis(iall, pos, axis=1)
+        keep = extra_valid[:, None]
+        dists = dists.at[extra_ids].set(
+            jnp.where(keep, dm, dists[extra_ids])
+        )
+        idx = idx.at[extra_ids].set(jnp.where(keep, im, idx[extra_ids]))
+        return dists, idx
+
+    def spill_both(carry):
+        return spill_probe(extra_pass(carry))
+
     dists, idx = jax.lax.cond(
-        n_spill > 0, extra_pass, lambda c: c, (dists, idx)
+        n_spill > 0, spill_both, lambda c: c, (dists, idx)
     )
+
+    # --- 3b. re-rank: exact distances for the kw survivors ------------------
+    # the direct difference formula has no cancellation (error ~eps * d^2
+    # itself), so the final top-k selection and the certification radius
+    # are immune to the norm-expansion noise that picked the candidates
+    def rerank(args):
+        dn, ix, q = args  # [B, kw], [B, kw], [B, d]
+        diff = q[:, None, :] - xf[ix]
+        dr = jnp.sum(diff * diff, axis=-1)
+        dr = jnp.where(jnp.isfinite(dn), dr, jnp.inf)
+        neg, pos = jax.lax.top_k(-dr, k)
+        return -neg, jnp.take_along_axis(ix, pos, axis=1)
+
+    bnr = min(block_n, 8192)
+    pad_r = (-n) % bnr
+    dists, idx = jax.lax.map(
+        rerank,
+        (
+            jnp.pad(dists, ((0, pad_r), (0, 0)), constant_values=jnp.inf)
+            .reshape(-1, bnr, kw),
+            jnp.pad(idx, ((0, pad_r), (0, 0))).reshape(-1, bnr, kw),
+            jnp.pad(xf, ((0, pad_r), (0, 0))).reshape(-1, bnr, d),
+        ),
+    )
+    dists = dists.reshape(-1, k)[:n]
+    idx = idx.reshape(-1, k)[:n]
+
+    if not certify:
+        # timing/diagnostic mode: skip certification + fallback entirely
+        return dists, idx, jnp.array(-1, jnp.int32)
 
     # --- 4. certification --------------------------------------------------
     kth = jnp.sqrt(
@@ -300,10 +419,19 @@ def ivf_knn(
         _, viol_idx = jax.lax.top_k(
             jnp.where(certified, 0.0, 1.0), fallback_cap
         )
-        fb_d, fb_i = _fallback_brute(
-            xf[viol_idx], xf, node_mask, k=k, block_c=1024, loop=loop,
+        # brute at width kw + direct-formula rerank: the streaming kernel's
+        # norm expansion carries the same near-tie noise as the probe
+        fb_dn, fb_iw = _fallback_brute(
+            xf[viol_idx], xf, node_mask, k=kw, block_c=1024, loop=loop,
             self_ids=viol_idx.astype(jnp.int32), interpret=False,
         )
+        diff = xf[viol_idx][:, None, :] - xf[fb_iw]
+        fb_dr = jnp.where(
+            jnp.isfinite(fb_dn), jnp.sum(diff * diff, axis=-1), jnp.inf
+        )
+        neg, pos = jax.lax.top_k(-fb_dr, k)
+        fb_d = -neg
+        fb_i = jnp.take_along_axis(fb_iw, pos, axis=1)
         take_fb = ~certified[viol_idx]
         dists = dists.at[viol_idx].set(
             jnp.where(take_fb[:, None], fb_d, dists[viol_idx])

@@ -668,14 +668,24 @@ def exp_ivf():
         from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
 
         sub = jnp.asarray(rng.choice(n, size=4096, replace=False).astype(np.int32))
-        fb_d, _ = sync(
+        fb_d, fb_i = sync(
             _fallback_brute(
                 x[sub], x, jnp.ones((n,), bool), k=8, block_c=1024,
                 loop=False, self_ids=sub, interpret=False,
             )
         )
-        got = np.sort(np.asarray(d_i)[np.asarray(sub)], axis=1)
-        ref = np.sort(np.asarray(fb_d), axis=1)
+        # compare in the SAME direct-difference formula ivf_knn reranks
+        # with (the brute kernel's norm expansion carries ~1e-5 absolute
+        # near-tie noise that would fail a tight comparison)
+        xs = np.asarray(x, np.float64)
+        subn = np.asarray(sub)
+
+        def direct(ids):
+            dd = ((xs[subn][:, None, :] - xs[ids]) ** 2).sum(-1)
+            return np.sort(dd, axis=1)
+
+        got = direct(np.asarray(i_i)[subn])
+        ref = direct(np.asarray(fb_i))
         bad = (~np.isclose(got, ref, rtol=1e-4, atol=1e-5)).any(axis=1)
         report(
             "ivf_knn_262k_exact",
@@ -689,6 +699,63 @@ def exp_ivf():
     du, _, uncu = sync(ivf_knn(xu, k=8))
     t_u = timeit(lambda: ivf_knn(xu, k=8)[0], iters=2 if SMOKE else 5)
     report("ivf_knn_262k_uniform", ms=t_u * 1e3, n_uncert=int(uncu))
+
+
+def exp_ivf_decomp():
+    """Phase decomposition of ivf_knn's 1520 ms at 262k (battery #8; target
+    <150 ms): certify-off / lloyd-off / probe-width / slab-cap / group-size
+    variants plus top_k and argsort microbenches to find the cost center."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 5
+
+    variants = [
+        ("full", {}),
+        ("nocert", {"certify": False}),
+        ("nocert_nolloyd", {"certify": False, "lloyd_iters": 0}),
+        ("nocert_probe8", {"certify": False, "n_probe": 8}),
+        ("nocert_groups128", {"certify": False, "group_cells": 128}),
+        ("cap48", {"cell_cap": 48}),
+        ("cap48_probe8", {"cell_cap": 48, "n_probe": 8}),
+    ]
+    for name, kw in variants:
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, **kw))
+            t = timeit(lambda kw=kw: ivf_knn(x, k=8, **kw)[0], iters=iters)
+            report(f"ivf_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivf_{name}", error=describe(ex)[:300])
+
+    # microbenches shaped like the probe's inner ops
+    try:
+        rows, width = (512, 256) if SMOKE else (4096, 1536)
+        reps = 2 if SMOKE else 192  # 192*4096 = 786k rows = the slab size
+        tile = jnp.asarray(rng.normal(size=(rows, width)).astype(np.float32))
+
+        @jax.jit
+        def topk_sweep(tile):
+            def one(i, acc):
+                neg, _ = jax.lax.top_k(-(tile + i), 16)
+                return acc + neg[:, 0]
+
+            return jax.lax.fori_loop(0, reps, one, jnp.zeros(rows))
+
+        sync(topk_sweep(tile))
+        t = timeit(lambda: topk_sweep(tile), iters=iters)
+        report("ivf_micro_topk_786k_w1536", ms=t * 1e3)
+
+        a = jnp.asarray(rng.integers(0, 8192, size=n).astype(np.int32))
+        sortfn = jax.jit(jnp.argsort)
+        sync(sortfn(a))
+        t = timeit(lambda: sortfn(a), iters=iters)
+        report("ivf_micro_argsort_262k", ms=t * 1e3)
+    except Exception as ex:
+        report("ivf_micro", error=describe(ex)[:300])
 
 
 def exp_decomp():
@@ -821,6 +888,7 @@ EXPS = {
     "knnbig": exp_knnbig,
     "cc": exp_cc,
     "ivf": exp_ivf,
+    "ivfdec": exp_ivf_decomp,
     "tcn": exp_tcn,
     "decomp": exp_decomp,
     "prec": exp_prec,
