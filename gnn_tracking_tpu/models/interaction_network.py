@@ -57,11 +57,13 @@ class InteractionNetwork(nn.Module):
     sorted_edges: bool = False
     #: "xla", "pallas_sorted" (windowed one-hot matmul aggregation + dst
     #: gather; requires sorted_edges, E % 1024 == 0, bounded window spread),
-    #: or "fused" (single Pallas kernel for gather→relational MLP→segment-add;
+    #: "fused" (single Pallas kernel for gather→relational MLP→segment-add;
     #: requires the slab edge layout from ``ops.pallas.slab_layout`` whose
-    #: metadata arrives via the ``extras`` call argument)
+    #: metadata arrives via the ``extras`` call argument), or "fused_flat"
+    #: (same kernel over the variable-blocks-per-slab layout, fill ~0.97 —
+    #: needs ``apply_flat_slab_layout`` / ``PaddingConfig(slab_layout="flat")``)
     segment_impl: str = "xla"
-    #: slab-layout statics for segment_impl="fused"
+    #: slab-layout statics for segment_impl="fused"/"fused_flat"
     fused_window: int = 1024
     fused_block: int = 512
     #: kernel compute dtype for segment_impl="fused"
@@ -90,7 +92,7 @@ class InteractionNetwork(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
-        if self.segment_impl == "fused":
+        if self.segment_impl in ("fused", "fused_flat"):
             return self._fused(x, edge_index, edge_attr, extras, edge_mask)
         if halo_split is not None and n_local is not None:
             return self._halo_overlap(
@@ -99,8 +101,8 @@ class InteractionNetwork(nn.Module):
             )
         if self.segment_impl not in ("xla", "pallas_sorted"):
             msg = (
-                f"segment_impl={self.segment_impl!r} unknown; "
-                "expected 'xla', 'pallas_sorted', or 'fused'"
+                f"segment_impl={self.segment_impl!r} unknown; expected "
+                "'xla', 'pallas_sorted', 'fused', or 'fused_flat'"
             )
             raise ValueError(msg)
         use_pallas = self.segment_impl == "pallas_sorted"
@@ -250,13 +252,23 @@ class InteractionNetwork(nn.Module):
         observable through the mask is identical.
         """
         from gnn_tracking_tpu.models.mlp import torch_bias_init, torch_linear_init
-        from gnn_tracking_tpu.ops.pallas.fused_relational import fused_relational
+        from gnn_tracking_tpu.ops.pallas.fused_relational import (
+            fused_relational,
+            fused_relational_flat,
+        )
 
+        flat = self.segment_impl == "fused_flat"
         assert self.aggr == "add", "fused path supports add aggregation only"
         assert extras is not None and "slab_srcloc" in extras, (
-            "segment_impl='fused' needs a slab-layout graph "
-            "(ops.pallas.slab_layout.apply_slab_layout)"
+            f"segment_impl={self.segment_impl!r} needs a slab-layout graph "
+            "(ops.pallas.slab_layout.apply_slab_layout / apply_flat_slab_layout)"
         )
+        if flat:
+            assert "slab_block_slab" in extras, (
+                "segment_impl='fused_flat' needs the flat slab layout "
+                "(ops.pallas.slab_layout.apply_flat_slab_layout or "
+                "PaddingConfig(slab_layout='flat'))"
+            )
         fx, fe, fo = x.shape[-1], edge_attr.shape[-1], self.edge_outdim
         fan1 = 2 * fx + fe
         h = self.edge_hidden_dim or max(fan1, fo)
@@ -279,11 +291,18 @@ class InteractionNetwork(nn.Module):
         inwin = extras["slab_inwin"]
         if edge_mask is not None:
             inwin = inwin * edge_mask.astype(inwin.dtype)
-        e_tilde, agg = fused_relational(
-            self.fused_window, self.fused_block, self.fused_dtype, None,
-            x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
-            inwin, weights,
-        )
+        if flat:
+            e_tilde, agg = fused_relational_flat(
+                self.fused_window, self.fused_block, self.fused_dtype, None,
+                x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
+                inwin, extras["slab_block_slab"], weights,
+            )
+        else:
+            e_tilde, agg = fused_relational(
+                self.fused_window, self.fused_block, self.fused_dtype, None,
+                x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
+                inwin, weights,
+            )
         # overflow edges (source beyond the 3W halo / spilled slabs): XLA
         of_pos, of_mask = extras["slab_of_pos"], extras["slab_of_mask"]
         e_pad = edge_attr.shape[0]

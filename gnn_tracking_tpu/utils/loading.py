@@ -87,6 +87,11 @@ class PaddingConfig:
     slab_block: int = 512
     slab_slack: float = 1.5
     slab_overflow_frac: float = 0.25
+    #: "fixed" (cmax blocks per slab, fill ~1/slack) or "flat" (variable
+    #: blocks per slab, fill ~0.97, for ``segment_impl="fused_flat"``). The
+    #: flat block budget is derived from the *bucketed* sizes so shapes stay
+    #: stable per bucket.
+    slab_layout: str = "fixed"
 
     def pad(self, g: EventGraph) -> EventGraph:
         n = _round_up(g.num_nodes, self.node_bucket)
@@ -101,8 +106,10 @@ class PaddingConfig:
         g = g.pad_to(n, e, t)
         if self.slab_window is not None:
             from gnn_tracking_tpu.ops.pallas.slab_layout import (
+                apply_flat_slab_layout,
                 apply_slab_layout,
                 default_spec,
+                flat_blocks_cap,
             )
 
             spec = default_spec(
@@ -113,7 +120,18 @@ class PaddingConfig:
                 slack=self.slab_slack,
                 overflow_frac=self.slab_overflow_frac,
             )
-            g = apply_slab_layout(g, spec)
+            if self.slab_layout == "flat":
+                g = apply_flat_slab_layout(
+                    g, spec, blocks_cap=flat_blocks_cap(n, e, spec)
+                )
+            elif self.slab_layout == "fixed":
+                g = apply_slab_layout(g, spec)
+            else:
+                msg = (
+                    f"slab_layout={self.slab_layout!r} unknown; "
+                    "expected 'fixed' or 'flat'"
+                )
+                raise ValueError(msg)
         return g
 
 
