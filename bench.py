@@ -16,8 +16,8 @@ means the target is met). ``extra`` carries the secondary figures (VERDICT
 round-1 #8): MFU of the EC step, full-GraphTCN step, batched DBSCAN scan,
 windowed full-detector kNN.
 
-Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | f32 | f32_sorted |
-bf16 | bf16_pallas), ``BENCH_EXTRAS=0`` to skip extras,
+Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | bf16_fused_flat |
+f32 | f32_sorted | bf16 | bf16_pallas), ``BENCH_EXTRAS=0`` to skip extras,
 ``BENCH_WATCHDOG_S`` (default 900).
 """
 
@@ -89,9 +89,12 @@ def bench_tpu(mode: str) -> float:
 
     dtype = jnp.float32 if mode.startswith("f32") else jnp.bfloat16
     fused = "fused" in mode
+    flat = "flat" in mode
     sorted_edges = not fused and ("sorted" in mode or "pallas" in mode)
     segment_impl = (
-        "fused" if fused else ("pallas_sorted" if "pallas" in mode else "xla")
+        ("fused_flat" if flat else "fused")
+        if fused
+        else ("pallas_sorted" if "pallas" in mode else "xla")
     )
 
     x, edge_index, edge_attr, y = make_arrays()
@@ -100,13 +103,19 @@ def bench_tpu(mode: str) -> float:
     )
     if fused:
         from gnn_tracking_tpu.ops.pallas.slab_layout import (
+            apply_flat_slab_layout,
             apply_slab_layout,
             default_spec,
+            flat_blocks_cap,
         )
 
-        graph = apply_slab_layout(
-            graph, default_spec(N_NODES, N_EDGES, window=1024, block_e=512)
-        )
+        spec = default_spec(N_NODES, N_EDGES, window=1024, block_e=512)
+        if flat:
+            graph = apply_flat_slab_layout(
+                graph, spec, blocks_cap=flat_blocks_cap(N_NODES, N_EDGES, spec)
+            )
+        else:
+            graph = apply_slab_layout(graph, spec)
     elif sorted_edges:
         graph = graph.sort_edges_by_target()
     graph = jax.tree.map(
@@ -356,7 +365,7 @@ def main():
     if mode == "auto":
         # race the sorted-XLA and fused-kernel EC steps, report the winner
         results = {}
-        for m in ("bf16_sorted", "bf16_fused"):
+        for m in ("bf16_sorted", "bf16_fused", "bf16_fused_flat"):
             try:
                 results[m] = bench_tpu(m)
             except Exception as e:  # noqa: BLE001

@@ -879,7 +879,195 @@ def exp_tcn():
             report(f"graphtcn_step_{tag}", error=describe(ex)[:500])
 
 
+def build_flat_layout(rng, n, e, w, eb, fx, fe, locality=None):
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        default_spec,
+        flat_blocks_cap,
+        flat_slab_partition,
+    )
+
+    if locality is None:
+        locality = w
+    src, dst = local_graph(rng, n, e, locality)
+    valid = np.ones(e, dtype=bool)
+    spec = default_spec(n, e, window=w, block_e=eb)
+    part = flat_slab_partition(
+        src, dst, valid, n, spec, blocks_cap=flat_blocks_cap(n, e, spec)
+    )
+    e_pad = len(part["perm"])
+    take = np.maximum(part["perm"], 0)
+    ea = np.where(
+        part["perm"][:, None] >= 0,
+        rng.normal(size=(e, fe)).astype(np.float32)[take],
+        0,
+    ).astype(np.float32)
+    x = rng.normal(size=(n, fx)).astype(np.float32)
+    meta = dict(
+        sl=jnp.asarray(part["srcloc"]),
+        dl=jnp.asarray(part["dstloc"]),
+        inw=jnp.asarray(part["inwin"].astype(np.float32)),
+        bs=jnp.asarray(part["block_slab"]),
+    )
+    stats = dict(
+        e_pad=e_pad,
+        overflow=int(part["n_overflow"]),
+        fill=float(part["inwin"].mean()),
+    )
+    return jnp.asarray(x), jnp.asarray(ea), meta, stats
+
+
+def exp_flat():
+    """Flat-block fused kernel on hardware: exactness (f32 + bf16 drift),
+    raw kernel timing, and the head-to-head EC train step (fused_flat vs
+    sorted XLA) — the VERDICT #1 target with fill 0.97 instead of 0.66."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.ops.pallas.fused_relational import (
+        fused_relational_flat,
+        fused_relational_flat_reference,
+    )
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        apply_flat_slab_layout,
+        default_spec,
+        flat_blocks_cap,
+    )
+
+    # --- exactness at mid scale (f32; report raw rel, the known Mosaic f32
+    # matmul drift shows here too if present) ---
+    rng = np.random.default_rng(11)
+    n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
+    fx = fe = 32
+    h, fo = 128, 32
+    x, ea, meta, stats = build_flat_layout(rng, n, e, w, eb, fx, fe)
+    ws = make_weights(rng, fx, fe, h, fo)
+    report("flat_layout", **stats)
+    try:
+        et, agg = sync(
+            fused_relational_flat(
+                w, eb, "float32", None, x, ea,
+                meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
+            )
+        )
+        et_r, agg_r = sync(
+            fused_relational_flat_reference(
+                x, ea, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
+                window=w, block_e=eb,
+            )
+        )
+        scale = float(np.abs(np.asarray(et_r)).max()) + 1e-30
+        report(
+            "flat_exact_f32",
+            et_rel=float(np.abs(np.asarray(et) - np.asarray(et_r)).max() / scale),
+            agg_rel=float(
+                np.abs(np.asarray(agg) - np.asarray(agg_r)).max()
+                / (np.abs(np.asarray(agg_r)).max() + 1e-30)
+            ),
+        )
+
+        def loss_k(x_, ea_, ws_):
+            et_, agg_ = fused_relational_flat(
+                w, eb, "float32", None, x_, ea_,
+                meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+            )
+            return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+        def loss_r(x_, ea_, ws_):
+            et_, agg_ = fused_relational_flat_reference(
+                x_, ea_, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+                window=w, block_e=eb,
+            )
+            return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+        gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
+        gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+        rels = {}
+        for name, a, b in (
+            ("gx", gk[0], gr[0]),
+            ("gea", gk[1], gr[1]),
+            ("gw2", gk[2]["w2"], gr[2]["w2"]),
+        ):
+            rels[name + "_rel"] = float(
+                np.abs(np.asarray(a) - np.asarray(b)).max()
+                / (np.abs(np.asarray(b)).max() + 1e-30)
+            )
+        report("flat_exact_grads_f32", **rels)
+    except Exception as ex:
+        report("flat_exact_f32", error=describe(ex)[:500])
+
+    # --- raw kernel timing at bench scale (bf16 fwd and fwd+bwd) ---
+    rng = np.random.default_rng(12)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    for w2, eb2 in ([(128, 128)] if SMOKE else [(1024, 512), (512, 512)]):
+        try:
+            x2, ea2, m2, st2 = build_flat_layout(rng, n, e, w2, eb2, fx, fe)
+            ws2 = make_weights(rng, fx, fe, h, fo)
+
+            @jax.jit
+            def fwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                return fused_relational_flat(
+                    w_, eb_, "bfloat16", None, x_, ea_,
+                    m["sl"], m["dl"], m["inw"], m["bs"], ws_,
+                )[1]
+
+            @jax.jit
+            def fwdbwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                def lf(x__, ea__, ws__):
+                    et_, agg_ = fused_relational_flat(
+                        w_, eb_, "bfloat16", None, x__, ea__,
+                        m["sl"], m["dl"], m["inw"], m["bs"], ws__,
+                    )
+                    return (
+                        jnp.sum(et_.astype(jnp.float32))
+                        + jnp.sum(agg_.astype(jnp.float32))
+                    )
+
+                return jax.grad(lf, argnums=(0, 1, 2))(x_, ea_, ws_)[0]
+
+            sync(fwd(x2, ea2, ws2))
+            t_f = timeit(lambda: fwd(x2, ea2, ws2), iters=2 if SMOKE else 20)
+            sync(fwdbwd(x2, ea2, ws2))
+            t_fb = timeit(lambda: fwdbwd(x2, ea2, ws2), iters=2 if SMOKE else 20)
+            report(
+                f"flat_kernel_w{w2}_eb{eb2}",
+                fill=st2["fill"],
+                fwd_ms=t_f * 1e3,
+                fwdbwd_ms=t_fb * 1e3,
+                edges_per_s_fwdbwd=e / t_fb,
+            )
+        except Exception as ex:
+            report(f"flat_kernel_w{w2}_eb{eb2}", error=describe(ex)[:500])
+
+    # --- head-to-head EC train step ---
+    rng = np.random.default_rng(2)  # same graph as exp_ec_step
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    xg = rng.normal(size=(n, 14)).astype(np.float32)
+    eag = rng.normal(size=(e, 4)).astype(np.float32)
+    y = (rng.random(e) < 0.3).astype(np.float32)
+    g = EventGraph.from_arrays(
+        x=xg, edge_index=np.stack([src, dst]), edge_attr=eag, y=y
+    )
+    loss_x = _bench_ec(
+        g.sort_edges_by_target(), None, "flat_ec_step_sorted", "xla"
+    )
+    for w3, eb3 in ([(128, 128)] if SMOKE else [(1024, 512), (1024, 1024)]):
+        try:
+            spec = default_spec(n, e, window=w3, block_e=eb3)
+            g_f = apply_flat_slab_layout(
+                g, spec, blocks_cap=flat_blocks_cap(n, e, spec)
+            )
+            loss_f = _bench_ec(
+                g_f, None, f"flat_ec_step_w{w3}_eb{eb3}", "fused_flat",
+                fused_w=w3, fused_b=eb3,
+            )
+            report(
+                f"flat_ec_loss_check_w{w3}_eb{eb3}",
+                loss_xla=loss_x, loss_flat=loss_f,
+            )
+        except Exception as ex:
+            report(f"flat_ec_step_w{w3}_eb{eb3}", error=describe(ex)[:500])
+
+
 EXPS = {
+    "flat": exp_flat,
     "exact": exp_exact,
     "exact2": exp_exact2,
     "micro": exp_micro,
