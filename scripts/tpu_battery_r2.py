@@ -106,9 +106,12 @@ def exp_exact():
     et, agg = sync(
         fused_relational(w, eb, "float32", None, x, ea, meta["sl"], meta["dl"], meta["inw"], ws)
     )
-    et_r, agg_r = sync(
-        fused_relational_reference(x, ea, meta["sl"], meta["dl"], meta["inw"], ws, window=w, block_e=eb)
-    )
+    # precision-consistent: kernel f32 matmuls run HIGHEST; plain `@` in the
+    # reference defaults to bf16-truncated MXU passes (battery #8 prec probe)
+    with jax.default_matmul_precision("highest"):
+        et_r, agg_r = sync(
+            fused_relational_reference(x, ea, meta["sl"], meta["dl"], meta["inw"], ws, window=w, block_e=eb)
+        )
     d_et = float(np.abs(np.asarray(et) - np.asarray(et_r)).max())
     rel = lambda a, b: float(
         np.abs(np.asarray(a) - np.asarray(b)).max()
@@ -130,7 +133,8 @@ def exp_exact():
         return jnp.sum(jnp.tanh(et)) + jnp.sum(jnp.sin(agg))
 
     gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
-    gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+    with jax.default_matmul_precision("highest"):
+        gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
     rels = {
         "gx": rel(gk[0], gr[0]),
         "gea": rel(gk[1], gr[1]),
@@ -505,9 +509,10 @@ def exp_exact2():
             fused_relational_reference,
         )
 
-        return fused_relational_reference(
-            x, ea, meta["sl"], meta["dl"], inw_arr, ws, window=w, block_e=eb
-        )
+        with jax.default_matmul_precision("highest"):
+            return fused_relational_reference(
+                x, ea, meta["sl"], meta["dl"], inw_arr, ws, window=w, block_e=eb
+            )
 
     def stats_vs(tag, got, ref):
         got, ref = np.asarray(got, np.float64), np.asarray(ref, np.float64)
@@ -564,7 +569,8 @@ def exp_exact2():
                 )
 
             gk = sync(jax.grad(loss_k, argnums=(1,))(x, ea, ws))[0]
-            gr = sync(jax.grad(loss_r, argnums=(1,))(x, ea, ws))[0]
+            with jax.default_matmul_precision("highest"):
+                gr = sync(jax.grad(loss_r, argnums=(1,))(x, ea, ws))[0]
             stats_vs(f"exact2_gea_{variant}", gk, gr)
         except Exception as ex:
             report(f"exact2_{variant}", error=describe(ex)[:400])
@@ -947,12 +953,17 @@ def exp_flat():
                 meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
             )
         )
-        et_r, agg_r = sync(
-            fused_relational_flat_reference(
-                x, ea, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
-                window=w, block_e=eb,
+        # precision-consistent reference: the kernel's f32 matmuls run at
+        # HIGHEST (exact per battery #8 prec probe); plain `@` in the XLA
+        # reference defaults to bf16-truncated MXU passes (~0.3% rel), which
+        # is what batteries #5/#6 actually measured as "kernel error".
+        with jax.default_matmul_precision("highest"):
+            et_r, agg_r = sync(
+                fused_relational_flat_reference(
+                    x, ea, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
+                    window=w, block_e=eb,
+                )
             )
-        )
         scale = float(np.abs(np.asarray(et_r)).max()) + 1e-30
         report(
             "flat_exact_f32",
@@ -978,7 +989,8 @@ def exp_flat():
             return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
 
         gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
-        gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+        with jax.default_matmul_precision("highest"):
+            gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
         rels = {}
         for name, a, b in (
             ("gx", gk[0], gr[0]),
