@@ -92,7 +92,7 @@ class InteractionNetwork(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
-        if self.segment_impl in ("fused", "fused_flat"):
+        if self.segment_impl in ("fused", "fused_flat", "fused_flat_t"):
             return self._fused(x, edge_index, edge_attr, extras, edge_mask)
         if halo_split is not None and n_local is not None:
             return self._halo_overlap(
@@ -102,7 +102,8 @@ class InteractionNetwork(nn.Module):
         if self.segment_impl not in ("xla", "pallas_sorted"):
             msg = (
                 f"segment_impl={self.segment_impl!r} unknown; expected "
-                "'xla', 'pallas_sorted', 'fused', or 'fused_flat'"
+                "'xla', 'pallas_sorted', 'fused', 'fused_flat', or "
+                "'fused_flat_t'"
             )
             raise ValueError(msg)
         use_pallas = self.segment_impl == "pallas_sorted"
@@ -256,8 +257,11 @@ class InteractionNetwork(nn.Module):
             fused_relational,
             fused_relational_flat,
         )
+        from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+            fused_relational_flat_t,
+        )
 
-        flat = self.segment_impl == "fused_flat"
+        flat = self.segment_impl in ("fused_flat", "fused_flat_t")
         assert self.aggr == "add", "fused path supports add aggregation only"
         assert extras is not None and "slab_srcloc" in extras, (
             f"segment_impl={self.segment_impl!r} needs a slab-layout graph "
@@ -292,7 +296,12 @@ class InteractionNetwork(nn.Module):
         if edge_mask is not None:
             inwin = inwin * edge_mask.astype(inwin.dtype)
         if flat:
-            e_tilde, agg = fused_relational_flat(
+            flat_fn = (
+                fused_relational_flat_t
+                if self.segment_impl == "fused_flat_t"
+                else fused_relational_flat
+            )
+            e_tilde, agg = flat_fn(
                 self.fused_window, self.fused_block, self.fused_dtype, None,
                 x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
                 inwin, extras["slab_block_slab"], weights,

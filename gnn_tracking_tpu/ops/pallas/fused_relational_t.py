@@ -1,0 +1,412 @@
+"""Transposed (edges-on-lanes) fused relational kernel, flat slab layout.
+
+Same semantics as ``fused_relational.fused_relational_flat`` (reference
+behavior: ``models/interaction_network.py:54-103`` gather → 3-layer
+relational MLP → segment-add), but every in-kernel tensor is transposed so
+the *edge* axis rides the 128-wide lane dimension:
+
+* gathers become ``x^T [F, W] @ onehot [W, EB]`` — output lanes = EB
+  (full), vs the natural layout's ``[EB, W] @ [W, F]`` whose output lanes
+  = F = 32 (25% MXU tile utilization — measured as the dominant kernel
+  cost in the round-2 battery #5);
+* the destination scatter is ``et^T [Fo, EB] @ onehot^T [EB, W]`` — output
+  lanes = W (full), same win;
+* the in-window row mask is ``et^T * inw [1, EB]`` — a free lane-aligned
+  broadcast instead of the natural layout's ``EB×EB`` diagonal matmul
+  (which cost more MXU cycles than the entire MLP);
+* the MLP matmuls keep full lanes (``[H, F] @ [F, EB]``).
+
+Cycle model (w=512, eb=512, fx=fe=fo=32, h=128): natural ≈ 2 600 MXU
+tile-passes forward, transposed ≈ 590 — ~4.4× fewer. The backward gets the
+same treatment (recompute-from-inputs, constantly-revisited f32 weight-grad
+accumulators).
+
+Feature dims are padded to sublane multiples (8); biases ride as ``[H, 1]``
+columns broadcast along lanes. Host-side wrappers transpose the natural
+``[E, F]`` inputs/outputs at the kernel boundary — a handful of cheap XLA
+transposes next to the kernel's savings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnn_tracking_tpu.ops.pallas.fused_relational import (
+    _mxu,
+    _onehot_t,
+    _resolve_interpret,
+    _rows8,
+    _tile_row,
+)
+from gnn_tracking_tpu.ops.pallas.fused_relational import (
+    _first_visit,
+)
+
+
+def _pad8(f: int) -> int:
+    return f + (-f) % 8
+
+
+def _pad_xt(x, w, s_slabs):
+    """[N, Fx] → transposed padded [Fx8, (S+2)·W] (halo window above/below)."""
+    n, fx = x.shape
+    xt = jnp.pad(x.T, ((0, _pad8(fx) - fx), (w, (s_slabs + 1) * w - n)))
+    return xt
+
+
+def _mlp_fwd_t(gdst, gsrc, ea, ws, dtype):
+    """Transposed MLP: ``[H, ·] @ [·, EB]`` chain, f32 pre-activations."""
+    w1d, w1s, w1e, b1, w2, b2, w3, b3 = ws
+    pre1 = _mxu(w1d, gdst.astype(dtype))
+    pre1 += _mxu(w1s, gsrc.astype(dtype))
+    pre1 += _mxu(w1e, ea)
+    pre1 = pre1 + b1.astype(jnp.float32)
+    m1 = pre1 > 0.0
+    h1 = jnp.maximum(pre1, 0.0).astype(dtype)
+    pre2 = _mxu(w2, h1) + b2.astype(jnp.float32)
+    m2 = pre2 > 0.0
+    h2 = jnp.maximum(pre2, 0.0).astype(dtype)
+    et = _mxu(w3, h2) + b3.astype(jnp.float32)
+    return h1, h2, et, m1, m2
+
+
+def _gather3_t(sl, x0, x1, x2, w, eb, dtype):
+    """x[src]^T for srcloc in [0, 3W): ``[Fx8, W] @ onehot [W, EB]``."""
+    out = _mxu(x0, _onehot_t(sl, w, eb, dtype))
+    out += _mxu(x1, _onehot_t(sl - w, w, eb, dtype))
+    out += _mxu(x2, _onehot_t(sl - 2 * w, w, eb, dtype))
+    return out
+
+
+def _fwd_kernel_t(
+    bs_ref,
+    ea_ref, sl_ref, dl_ref, inw_ref,
+    x0_ref, x1_ref, x2_ref,
+    w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    eout_ref, agg_ref,
+    *, w: int, dtype,
+):
+    eb = ea_ref.shape[1]
+    b = pl.program_id(0)
+    sl = _tile_row(sl_ref, b)  # [1, eb]
+    dl = _tile_row(dl_ref, b)
+    inw = _tile_row(inw_ref, b).astype(jnp.float32)
+
+    gsrc = _gather3_t(sl, x0_ref[:], x1_ref[:], x2_ref[:], w, eb, dtype)
+    oh_dl = _onehot_t(dl, w, eb, dtype)  # [w, eb]
+    gdst = _mxu(x1_ref[:], oh_dl)
+    ws = (
+        w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+    )
+    _, _, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea_ref[:], ws, dtype)
+    et = et * inw  # [fo8, eb] * [1, eb]: lane-aligned broadcast
+    eout_ref[:] = et.astype(eout_ref.dtype)
+
+    @pl.when(_first_visit(bs_ref, b))
+    def _():
+        agg_ref[:] = jnp.zeros_like(agg_ref)
+
+    agg_ref[:] += _mxu(et.astype(dtype), oh_dl, transpose_b=True)
+
+
+def _bwd_kernel_t(
+    bs_ref,
+    ea_ref, sl_ref, dl_ref, inw_ref,
+    x0_ref, x1_ref, x2_ref,
+    w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    geout_ref, gagg_ref,
+    gea_ref, gxd_ref, gxs_ref,
+    gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
+    *, w: int, dtype,
+):
+    eb = ea_ref.shape[1]
+    b = pl.program_id(0)
+    sl = _tile_row(sl_ref, b)
+    dl = _tile_row(dl_ref, b)
+    inw = _tile_row(inw_ref, b).astype(jnp.float32)
+
+    gsrc = _gather3_t(sl, x0_ref[:], x1_ref[:], x2_ref[:], w, eb, dtype)
+    oh_dl = _onehot_t(dl, w, eb, dtype)
+    gdst = _mxu(x1_ref[:], oh_dl)
+    ws = (
+        w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+    )
+    h1, h2, _, m1, m2 = _mlp_fwd_t(gdst, gsrc, ea_ref[:], ws, dtype)
+
+    g_et = geout_ref[:].astype(jnp.float32)
+    g_et += _mxu(gagg_ref[:].astype(dtype), oh_dl)
+    g_et = (g_et * inw).astype(dtype)
+
+    g_h2 = (_mxu(w3_ref[:], g_et, transpose_a=True) * m2).astype(dtype)
+    g_h1 = (_mxu(w2_ref[:], g_h2, transpose_a=True) * m1).astype(dtype)
+    g_gdst = _mxu(w1d_ref[:], g_h1, transpose_a=True).astype(dtype)
+    g_gsrc = _mxu(w1s_ref[:], g_h1, transpose_a=True).astype(dtype)
+    gea_ref[:] = _mxu(w1e_ref[:], g_h1, transpose_a=True).astype(gea_ref.dtype)
+
+    @pl.when(_first_visit(bs_ref, b))
+    def _():
+        gxd_ref[:] = jnp.zeros_like(gxd_ref)
+        gxs_ref[:] = jnp.zeros_like(gxs_ref)
+
+    gxd_ref[:] += _mxu(g_gdst, oh_dl, transpose_b=True)
+    for i in range(3):
+        oh_s = _onehot_t(sl - i * w, w, eb, dtype)
+        gxs_ref[0, :, pl.ds(i * w, w)] += _mxu(g_gsrc, oh_s, transpose_b=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in (gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref,
+                  gw3_ref, gb3_ref):
+            r[:] = jnp.zeros_like(r)
+
+    gw1d_ref[:] += _mxu(g_h1, gdst.astype(dtype), transpose_b=True)
+    gw1s_ref[:] += _mxu(g_h1, gsrc.astype(dtype), transpose_b=True)
+    gw1e_ref[:] += _mxu(g_h1, ea_ref[:], transpose_b=True)
+    gb1_ref[:] += jnp.sum(g_h1.astype(jnp.float32), axis=1, keepdims=True)
+    gw2_ref[:] += _mxu(g_h2, h1, transpose_b=True)
+    gb2_ref[:] += jnp.sum(g_h2.astype(jnp.float32), axis=1, keepdims=True)
+    gw3_ref[:] += _mxu(g_et, h2, transpose_b=True)
+    gb3_ref[:] += jnp.sum(g_et.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _common_specs_t(w, fe8, fx8, eb, shapes):
+    """Transposed in_specs: edge streams block along lanes, x along lanes."""
+    edge_idx = lambda b, bs: (0, b)
+    idx_tile = lambda b, bs: (b // 8, 0)
+    const2 = lambda b, bs: (0, 0)
+    return [
+        pl.BlockSpec((fe8, eb), edge_idx),  # edge_attr^T
+        pl.BlockSpec((8, eb), idx_tile),  # srcloc
+        pl.BlockSpec((8, eb), idx_tile),  # dstloc
+        pl.BlockSpec((8, eb), idx_tile),  # inwin
+        pl.BlockSpec((fx8, w), lambda b, bs: (0, bs[b])),  # x^T win s-1
+        pl.BlockSpec((fx8, w), lambda b, bs: (0, bs[b] + 1)),  # win s
+        pl.BlockSpec((fx8, w), lambda b, bs: (0, bs[b] + 2)),  # win s+1
+        pl.BlockSpec(shapes["w1d"], const2),
+        pl.BlockSpec(shapes["w1s"], const2),
+        pl.BlockSpec(shapes["w1e"], const2),
+        pl.BlockSpec(shapes["b1"], const2),
+        pl.BlockSpec(shapes["w2"], const2),
+        pl.BlockSpec(shapes["b2"], const2),
+        pl.BlockSpec(shapes["w3"], const2),
+        pl.BlockSpec(shapes["b3"], const2),
+    ]
+
+
+def _prep_t(window, block_e, x, edge_attr, weights, compute_dtype):
+    """Transpose + sublane-pad everything once, outside the kernel."""
+    n, fx = x.shape
+    e_pad, fe = edge_attr.shape
+    s_slabs = -(-n // window)
+    assert e_pad % block_e == 0, (e_pad, block_e)
+    cd = compute_dtype
+    fx8, fe8 = _pad8(fx), _pad8(fe)
+    h = weights["w2"].shape[0]
+    fo = weights["w3"].shape[1]
+    h8, fo8 = _pad8(h), _pad8(fo)
+    xt = _pad_xt(x.astype(cd), window, s_slabs)
+    eat = jnp.pad(edge_attr.astype(cd).T, ((0, fe8 - fe), (0, 0)))
+
+    def tp(a, rows, cols):
+        return jnp.pad(
+            a.astype(cd).T, ((0, rows - a.shape[1]), (0, cols - a.shape[0]))
+        )
+
+    wl = {
+        "w1d": tp(weights["w1d"], h8, fx8),
+        "w1s": tp(weights["w1s"], h8, fx8),
+        "w1e": tp(weights["w1e"], h8, fe8),
+        "b1": jnp.pad(weights["b1"].astype(cd).reshape(-1, 1), ((0, h8 - h), (0, 0))),
+        "w2": tp(weights["w2"], h8, h8),
+        "b2": jnp.pad(weights["b2"].astype(cd).reshape(-1, 1), ((0, h8 - h), (0, 0))),
+        "w3": tp(weights["w3"], fo8, h8),
+        "b3": jnp.pad(
+            weights["b3"].astype(cd).reshape(-1, 1), ((0, fo8 - fo), (0, 0))
+        ),
+    }
+    shapes = {k: v.shape for k, v in wl.items()}
+    dims = dict(
+        n=n, fx=fx, fe=fe, fo=fo, h=h,
+        fx8=fx8, fe8=fe8, fo8=fo8, h8=h8,
+        e_pad=e_pad, s_slabs=s_slabs,
+    )
+    return dims, xt, eat, wl, shapes
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_relational_flat_t(
+    window: int,
+    block_e: int,
+    compute_dtype,
+    interpret: bool | None,
+    x: jax.Array,
+    edge_attr: jax.Array,
+    srcloc: jax.Array,
+    dstloc: jax.Array,
+    inwin: jax.Array,
+    block_slab: jax.Array,
+    weights: dict[str, jax.Array],
+) -> tuple[jax.Array, jax.Array]:
+    """Transposed flat-layout fused kernel; same I/O contract as
+    ``fused_relational_flat`` (natural ``[E_pad, ·]`` / ``[N, ·]`` arrays in,
+    natural arrays out — the transposes live at the kernel boundary)."""
+    out, _ = _fwd_impl_t(
+        window, block_e, compute_dtype, interpret,
+        x, edge_attr, srcloc, dstloc, inwin, block_slab, weights,
+    )
+    return out
+
+
+def _fwd_impl_t(window, block_e, compute_dtype, interpret,
+                x, edge_attr, srcloc, dstloc, inwin, block_slab, weights):
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+    n_blocks = d["e_pad"] // block_e
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
+    kernel = functools.partial(_fwd_kernel_t, w=window, dtype=cd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=_common_specs_t(window, d["fe8"], d["fx8"], block_e, shapes),
+        out_specs=[
+            pl.BlockSpec((d["fo8"], block_e), lambda b, bs: (0, b)),
+            pl.BlockSpec((d["fo8"], window), lambda b, bs: (0, bs[b])),
+        ],
+    )
+    eout_t, agg_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d["fo8"], d["e_pad"]), x.dtype),
+            jax.ShapeDtypeStruct((d["fo8"], d["s_slabs"] * window), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        block_slab.astype(jnp.int32),
+        eat, sl2, dl2, inw2, xt, xt, xt,
+        wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
+        wl["w2"], wl["b2"], wl["w3"], wl["b3"],
+    )
+    eout = eout_t[: d["fo"]].T
+    agg = agg_t[: d["fo"], : d["n"]].T.astype(x.dtype)
+    return (
+        (eout, agg),
+        (x, edge_attr, srcloc, dstloc, inwin, block_slab, weights),
+    )
+
+
+def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
+    x, edge_attr, srcloc, dstloc, inwin, block_slab, weights = res
+    g_eout, g_agg = cts
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+    n_blocks = d["e_pad"] // block_e
+    s_slabs, w = d["s_slabs"], window
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
+    geout_t = jnp.pad(
+        g_eout.astype(cd).T, ((0, d["fo8"] - d["fo"]), (0, 0))
+    )
+    gagg_t = jnp.pad(
+        g_agg.astype(cd).T,
+        ((0, d["fo8"] - d["fo"]), (0, s_slabs * w - d["n"])),
+    )
+    kernel = functools.partial(_bwd_kernel_t, w=window, dtype=cd)
+    const2 = lambda b, bs: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=_common_specs_t(window, d["fe8"], d["fx8"], block_e, shapes)
+        + [
+            pl.BlockSpec((d["fo8"], block_e), lambda b, bs: (0, b)),  # g_eout^T
+            pl.BlockSpec((d["fo8"], w), lambda b, bs: (0, bs[b])),  # g_agg^T
+        ],
+        out_specs=[
+            pl.BlockSpec((d["fe8"], block_e), lambda b, bs: (0, b)),  # g_ea^T
+            pl.BlockSpec((d["fx8"], w), lambda b, bs: (0, bs[b])),  # g_x dst^T
+            pl.BlockSpec((1, d["fx8"], 3 * w), lambda b, bs: (bs[b], 0, 0)),
+            pl.BlockSpec(shapes["w1d"], const2),
+            pl.BlockSpec(shapes["w1s"], const2),
+            pl.BlockSpec(shapes["w1e"], const2),
+            pl.BlockSpec(shapes["b1"], const2),
+            pl.BlockSpec(shapes["w2"], const2),
+            pl.BlockSpec(shapes["b2"], const2),
+            pl.BlockSpec(shapes["w3"], const2),
+            pl.BlockSpec(shapes["b3"], const2),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d["fe8"], d["e_pad"]), jnp.float32),
+            jax.ShapeDtypeStruct((d["fx8"], s_slabs * w), jnp.float32),
+            jax.ShapeDtypeStruct((s_slabs, d["fx8"], 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1d"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1s"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1e"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b1"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w2"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b2"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w3"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b3"], jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        block_slab.astype(jnp.int32),
+        eat, sl2, dl2, inw2, xt, xt, xt,
+        wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
+        wl["w2"], wl["b2"], wl["w3"], wl["b3"],
+        geout_t, gagg_t,
+    )
+    (g_ea_t, gxd_t, gxs_parts, gw1d, gw1s, gw1e, gb1, gw2, gb2, gw3, gb3) = outs
+
+    n, fx, fe = d["n"], d["fx"], d["fe"]
+    # combine the per-slab 3W source windows (same as the natural-layout
+    # flat kernel, with the feature axis transposed)
+    pieces = (
+        gxs_parts.reshape(s_slabs, d["fx8"], 3, w)
+        .transpose(0, 2, 1, 3)
+        .reshape(s_slabs * 3, d["fx8"], w)
+    )
+    keys = (
+        jnp.arange(s_slabs)[:, None] + jnp.arange(3)[None, :]
+    ).reshape(-1)
+    gx_src = jax.ops.segment_sum(pieces, keys, num_segments=s_slabs + 2)
+    gx_src = gx_src.transpose(0, 2, 1).reshape((s_slabs + 2) * w, d["fx8"])
+    g_x = gxd_t[:fx, :n].T + gx_src[w : w + n, :fx]
+
+    g_weights = {
+        "w1d": gw1d[: d["h"], :fx].T.astype(weights["w1d"].dtype),
+        "w1s": gw1s[: d["h"], :fx].T.astype(weights["w1s"].dtype),
+        "w1e": gw1e[: d["h"], :fe].T.astype(weights["w1e"].dtype),
+        "b1": gb1[: d["h"], 0].astype(weights["b1"].dtype),
+        "w2": gw2[: d["h"], : d["h"]].T.astype(weights["w2"].dtype),
+        "b2": gb2[: d["h"], 0].astype(weights["b2"].dtype),
+        "w3": gw3[: d["fo"], : d["h"]].T.astype(weights["w3"].dtype),
+        "b3": gb3[: d["fo"], 0].astype(weights["b3"].dtype),
+    }
+    return (
+        g_x.astype(x.dtype),
+        g_ea_t[:fe].T.astype(edge_attr.dtype),
+        None,
+        None,
+        None,
+        None,
+        g_weights,
+    )
+
+
+fused_relational_flat_t.defvjp(_fwd_impl_t, _bwd_impl_t)

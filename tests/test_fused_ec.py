@@ -5,6 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnn_tracking_tpu.graphs import EventGraph
 from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
@@ -147,10 +148,11 @@ def _graph_flat(seed=0, n=280, e=1600):
     return apply_flat_slab_layout(g, spec, blocks_cap=flat_blocks_cap(n, e, spec))
 
 
-def test_fused_flat_ec_matches_xla():
-    """segment_impl='fused_flat' == 'xla' on the flat-laid-out graph."""
+@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t"])
+def test_fused_flat_ec_matches_xla(impl):
+    """segment_impl='fused_flat'/'fused_flat_t' == 'xla' on the flat graph."""
     g = _graph_flat()
-    m_xla, m_flat = _model("xla"), _model("fused_flat")
+    m_xla, m_flat = _model("xla"), _model(impl)
     params = m_xla.init(jax.random.PRNGKey(0), g)
     params_f = mlp_to_fused(params)
     out_x = m_xla.apply(params, g)
@@ -166,9 +168,10 @@ def test_fused_flat_ec_matches_xla():
     )
 
 
-def test_fused_flat_ec_gradients():
+@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t"])
+def test_fused_flat_ec_gradients(impl):
     g = _graph_flat(seed=1)
-    m_flat, m_xla = _model("fused_flat"), _model("xla")
+    m_flat, m_xla = _model(impl), _model("xla")
     params = m_xla.init(jax.random.PRNGKey(1), g)
     params_f = mlp_to_fused(params)
 
