@@ -1078,8 +1078,162 @@ def exp_flat():
             report(f"flat_ec_step_w{w3}_eb{eb3}", error=describe(ex)[:500])
 
 
+def exp_flat_t():
+    """Transposed (edges-on-lanes) flat fused kernel on hardware: f32
+    exactness vs the precision-consistent reference, raw bf16 kernel timing
+    at bench scale, and the head-to-head EC train step vs sorted XLA —
+    tests the ~4.4x MXU tile-pass cycle model of fused_relational_t."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.ops.pallas.fused_relational import (
+        fused_relational_flat_reference,
+    )
+    from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+        fused_relational_flat_t,
+    )
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        apply_flat_slab_layout,
+        default_spec,
+        flat_blocks_cap,
+    )
+
+    # --- f32 exactness at mid scale (fwd + grads) ---
+    rng = np.random.default_rng(11)
+    n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
+    fx = fe = 32
+    h, fo = 128, 32
+    x, ea, meta, stats = build_flat_layout(rng, n, e, w, eb, fx, fe)
+    ws = make_weights(rng, fx, fe, h, fo)
+    try:
+        et, agg = sync(
+            fused_relational_flat_t(
+                w, eb, "float32", None, x, ea,
+                meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
+            )
+        )
+        with jax.default_matmul_precision("highest"):
+            et_r, agg_r = sync(
+                fused_relational_flat_reference(
+                    x, ea, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws,
+                    window=w, block_e=eb,
+                )
+            )
+        scale = float(np.abs(np.asarray(et_r)).max()) + 1e-30
+        report(
+            "flatt_exact_f32",
+            et_rel=float(np.abs(np.asarray(et) - np.asarray(et_r)).max() / scale),
+            agg_rel=float(
+                np.abs(np.asarray(agg) - np.asarray(agg_r)).max()
+                / (np.abs(np.asarray(agg_r)).max() + 1e-30)
+            ),
+        )
+
+        def loss_k(x_, ea_, ws_):
+            et_, agg_ = fused_relational_flat_t(
+                w, eb, "float32", None, x_, ea_,
+                meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+            )
+            return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+        def loss_r(x_, ea_, ws_):
+            et_, agg_ = fused_relational_flat_reference(
+                x_, ea_, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+                window=w, block_e=eb,
+            )
+            return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+        gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
+        with jax.default_matmul_precision("highest"):
+            gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+        rels = {}
+        for name, a, b in (
+            ("gx", gk[0], gr[0]),
+            ("gea", gk[1], gr[1]),
+            ("gw2", gk[2]["w2"], gr[2]["w2"]),
+        ):
+            rels[name + "_rel"] = float(
+                np.abs(np.asarray(a) - np.asarray(b)).max()
+                / (np.abs(np.asarray(b)).max() + 1e-30)
+            )
+        report("flatt_exact_grads_f32", **rels)
+    except Exception as ex:
+        report("flatt_exact_f32", error=describe(ex)[:500])
+
+    # --- raw kernel timing at bench scale (bf16) ---
+    rng = np.random.default_rng(12)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    for w2, eb2 in ([(128, 128)] if SMOKE else [(1024, 512), (512, 512), (1024, 1024)]):
+        try:
+            x2, ea2, m2, st2 = build_flat_layout(rng, n, e, w2, eb2, fx, fe)
+            ws2 = make_weights(rng, fx, fe, h, fo)
+
+            @jax.jit
+            def fwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                return fused_relational_flat_t(
+                    w_, eb_, "bfloat16", None, x_, ea_,
+                    m["sl"], m["dl"], m["inw"], m["bs"], ws_,
+                )[1]
+
+            @jax.jit
+            def fwdbwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                def lf(x__, ea__, ws__):
+                    et_, agg_ = fused_relational_flat_t(
+                        w_, eb_, "bfloat16", None, x__, ea__,
+                        m["sl"], m["dl"], m["inw"], m["bs"], ws__,
+                    )
+                    return (
+                        jnp.sum(et_.astype(jnp.float32))
+                        + jnp.sum(agg_.astype(jnp.float32))
+                    )
+
+                return jax.grad(lf, argnums=(0, 1, 2))(x_, ea_, ws_)[0]
+
+            sync(fwd(x2, ea2, ws2))
+            t_f = timeit(lambda: fwd(x2, ea2, ws2), iters=2 if SMOKE else 20)
+            sync(fwdbwd(x2, ea2, ws2))
+            t_fb = timeit(lambda: fwdbwd(x2, ea2, ws2), iters=2 if SMOKE else 20)
+            report(
+                f"flatt_kernel_w{w2}_eb{eb2}",
+                fill=st2["fill"],
+                fwd_ms=t_f * 1e3,
+                fwdbwd_ms=t_fb * 1e3,
+                edges_per_s_fwdbwd=e / t_fb,
+            )
+        except Exception as ex:
+            report(f"flatt_kernel_w{w2}_eb{eb2}", error=describe(ex)[:500])
+
+    # --- head-to-head EC train step ---
+    rng = np.random.default_rng(2)  # same graph as exp_ec_step / exp_flat
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    xg = rng.normal(size=(n, 14)).astype(np.float32)
+    eag = rng.normal(size=(e, 4)).astype(np.float32)
+    y = (rng.random(e) < 0.3).astype(np.float32)
+    g = EventGraph.from_arrays(
+        x=xg, edge_index=np.stack([src, dst]), edge_attr=eag, y=y
+    )
+    loss_x = _bench_ec(
+        g.sort_edges_by_target(), None, "flatt_ec_step_sorted", "xla"
+    )
+    for w3, eb3 in ([(128, 128)] if SMOKE else [(1024, 512), (1024, 1024)]):
+        try:
+            spec = default_spec(n, e, window=w3, block_e=eb3)
+            g_f = apply_flat_slab_layout(
+                g, spec, blocks_cap=flat_blocks_cap(n, e, spec)
+            )
+            loss_f = _bench_ec(
+                g_f, None, f"flatt_ec_step_w{w3}_eb{eb3}", "fused_flat_t",
+                fused_w=w3, fused_b=eb3,
+            )
+            report(
+                f"flatt_ec_loss_check_w{w3}_eb{eb3}",
+                loss_xla=loss_x, loss_flat_t=loss_f,
+            )
+        except Exception as ex:
+            report(f"flatt_ec_step_w{w3}_eb{eb3}", error=describe(ex)[:500])
+
+
 EXPS = {
     "flat": exp_flat,
+    "flatt": exp_flat_t,
     "exact": exp_exact,
     "exact2": exp_exact2,
     "micro": exp_micro,
