@@ -81,6 +81,49 @@ def test_perfect_ec_graphtcn_fused_matches_xla():
         )
 
 
+def test_graphtcn_fused_flat_t_matches_xla_through_ec_cut():
+    """Same EC-cut mask-folding parity on the transposed flat kernel."""
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        apply_flat_slab_layout,
+        flat_blocks_cap,
+    )
+
+    rng = np.random.default_rng(3)
+    n, e = 280, 1600
+    x = rng.normal(size=(n, 14)).astype(np.float32)
+    dst = rng.integers(0, n, size=e)
+    src = np.clip(dst + rng.integers(-40, 40, size=e), 0, n - 1)
+    pid = rng.integers(0, 40, size=n)
+    y = (pid[src] == pid[dst]).astype(np.float32)
+    g = EventGraph.from_arrays(
+        x=x, edge_index=np.stack([src, dst]).astype(np.int32),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=y, particle_id=pid,
+    )
+    spec = default_spec(n, e, window=W, block_e=EB)
+    g = apply_flat_slab_layout(g, spec, blocks_cap=flat_blocks_cap(n, e, spec))
+    common = dict(
+        h_dim=12, e_dim=8, h_outdim=4, hidden_dim=24, L_hc=2,
+        fused_window=W, fused_block=EB, fused_dtype="float32",
+        L_ec=2, ec_threshold=0.4,
+    )
+    m_xla = GraphTCN(segment_impl="xla", **common)
+    m_t = GraphTCN(segment_impl="fused_flat_t", **common)
+    params = m_xla.init(jax.random.PRNGKey(3), g)
+    params_t = mlp_to_fused(params)
+    out_x = m_xla.apply(params, g)
+    out_t = m_t.apply(params_t, g)
+    np.testing.assert_array_equal(
+        np.asarray(out_t["ec_edge_mask"]), np.asarray(out_x["ec_edge_mask"])
+    )
+    assert np.asarray(out_x["ec_edge_mask"]).sum() > 0
+    assert (~np.asarray(out_x["ec_edge_mask"])).sum() > 0
+    for key in ("H", "B"):
+        np.testing.assert_allclose(
+            np.asarray(out_t[key]), np.asarray(out_x[key]), rtol=2e-3, atol=2e-3
+        )
+
+
 def test_graphtcn_fused_gradients_finite():
     g = _graph(seed=2)
     _, m_fused = _models(GraphTCN, L_ec=2)
