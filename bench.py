@@ -17,7 +17,8 @@ round-1 #8): MFU of the EC step, full-GraphTCN step, batched DBSCAN scan,
 windowed full-detector kNN.
 
 Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | bf16_fused_flat |
-f32 | f32_sorted | bf16 | bf16_pallas), ``BENCH_EXTRAS=0`` to skip extras,
+bf16_fused_flat_t | f32 | f32_sorted | bf16 | bf16_pallas; auto races
+sorted vs fused_flat vs fused_flat_t), ``BENCH_EXTRAS=0`` to skip extras,
 ``BENCH_WATCHDOG_S`` (default 900).
 """
 
@@ -92,7 +93,7 @@ def bench_tpu(mode: str) -> float:
     flat = "flat" in mode
     sorted_edges = not fused and ("sorted" in mode or "pallas" in mode)
     segment_impl = (
-        ("fused_flat" if flat else "fused")
+        ("fused_flat_t" if "flat_t" in mode else "fused_flat" if flat else "fused")
         if fused
         else ("pallas_sorted" if "pallas" in mode else "xla")
     )
@@ -254,6 +255,40 @@ def get_cpu_baseline() -> float:
 
 
 # ----------------------------------------------------------------- extras
+def extra_etl() -> dict[str, float]:
+    """Host-side ETL throughput on the vendored TrackML event: point-cloud
+    building (32 sectors, pixel-only) + candidate-graph building. Same-event
+    head-to-head vs the reference code (shimmed PyG Data, 2026-08-18):
+    point clouds 699 vs 1438 ms (2.1x), graphs 496 vs 7049 ms (14x) —
+    details in BENCH_NOTES.md."""
+    import tempfile
+
+    from gnn_tracking_tpu.graph_construction.graph_builder import GraphBuilder
+    from gnn_tracking_tpu.preprocessing.point_cloud_builder import (
+        PointCloudBuilder,
+    )
+
+    src = Path(__file__).parent / "tests" / "test_data" / "trackml"
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        pc, gr = Path(td) / "pc", Path(td) / "graphs"
+        pc.mkdir(), gr.mkdir()
+        # warm run (pandas/lib load), then timed
+        for rep in range(2):
+            t0 = time.perf_counter()
+            PointCloudBuilder(
+                outdir=pc, indir=src, detector_config=src / "detectors.csv.gz",
+                n_sectors=32, pixel_only=True, redo=True, add_true_edges=False,
+                log_level=30,
+            ).process()
+            out["etl_pointcloud_ms"] = (time.perf_counter() - t0) * 1e3
+        for rep in range(2):
+            t0 = time.perf_counter()
+            GraphBuilder(indir=pc, outdir=gr, redo=True).process(start=0, stop=32)
+            out["etl_graphs_ms"] = (time.perf_counter() - t0) * 1e3
+    return out
+
+
 def extra_knn() -> dict[str, float]:
     """IVF-certified exact kNN at full-detector scale (262k x 8-dim, k=8)."""
     import jax.numpy as jnp
@@ -365,7 +400,7 @@ def main():
     if mode == "auto":
         # race the sorted-XLA and fused-kernel EC steps, report the winner
         results = {}
-        for m in ("bf16_sorted", "bf16_fused", "bf16_fused_flat"):
+        for m in ("bf16_sorted", "bf16_fused_flat", "bf16_fused_flat_t"):
             try:
                 results[m] = bench_tpu(m)
             except Exception as e:  # noqa: BLE001
@@ -387,6 +422,7 @@ def main():
             ("knn", extra_knn),
             ("dbscan", extra_dbscan),
             ("graphtcn", extra_graphtcn),
+            ("etl", extra_etl),
         ):
             if time.perf_counter() - t_start > budget - 300:
                 extra[name + "_skipped"] = "time budget"
