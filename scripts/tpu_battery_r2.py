@@ -1230,6 +1230,37 @@ def exp_flat_t():
         except Exception as ex:
             report(f"flatt_ec_step_w{w3}_eb{eb3}", error=describe(ex)[:500])
 
+    # --- fwd-only decomposition (where does the step time live?) ---
+    if not SMOKE:
+        from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+        try:
+            w4, eb4 = 1024, 512
+            spec = default_spec(n, e, window=w4, block_e=eb4)
+            g_f = apply_flat_slab_layout(
+                g, spec, blocks_cap=flat_blocks_cap(n, e, spec)
+            )
+            g_f = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, g_f)
+            for L in (1, 6):
+                model = ECForGraphTCN(
+                    interaction_node_dim=32, interaction_edge_dim=32,
+                    hidden_dim=128, L_ec=L, sorted_edges=True,
+                    segment_impl="fused_flat_t",
+                    fused_window=w4, fused_block=eb4, fused_dtype="bfloat16",
+                )
+                params = jax.tree.map(
+                    lambda v: v.astype(jnp.bfloat16),
+                    model.init(jax.random.PRNGKey(0), g_f),
+                )
+                fwd = jax.jit(lambda p, g_: model.apply(p, g_)["W"].sum())
+                sync(fwd(params, g_f))
+                t_f = timeit(lambda: fwd(params, g_f), iters=15)
+                report(f"flatt_decomp_L{L}", fwd_ms=t_f * 1e3)
+        except Exception as ex:
+            report("flatt_decomp", error=describe(ex)[:500])
+
 
 EXPS = {
     "flat": exp_flat,
