@@ -16,6 +16,11 @@ from gnn_tracking_tpu.ops.pallas.fused_relational import (
     fused_relational_flat,
     fused_relational_flat_reference,
 )
+from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+    fused_relational_flat_t,
+)
+
+FLAT_OPS = {"flat": fused_relational_flat, "flat_t": fused_relational_flat_t}
 from gnn_tracking_tpu.ops.pallas.slab_layout import (
     SlabLayoutSpec,
     SlabLayoutError,
@@ -67,9 +72,10 @@ def _setup(n=300, e=2000, fx=8, fe=8, h=16, fo=8, seed=0, blocks_cap=None):
     return x, ea, meta, weights, part, (src, dst, valid)
 
 
-def test_flat_forward_matches_reference():
+@pytest.mark.parametrize("op", ["flat", "flat_t"])
+def test_flat_forward_matches_reference(op):
     x, ea, (sl, dl, inw, bs), weights, part, _ = _setup()
-    et, agg = fused_relational_flat(
+    et, agg = FLAT_OPS[op](
         W, EB, "float32", True, x, ea, sl, dl, inw, bs, weights
     )
     et_ref, agg_ref = fused_relational_flat_reference(
@@ -101,14 +107,15 @@ def test_flat_forward_in_window_semantics():
     )
 
 
-def test_flat_gradients_match_reference():
+@pytest.mark.parametrize("op", ["flat", "flat_t"])
+def test_flat_gradients_match_reference(op):
     x, ea, (sl, dl, inw, bs), weights, part, _ = _setup()
     cot_e = jnp.asarray(
         np.random.default_rng(7).normal(size=(ea.shape[0], weights["w3"].shape[1]))
     ).astype(jnp.float32)
 
     def loss_k(x, ea, weights):
-        et, agg = fused_relational_flat(
+        et, agg = FLAT_OPS[op](
             W, EB, "float32", True, x, ea, sl, dl, inw, bs, weights
         )
         return jnp.sum(et * cot_e) + jnp.sum(jnp.sin(agg))
