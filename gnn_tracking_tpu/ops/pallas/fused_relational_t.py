@@ -37,14 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gnn_tracking_tpu.ops.pallas.fused_relational import (
+    _first_visit,
     _mxu,
     _onehot_t,
     _resolve_interpret,
     _rows8,
     _tile_row,
-)
-from gnn_tracking_tpu.ops.pallas.fused_relational import (
-    _first_visit,
 )
 
 
