@@ -1,0 +1,212 @@
+"""Serving / batch-inference pipeline: checkpoint -> track labels.
+
+The production counterpart of the training stack: load a trained model from
+an orbax checkpoint (reference analog: eval-from-checkpoint via
+``MLGraphConstruction.from_chkpt`` / ``PreTrainedECGraphTCN``,
+``models/graph_construction.py:301``, ``models/edge_classifier.py:166``),
+run it over saved event graphs, cluster the condensation latent with the
+on-device DBSCAN (reference: ``postprocessing/dbscanscanner.py:84`` chooses
+(eps, min_samples) by ``trk.double_majority_pt0.9``), and write per-hit
+track labels.
+
+TPU-first shape discipline: events are padded per ``PaddingConfig`` bucket,
+so the whole predict function (model apply + radius graph + DBSCAN + label
+compaction) compiles ONCE per bucket and is reused across the stream —
+there is no per-event recompilation and no host round-trip between the
+model and the clustering.
+
+Two model flavors are auto-detected from the forward output:
+
+* condensation models (``H``/``B`` in the output): DBSCAN on the latent
+  ``H`` with ``eps``/``min_samples``;
+* pure edge classifiers (``W`` only): threshold at ``ec_threshold`` and
+  label hits by connected components of the surviving edges — the
+  classical EC pipeline (reference ``analysis/clusterfck``-style track
+  building).
+
+CLI::
+
+    python -m gnn_tracking_tpu.inference --chkpt runs/tc/checkpoints/epoch9 \
+        --indir graphs/val --outdir labels/ --eps 0.3 --min-samples 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tracking_tpu.graphs import EventGraph
+from gnn_tracking_tpu.ops.cc import compact_labels, connected_components
+from gnn_tracking_tpu.ops.dbscan import dbscan
+from gnn_tracking_tpu.training.restore import BoundModel, get_model
+from gnn_tracking_tpu.utils.loading import PaddingConfig, load_graph
+from gnn_tracking_tpu.utils.log import logger
+
+
+class TrackingPredictor:
+    """Checkpointed model + on-device clustering, compiled per shape bucket.
+
+    Args:
+        model: a ``BoundModel`` (from ``training.restore.get_model``) or a
+            checkpoint path.
+        eps, min_samples: DBSCAN hyperparameters for the condensation
+            latent (pick them with ``DBSCANHyperParamScanner`` on a
+            validation split; the scanner's ``best_dbscan`` FOMs carry the
+            selection).
+        ec_threshold: edge-classifier cut for EC-only models.
+        padding: optional ``PaddingConfig``; when given, every event is
+            padded to its bucket before the jitted predict, so a stream of
+            variable-size events reuses a handful of compiled programs.
+        max_num_neighbors: degree cap of the eps-neighbor graph (must
+            exceed the densest eps-neighborhood for sklearn-exact labels).
+    """
+
+    def __init__(
+        self,
+        model: BoundModel | str | Path,
+        *,
+        eps: float = 0.3,
+        min_samples: int = 1,
+        ec_threshold: float = 0.5,
+        padding: PaddingConfig | None = None,
+        max_num_neighbors: int = 128,
+    ):
+        if not isinstance(model, BoundModel):
+            model = get_model(model)
+        self.model = model
+        self.eps = float(eps)
+        self.min_samples = int(min_samples)
+        self.ec_threshold = float(ec_threshold)
+        self.padding = padding
+        self.max_num_neighbors = int(max_num_neighbors)
+
+    # ---------------------------------------------------------------- jit
+    @functools.cached_property
+    def _predict_fn(self):
+        module, eps, min_samples = self.model.module, self.eps, self.min_samples
+        thr, cap = self.ec_threshold, self.max_num_neighbors
+
+        @jax.jit
+        def run(variables, graph: EventGraph):
+            out = module.apply(variables, graph)
+            node_mask = graph.node_mask
+            if "H" in out:  # condensation latent -> DBSCAN
+                labels = dbscan(
+                    out["H"].astype(jnp.float32),
+                    eps=eps,
+                    min_samples=min_samples,
+                    max_num_neighbors=cap,
+                    node_mask=node_mask,
+                )
+                aux = {"beta": out["B"].astype(jnp.float32)}
+            else:  # pure EC -> cut + connected components
+                w = out["W"].astype(jnp.float32)
+                keep = (w > thr) & graph.edge_mask
+                comp = connected_components(
+                    graph.edge_index, graph.num_nodes, edge_mask=keep,
+                    node_mask=node_mask,
+                )
+                labels = compact_labels(comp, valid=node_mask, noise_value=-1)
+                aux = {"w": w}
+            if "W" in out:
+                aux["w"] = out["W"].astype(jnp.float32)
+            return labels, aux
+
+        return run
+
+    # ------------------------------------------------------------- public
+    def predict(self, graph: EventGraph) -> dict[str, np.ndarray]:
+        """Track labels (and model outputs) for one event.
+
+        Returns numpy arrays trimmed to the event's true (unpadded) size:
+        ``labels [n_hits]`` with ``-1`` = noise, plus ``beta`` and/or ``w``.
+        """
+        n_real = int(np.asarray(graph.node_mask).sum())
+        e_real = int(np.asarray(graph.edge_mask).sum())
+        if self.padding is not None:
+            graph = self.padding.pad(graph)
+        variables = {"params": self.model.params}
+        if self.model.batch_stats:
+            variables["batch_stats"] = self.model.batch_stats
+        labels, aux = self._predict_fn(variables, graph)
+        out = {"labels": np.asarray(labels)[:n_real]}
+        if "beta" in aux:
+            out["beta"] = np.asarray(aux["beta"])[:n_real]
+        if "w" in aux:
+            out["w"] = np.asarray(aux["w"])[:e_real]
+        return out
+
+    def predict_dir(
+        self, indir: str | Path, outdir: str | Path | None = None
+    ) -> dict[str, float]:
+        """Predict every ``.npz`` event graph under ``indir``.
+
+        Writes ``<stem>_labels.npz`` per event when ``outdir`` is given and
+        returns throughput stats (events/s excludes the first, compiling,
+        event).
+        """
+        files = sorted(Path(indir).glob("*.npz"))
+        if not files:
+            msg = f"no .npz event graphs under {indir}"
+            raise FileNotFoundError(msg)
+        if outdir is not None:
+            outdir = Path(outdir)
+            outdir.mkdir(parents=True, exist_ok=True)
+        n_tracks = 0
+        t_post_compile = None
+        for i, f in enumerate(files):
+            res = self.predict(load_graph(f))
+            n_tracks += int(res["labels"].max()) + 1
+            if outdir is not None:
+                np.savez_compressed(outdir / f"{f.stem}_labels.npz", **res)
+            if i == 0:
+                t_post_compile = time.perf_counter()
+        dt = time.perf_counter() - t_post_compile
+        stats = {
+            "n_events": len(files),
+            "n_tracks_total": n_tracks,
+            "events_per_s": (len(files) - 1) / dt if len(files) > 1 and dt > 0 else float("nan"),
+        }
+        logger.info("predict_dir: %s", stats)
+        return stats
+
+
+def main(argv: list[str] | None = None) -> dict[str, float]:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--chkpt", required=True, help="orbax checkpoint dir")
+    p.add_argument("--indir", required=True, help="dir of .npz event graphs")
+    p.add_argument("--outdir", default=None, help="write <stem>_labels.npz here")
+    p.add_argument("--eps", type=float, default=0.3)
+    p.add_argument("--min-samples", type=int, default=1)
+    p.add_argument("--ec-threshold", type=float, default=0.5)
+    p.add_argument("--node-bucket", type=int, default=None)
+    p.add_argument("--edge-bucket", type=int, default=None)
+    args = p.parse_args(argv)
+    padding = None
+    if args.node_bucket and args.edge_bucket:
+        padding = PaddingConfig(
+            node_bucket=args.node_bucket,
+            edge_bucket=args.edge_bucket,
+            true_edge_bucket=args.edge_bucket,
+        )
+    pred = TrackingPredictor(
+        args.chkpt,
+        eps=args.eps,
+        min_samples=args.min_samples,
+        ec_threshold=args.ec_threshold,
+        padding=padding,
+    )
+    stats = pred.predict_dir(args.indir, args.outdir)
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Serving pipeline (gnn_tracking_tpu/inference.py): checkpoint -> labels.
+
+Covers both model flavors (condensation latent -> DBSCAN; EC-only ->
+threshold + connected components), padding invariance of the predicted
+labels, and the end-to-end CLI against a real orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from gnn_tracking_tpu.inference import TrackingPredictor, main as infer_main
+from gnn_tracking_tpu.losses.ec import EdgeWeightBCELoss
+from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+from gnn_tracking_tpu.training.module import ECModule
+from gnn_tracking_tpu.training.restore import BoundModel
+from gnn_tracking_tpu.training.trainer import Trainer
+from gnn_tracking_tpu.utils.loading import (
+    PaddingConfig,
+    TestTrackingDataModule,
+    save_graph,
+)
+
+from .test_training import make_graph
+
+
+def _tc_bound(graph):
+    model = GraphTCN(h_dim=8, e_dim=8, h_outdim=4, hidden_dim=16, L_ec=1, L_hc=1)
+    params = model.init(jax.random.PRNGKey(0), graph)["params"]
+    return BoundModel(model, params)
+
+
+def test_predict_condensation_labels_and_padding_invariance():
+    g = make_graph(0)
+    pred = TrackingPredictor(_tc_bound(g), eps=0.5, min_samples=1)
+    out = pred.predict(g)
+    n = g.x.shape[0]
+    assert out["labels"].shape == (n,)
+    assert out["beta"].shape == (n,)
+    assert out["labels"].min() >= -1
+    assert np.isfinite(out["beta"]).all()
+
+    # padding to a bucket must not change the labels of the real hits
+    pred_p = TrackingPredictor(
+        _tc_bound(g), eps=0.5, min_samples=1,
+        padding=PaddingConfig(node_bucket=128, edge_bucket=512, true_edge_bucket=512),
+    )
+    out_p = pred_p.predict(g)
+    np.testing.assert_array_equal(out["labels"], out_p["labels"])
+
+    # deterministic
+    np.testing.assert_array_equal(out["labels"], pred.predict(g)["labels"])
+
+
+def test_predict_ec_only_connected_components():
+    g = make_graph(1)
+    model = ECForGraphTCN(
+        interaction_node_dim=4, interaction_edge_dim=4, L_ec=1, hidden_dim=8
+    )
+    params = model.init(jax.random.PRNGKey(1), g)["params"]
+    pred = TrackingPredictor(BoundModel(model, params), ec_threshold=0.5)
+    out = pred.predict(g)
+    n, e = g.x.shape[0], g.edge_index.shape[1]
+    assert out["labels"].shape == (n,)
+    assert out["w"].shape == (e,)
+    # labels are a valid partition: compacted, contiguous from 0 (or all -1)
+    lab = out["labels"]
+    used = np.unique(lab[lab >= 0])
+    assert used.size == 0 or (used == np.arange(used.size)).all()
+
+
+def test_inference_cli_end_to_end(tmp_path):
+    """Train 1 epoch -> checkpoint -> CLI predict over a dir of events."""
+    dm = TestTrackingDataModule(
+        [make_graph(0)],
+        padding=PaddingConfig(node_bucket=128, edge_bucket=512, true_edge_bucket=512),
+    )
+    module = ECModule(
+        model=ECForGraphTCN(
+            interaction_node_dim=4, interaction_edge_dim=4, L_ec=1, hidden_dim=8
+        ),
+        loss_fct=EdgeWeightBCELoss(),
+    )
+    trainer = Trainer(max_epochs=1, log_dir=tmp_path, print_validation_results=False)
+    config = {
+        "model": {
+            "init_args": {
+                "model": {
+                    "class_path": (
+                        "gnn_tracking_tpu.models.edge_classifier.ECForGraphTCN"
+                    ),
+                    "init_args": {
+                        "interaction_node_dim": 4,
+                        "interaction_edge_dim": 4,
+                        "L_ec": 1,
+                        "hidden_dim": 8,
+                    },
+                }
+            }
+        }
+    }
+    trainer.fit(module, dm, config=config)
+    ckpt = [
+        c
+        for c in sorted((trainer.log_dir / "checkpoints").glob("checkpoint_*"))
+        if c.is_dir()
+    ][0]
+
+    indir = tmp_path / "events"
+    indir.mkdir()
+    for i in range(3):
+        save_graph(make_graph(10 + i), indir / f"ev{i}.npz")
+    outdir = tmp_path / "labels"
+    stats = infer_main(
+        [
+            "--chkpt", str(ckpt),
+            "--indir", str(indir),
+            "--outdir", str(outdir),
+            "--node-bucket", "128",
+            "--edge-bucket", "512",
+        ]
+    )
+    assert stats["n_events"] == 3
+    outs = sorted(outdir.glob("*_labels.npz"))
+    assert len(outs) == 3
+    first = np.load(outs[0])
+    assert first["labels"].shape == (make_graph(10).x.shape[0],)
