@@ -289,6 +289,44 @@ def extra_etl() -> dict[str, float]:
     return out
 
 
+def extra_serving() -> dict[str, float]:
+    """Inference pipeline (GraphTCN forward + on-device DBSCAN on the
+    latent -> compacted track labels) at bench scale, events/s."""
+    import jax
+
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.inference import TrackingPredictor
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.restore import BoundModel
+
+    rng = np.random.default_rng(7)
+    x, edge_index, edge_attr, _ = make_arrays(7)
+    pid = rng.integers(0, 2048, size=N_NODES)
+    g = EventGraph.from_arrays(
+        x=x, edge_index=edge_index, edge_attr=edge_attr,
+        y=(pid[edge_index[0]] == pid[edge_index[1]]) & (pid[edge_index[0]] > 0),
+        particle_id=pid,
+    )
+    model = GraphTCN(
+        h_dim=INTERACTION_DIM, e_dim=INTERACTION_DIM, h_outdim=8,
+        hidden_dim=HIDDEN_DIM, L_ec=L_EC, L_hc=3,
+    )
+    params = model.init(jax.random.PRNGKey(0), g)["params"]
+    pred = TrackingPredictor(
+        BoundModel(model, params), eps=0.3, min_samples=1, max_num_neighbors=64
+    )
+    pred.predict(g)  # compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = pred.predict(g)
+    dt = (time.perf_counter() - t0) / 5
+    return {
+        "serving_events_per_s": 1.0 / dt,
+        "serving_ms": dt * 1e3,
+        "serving_n_tracks": float(out["labels"].max() + 1),
+    }
+
+
 def extra_knn() -> dict[str, float]:
     """IVF-certified exact kNN at full-detector scale (262k x 8-dim, k=8)."""
     import jax.numpy as jnp
@@ -422,6 +460,7 @@ def main():
             ("knn", extra_knn),
             ("dbscan", extra_dbscan),
             ("graphtcn", extra_graphtcn),
+            ("serving", extra_serving),
             ("etl", extra_etl),
         ):
             if time.perf_counter() - t_start > budget - 300:
