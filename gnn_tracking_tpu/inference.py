@@ -66,6 +66,11 @@ class TrackingPredictor:
             variable-size events reuses a handful of compiled programs.
         max_num_neighbors: degree cap of the eps-neighbor graph (must
             exceed the densest eps-neighborhood for sklearn-exact labels).
+        graph_transform: optional ``EventGraph -> EventGraph`` applied
+            before padding — e.g. learned graph construction from a
+            metric-learning checkpoint
+            (``training.restore.ml_graph_construction_from_chkpt``), so the
+            serving input can be bare point clouds (reference §3.4 "bake").
     """
 
     def __init__(
@@ -77,6 +82,7 @@ class TrackingPredictor:
         ec_threshold: float = 0.5,
         padding: PaddingConfig | None = None,
         max_num_neighbors: int = 128,
+        graph_transform=None,
     ):
         if not isinstance(model, BoundModel):
             model = get_model(model)
@@ -86,6 +92,7 @@ class TrackingPredictor:
         self.ec_threshold = float(ec_threshold)
         self.padding = padding
         self.max_num_neighbors = int(max_num_neighbors)
+        self.graph_transform = graph_transform
 
     # ---------------------------------------------------------------- jit
     @functools.cached_property
@@ -128,6 +135,8 @@ class TrackingPredictor:
         Returns numpy arrays trimmed to the event's true (unpadded) size:
         ``labels [n_hits]`` with ``-1`` = noise, plus ``beta`` and/or ``w``.
         """
+        if self.graph_transform is not None:
+            graph = self.graph_transform(graph)
         n_real = int(np.asarray(graph.node_mask).sum())
         e_real = int(np.asarray(graph.edge_mask).sum())
         if self.padding is not None:
@@ -188,6 +197,13 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
     p.add_argument("--ec-threshold", type=float, default=0.5)
     p.add_argument("--node-bucket", type=int, default=None)
     p.add_argument("--edge-bucket", type=int, default=None)
+    p.add_argument(
+        "--ml-chkpt", default=None,
+        help="metric-learning checkpoint: build graphs from point clouds "
+        "on the fly (learned graph construction)",
+    )
+    p.add_argument("--ml-neighbors", type=int, default=64)
+    p.add_argument("--ml-radius", type=float, default=1.0)
     args = p.parse_args(argv)
     padding = None
     if args.node_bucket and args.edge_bucket:
@@ -196,12 +212,24 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
             edge_bucket=args.edge_bucket,
             true_edge_bucket=args.edge_bucket,
         )
+    transform = None
+    if args.ml_chkpt is not None:
+        from gnn_tracking_tpu.training.restore import (
+            ml_graph_construction_from_chkpt,
+        )
+
+        transform = ml_graph_construction_from_chkpt(
+            args.ml_chkpt,
+            max_num_neighbors=args.ml_neighbors,
+            max_radius=args.ml_radius,
+        )
     pred = TrackingPredictor(
         args.chkpt,
         eps=args.eps,
         min_samples=args.min_samples,
         ec_threshold=args.ec_threshold,
         padding=padding,
+        graph_transform=transform,
     )
     stats = pred.predict_dir(args.indir, args.outdir)
     print(json.dumps(stats))

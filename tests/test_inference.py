@@ -71,6 +71,35 @@ def test_predict_ec_only_connected_components():
     assert used.size == 0 or (used == np.arange(used.size)).all()
 
 
+def test_predict_with_learned_graph_construction():
+    """Serving from bare point clouds: ML embed -> kNN graph -> predict."""
+    from gnn_tracking_tpu.models.graph_construction import (
+        GraphConstructionFCNN,
+        MLGraphConstruction,
+    )
+
+    g = make_graph(2)
+    ml = GraphConstructionFCNN(in_dim=14, hidden_dim=16, out_dim=4, depth=2)
+    ml_params = ml.init(jax.random.PRNGKey(0), g)["params"]
+    gc = MLGraphConstruction(
+        ml=BoundModel(ml, ml_params), max_num_neighbors=8, max_radius=100.0,
+        build_edge_features=True,
+    )
+    transform = lambda data: gc.apply({}, data)
+
+    built = transform(g)
+    model = GraphTCN(
+        h_dim=8, e_dim=8, h_outdim=4, hidden_dim=16, L_ec=1, L_hc=1
+    )
+    params = model.init(jax.random.PRNGKey(3), built)["params"]
+    pred = TrackingPredictor(
+        BoundModel(model, params), eps=0.5, graph_transform=transform
+    )
+    out = pred.predict(g)
+    assert out["labels"].shape == (g.x.shape[0],)
+    assert out["labels"].min() >= -1
+
+
 def test_inference_cli_end_to_end(tmp_path):
     """Train 1 epoch -> checkpoint -> CLI predict over a dir of events."""
     dm = TestTrackingDataModule(
