@@ -17,9 +17,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; force the platform
+# in-process (before any jax use) unless --tpu is passed — the demo should
+# never claim the single-claimant chip by accident.
+if "--tpu" not in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--tpu", action="store_true", help="run on the TPU chip")
     parser.add_argument("--workdir", type=Path, default=Path("/tmp/gnn_tracking_demo"))
     parser.add_argument(
         "--trackml-dir",
