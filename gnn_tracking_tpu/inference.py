@@ -135,6 +135,12 @@ class TrackingPredictor:
         Returns numpy arrays trimmed to the event's true (unpadded) size:
         ``labels [n_hits]`` with ``-1`` = noise, plus ``beta`` and/or ``w``.
         """
+        return self._fetch(self._dispatch(graph))
+
+    def _dispatch(self, graph: EventGraph):
+        """Launch the jitted predict without forcing a host sync; returns
+        (device futures, real sizes) — JAX's async dispatch overlaps the
+        next event's host load + H2D with this event's compute + D2H."""
         if self.graph_transform is not None:
             graph = self.graph_transform(graph)
         n_real = int(np.asarray(graph.node_mask).sum())
@@ -145,6 +151,11 @@ class TrackingPredictor:
         if self.model.batch_stats:
             variables["batch_stats"] = self.model.batch_stats
         labels, aux = self._predict_fn(variables, graph)
+        return (labels, aux), (n_real, e_real)
+
+    @staticmethod
+    def _fetch(pending) -> dict[str, np.ndarray]:
+        (labels, aux), (n_real, e_real) = pending
         out = {"labels": np.asarray(labels)[:n_real]}
         if "beta" in aux:
             out["beta"] = np.asarray(aux["beta"])[:n_real]
@@ -153,14 +164,22 @@ class TrackingPredictor:
         return out
 
     def predict_dir(
-        self, indir: str | Path, outdir: str | Path | None = None
+        self,
+        indir: str | Path,
+        outdir: str | Path | None = None,
+        *,
+        pipeline_depth: int = 2,
     ) -> dict[str, float]:
         """Predict every ``.npz`` event graph under ``indir``.
 
-        Writes ``<stem>_labels.npz`` per event when ``outdir`` is given and
-        returns throughput stats (events/s excludes the first, compiling,
-        event).
+        Keeps ``pipeline_depth`` events in flight: event ``i+1`` is loaded
+        and dispatched before event ``i``'s labels are fetched, so host IO /
+        H2D ride under device compute. Writes ``<stem>_labels.npz`` per
+        event when ``outdir`` is given; returns throughput stats (events/s
+        excludes the first, compiling, event).
         """
+        from collections import deque
+
         files = sorted(Path(indir).glob("*.npz"))
         if not files:
             msg = f"no .npz event graphs under {indir}"
@@ -170,13 +189,26 @@ class TrackingPredictor:
             outdir.mkdir(parents=True, exist_ok=True)
         n_tracks = 0
         t_post_compile = None
-        for i, f in enumerate(files):
-            res = self.predict(load_graph(f))
+        inflight: deque = deque()
+
+        def drain_one():
+            nonlocal n_tracks
+            f, pending = inflight.popleft()
+            res = self._fetch(pending)
             n_tracks += int(res["labels"].max()) + 1
             if outdir is not None:
                 np.savez_compressed(outdir / f"{f.stem}_labels.npz", **res)
-            if i == 0:
+
+        for i, f in enumerate(files):
+            inflight.append((f, self._dispatch(load_graph(f))))
+            if i == 0:  # first event compiles; sync it before timing
+                drain_one()
                 t_post_compile = time.perf_counter()
+                continue
+            while len(inflight) >= max(1, pipeline_depth):
+                drain_one()
+        while inflight:
+            drain_one()
         dt = time.perf_counter() - t_post_compile
         stats = {
             "n_events": len(files),
