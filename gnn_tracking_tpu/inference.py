@@ -169,6 +169,8 @@ class TrackingPredictor:
         outdir: str | Path | None = None,
         *,
         pipeline_depth: int = 2,
+        evaluate: bool = False,
+        pt_thlds: tuple[float, ...] = (0.0, 0.5, 0.9, 1.5),
     ) -> dict[str, float]:
         """Predict every ``.npz`` event graph under ``indir``.
 
@@ -176,7 +178,10 @@ class TrackingPredictor:
         and dispatched before event ``i``'s labels are fetched, so host IO /
         H2D ride under device compute. Writes ``<stem>_labels.npz`` per
         event when ``outdir`` is given; returns throughput stats (events/s
-        excludes the first, compiling, event).
+        excludes the first, compiling, event). With ``evaluate=True``,
+        events carrying ``particle_id`` truth are scored with the tracking
+        FOMs (double-majority & friends, reference
+        ``postprocessing/dbscanscanner.py:84``) averaged over events.
         """
         from collections import deque
 
@@ -190,17 +195,39 @@ class TrackingPredictor:
         n_tracks = 0
         t_post_compile = None
         inflight: deque = deque()
+        fom_sums: dict[str, float] = {}
+        fom_counts: dict[str, int] = {}
 
         def drain_one():
             nonlocal n_tracks
-            f, pending = inflight.popleft()
+            f, g, pending = inflight.popleft()
             res = self._fetch(pending)
             n_tracks += int(res["labels"].max()) + 1
             if outdir is not None:
                 np.savez_compressed(outdir / f"{f.stem}_labels.npz", **res)
+            has_truth = all(
+                getattr(g, a, None) is not None
+                for a in ("particle_id", "pt", "eta", "reconstructable")
+            )
+            if evaluate and has_truth:
+                from gnn_tracking_tpu.metrics.cluster_metrics import (
+                    flatten_track_metrics,
+                    tracking_metrics_data,
+                )
+
+                # labels for the padded graph; real hits are the prefix
+                labels_full = np.asarray(pending[0][0])[: g.num_nodes]
+                foms = flatten_track_metrics(
+                    tracking_metrics_data(g, labels_full, pt_thlds)
+                )
+                for k, v in foms.items():
+                    if np.isfinite(v):
+                        fom_sums[k] = fom_sums.get(k, 0.0) + float(v)
+                        fom_counts[k] = fom_counts.get(k, 0) + 1
 
         for i, f in enumerate(files):
-            inflight.append((f, self._dispatch(load_graph(f))))
+            g = load_graph(f)
+            inflight.append((f, g, self._dispatch(g)))
             if i == 0:  # first event compiles; sync it before timing
                 drain_one()
                 t_post_compile = time.perf_counter()
@@ -214,6 +241,9 @@ class TrackingPredictor:
             "n_events": len(files),
             "n_tracks_total": n_tracks,
             "events_per_s": (len(files) - 1) / dt if len(files) > 1 and dt > 0 else float("nan"),
+        }
+        stats |= {
+            f"trk.{k}": fom_sums[k] / fom_counts[k] for k in sorted(fom_sums)
         }
         logger.info("predict_dir: %s", stats)
         return stats
@@ -229,6 +259,10 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
     p.add_argument("--ec-threshold", type=float, default=0.5)
     p.add_argument("--node-bucket", type=int, default=None)
     p.add_argument("--edge-bucket", type=int, default=None)
+    p.add_argument(
+        "--evaluate", action="store_true",
+        help="score predictions against particle_id truth (tracking FOMs)",
+    )
     p.add_argument(
         "--ml-chkpt", default=None,
         help="metric-learning checkpoint: build graphs from point clouds "
@@ -263,7 +297,7 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
         padding=padding,
         graph_transform=transform,
     )
-    stats = pred.predict_dir(args.indir, args.outdir)
+    stats = pred.predict_dir(args.indir, args.outdir, evaluate=args.evaluate)
     print(json.dumps(stats))
     return stats
 

@@ -156,3 +156,19 @@ def test_inference_cli_end_to_end(tmp_path):
     assert len(outs) == 3
     first = np.load(outs[0])
     assert first["labels"].shape == (make_graph(10).x.shape[0],)
+
+    # --evaluate adds averaged tracking FOMs from particle_id truth
+    stats_ev = infer_main(
+        [
+            "--chkpt", str(ckpt),
+            "--indir", str(indir),
+            "--node-bucket", "128",
+            "--edge-bucket", "512",
+            "--evaluate",
+        ]
+    )
+    dm_keys = [
+        k for k in stats_ev if "double_majority" in k and "fake" not in k
+    ]
+    assert dm_keys, stats_ev.keys()
+    assert all(0.0 <= stats_ev[k] <= 1.0 or np.isnan(stats_ev[k]) for k in dm_keys)
