@@ -19,7 +19,7 @@ windowed full-detector kNN.
 Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | bf16_fused_flat |
 bf16_fused_flat_t | f32 | f32_sorted | bf16 | bf16_pallas; auto races
 sorted vs fused_flat vs fused_flat_t), ``BENCH_EXTRAS=0`` to skip extras,
-``BENCH_WATCHDOG_S`` (default 900).
+``BENCH_WATCHDOG_S`` (default 1200).
 """
 
 from __future__ import annotations
@@ -421,7 +421,7 @@ def main():
     # a stale claim wedges the device, exit instead of hanging forever.
     import threading
 
-    budget = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
     done = threading.Event()
 
     def _watchdog():
