@@ -71,6 +71,19 @@ def test_predict_ec_only_connected_components():
     assert used.size == 0 or (used == np.arange(used.size)).all()
 
 
+def test_predict_batch_matches_per_event():
+    """vmapped batch predict == per-event predict, label for label."""
+    gs = [make_graph(s) for s in (0, 5, 6)]
+    bound = _tc_bound(gs[0])
+    pad = PaddingConfig(node_bucket=128, edge_bucket=512, true_edge_bucket=512)
+    pred = TrackingPredictor(bound, eps=0.5, min_samples=1, padding=pad)
+    batch = pred.predict_batch(gs)
+    for g, res in zip(gs, batch):
+        single = pred.predict(g)
+        np.testing.assert_array_equal(res["labels"], single["labels"])
+        np.testing.assert_allclose(res["beta"], single["beta"], rtol=1e-5)
+
+
 def test_predict_with_learned_graph_construction():
     """Serving from bare point clouds: ML embed -> kNN graph -> predict."""
     from gnn_tracking_tpu.models.graph_construction import (
