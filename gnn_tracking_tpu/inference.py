@@ -218,6 +218,7 @@ class TrackingPredictor:
         outdir: str | Path | None = None,
         *,
         pipeline_depth: int = 2,
+        batch_size: int = 1,
         evaluate: bool = False,
         pt_thlds: tuple[float, ...] = (0.0, 0.5, 0.9, 1.5),
     ) -> dict[str, float]:
@@ -248,9 +249,14 @@ class TrackingPredictor:
         fom_counts: dict[str, int] = {}
 
         def drain_one():
-            nonlocal n_tracks
             f, g, pending = inflight.popleft()
             res = self._fetch(pending)
+            # labels for the padded graph; real hits are the prefix
+            labels_full = np.asarray(pending[0][0])[: g.num_nodes]
+            score_and_write(f, g, res, labels_full)
+
+        def score_and_write(f, g, res, labels_full):
+            nonlocal n_tracks
             n_tracks += int(res["labels"].max()) + 1
             if outdir is not None:
                 np.savez_compressed(outdir / f"{f.stem}_labels.npz", **res)
@@ -264,8 +270,6 @@ class TrackingPredictor:
                     tracking_metrics_data,
                 )
 
-                # labels for the padded graph; real hits are the prefix
-                labels_full = np.asarray(pending[0][0])[: g.num_nodes]
                 foms = flatten_track_metrics(
                     tracking_metrics_data(g, labels_full, pt_thlds)
                 )
@@ -273,6 +277,33 @@ class TrackingPredictor:
                     if np.isfinite(v):
                         fom_sums[k] = fom_sums.get(k, 0.0) + float(v)
                         fom_counts[k] = fom_counts.get(k, 0) + 1
+
+        if batch_size > 1:
+            # vmapped batches: one dispatch per group of same-bucket events
+            t_post_compile = None
+            for start in range(0, len(files), batch_size):
+                chunk = files[start : start + batch_size]
+                gs = [load_graph(f) for f in chunk]
+                results = self.predict_batch(gs)
+                for f, g, res in zip(chunk, gs, results):
+                    labels_full = np.full(g.num_nodes, -1, dtype=res["labels"].dtype)
+                    labels_full[: res["labels"].shape[0]] = res["labels"]
+                    score_and_write(f, g, res, labels_full)
+                if start == 0:
+                    t_post_compile = time.perf_counter()
+            dt = time.perf_counter() - t_post_compile
+            stats = {
+                "n_events": len(files),
+                "n_tracks_total": n_tracks,
+                "events_per_s": (len(files) - batch_size) / dt
+                if len(files) > batch_size and dt > 0
+                else float("nan"),
+            }
+            stats |= {
+                f"trk.{k}": fom_sums[k] / fom_counts[k] for k in sorted(fom_sums)
+            }
+            logger.info("predict_dir: %s", stats)
+            return stats
 
         for i, f in enumerate(files):
             g = load_graph(f)
@@ -308,6 +339,10 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
     p.add_argument("--ec-threshold", type=float, default=0.5)
     p.add_argument("--node-bucket", type=int, default=None)
     p.add_argument("--edge-bucket", type=int, default=None)
+    p.add_argument(
+        "--batch-size", type=int, default=1,
+        help=">1: vmapped batches of same-bucket events, one dispatch each",
+    )
     p.add_argument(
         "--evaluate", action="store_true",
         help="score predictions against particle_id truth (tracking FOMs)",
@@ -346,7 +381,10 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
         padding=padding,
         graph_transform=transform,
     )
-    stats = pred.predict_dir(args.indir, args.outdir, evaluate=args.evaluate)
+    stats = pred.predict_dir(
+        args.indir, args.outdir, evaluate=args.evaluate,
+        batch_size=args.batch_size,
+    )
     print(json.dumps(stats))
     return stats
 

@@ -185,3 +185,21 @@ def test_inference_cli_end_to_end(tmp_path):
     ]
     assert dm_keys, stats_ev.keys()
     assert all(0.0 <= stats_ev[k] <= 1.0 or np.isnan(stats_ev[k]) for k in dm_keys)
+
+    # batched CLI path writes the same label files
+    outdir_b = tmp_path / "labels_batched"
+    stats_b = infer_main(
+        [
+            "--chkpt", str(ckpt),
+            "--indir", str(indir),
+            "--outdir", str(outdir_b),
+            "--node-bucket", "128",
+            "--edge-bucket", "512",
+            "--batch-size", "3",
+        ]
+    )
+    assert stats_b["n_events"] == 3
+    for f in sorted(outdir.glob("*_labels.npz")):
+        a = np.load(f)["labels"]
+        b = np.load(outdir_b / f.name)["labels"]
+        np.testing.assert_array_equal(a, b)
