@@ -1262,9 +1262,84 @@ def exp_flat_t():
             report("flatt_decomp", error=describe(ex)[:500])
 
 
+def exp_rg_decomp():
+    """Decompose the rg-condensation step (battery: 717 ms at f32): kNN
+    alone on the latent, tiger-loss step (no kNN) at each precision, rg at
+    bf16 — locates the 7x gap vs the tiger step (97.8 ms)."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG, CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.ops.knn import knn_graph
+    from gnn_tracking_tpu.training.module import TCModule
+
+    rng = np.random.default_rng(3)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    IDIM, HDIM, L = 32, 128, 6
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    pid = rng.integers(0, 2048, size=n)
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(pid[src] == pid[dst]) & (pid[src] > 0),
+        particle_id=pid,
+        pt=(2 * rng.random(2048))[pid],
+        eta=(8 * (rng.random(2048) - 0.5))[pid],
+        reconstructable=np.ones(n),
+    )
+
+    # (a) kNN alone at latent scale (fwd and fwd+bwd through distances)
+    try:
+        h = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+        @jax.jit
+        def knn_only(h_):
+            ei, mask, d = knn_graph(h_, k=64)
+            return jnp.sum(jnp.where(mask, d, 0.0))
+
+        sync(knn_only(h))
+        t_k = timeit(lambda: knn_only(h), iters=2 if SMOKE else 5)
+
+        g_k = jax.jit(jax.grad(knn_only))
+        sync(g_k(h)[0, 0])
+        t_kb = timeit(lambda: g_k(h)[0, 0], iters=2 if SMOKE else 5)
+        report("rgdecomp_knn_only", fwd_ms=t_k * 1e3, fwdbwd_ms=t_kb * 1e3)
+    except Exception as ex:
+        report("rgdecomp_knn_only", error=describe(ex)[:500])
+
+    # (b) full steps: tiger vs rg at f32 and bf16
+    for prec in ("f32", "bf16"):
+        for name, loss in (
+            ("tiger", CondensationLossTiger(max_n_objects=2048, object_block_size=256)),
+            ("rg", CondensationLossRG(max_n_objects=2048, max_num_neighbors=64)),
+        ):
+            try:
+                module = TCModule(
+                    model=GraphTCN(
+                        h_dim=IDIM, e_dim=IDIM, h_outdim=8,
+                        hidden_dim=HDIM, L_ec=L, L_hc=3,
+                    ),
+                    loss_fct=loss,
+                    precision=prec,
+                )
+                module.setup_params(g)
+                total = float(module.training_step(g)["total"])
+                t = timeit(
+                    lambda m=module: m.training_step(g)["total"],
+                    iters=2 if SMOKE else 5,
+                )
+                report(
+                    f"rgdecomp_{name}_{prec}",
+                    ms=t * 1e3, loss=total, finite=bool(np.isfinite(total)),
+                )
+            except Exception as ex:
+                report(f"rgdecomp_{name}_{prec}", error=describe(ex)[:500])
+
+
 EXPS = {
     "flat": exp_flat,
     "flatt": exp_flat_t,
+    "rgdec": exp_rg_decomp,
     "exact": exp_exact,
     "exact2": exp_exact2,
     "micro": exp_micro,
