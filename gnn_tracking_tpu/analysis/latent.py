@@ -119,6 +119,59 @@ class SelectedPidsPlot:
                 phi[mask], eta[mask], color=self._color(p), s=12, marker="x"
             )
 
+    # Granular per-view methods matching the reference surface
+    # (``latent.py:110-179``) — compose them onto one Axes freely.
+    def get_colors(self, pids) -> list:
+        """Colors for a sequence of selected pids (reference ``latent.py:107-108``)."""
+        return [self._color(int(p)) for p in np.asarray(pids).ravel()]
+
+    def _selected_mask(self) -> np.ndarray:
+        pid = np.asarray(self.data.particle_id)
+        return self._nm & np.isin(pid, self.selected_pids)
+
+    def plot_selected_pid_latent(self, ax, plot_circles: bool = False, eps: float = 1.0) -> None:
+        """Hits of the selected particles in the condensation space
+        (reference ``latent.py:110-122``)."""
+        pid = np.asarray(self.data.particle_id)
+        for p in self.selected_pids:
+            sel = self._nm & (pid == p)
+            if plot_circles:
+                self.plot_circles(
+                    ax, self.latent[sel, 0], self.latent[sel, 1],
+                    [self._color(p)] * int(sel.sum()), eps=eps,
+                )
+            ax.scatter(
+                self.latent[sel, 0], self.latent[sel, 1], s=12,
+                color=self._color(p), label="Hits of selected PIDs",
+            )
+
+    def plot_other_hit_latent(self, ax) -> None:
+        """Background hits in the condensation space (reference ``latent.py:137-146``)."""
+        other = self._nm & ~self._selected_mask()
+        ax.scatter(
+            self.latent[other, 0], self.latent[other, 1], s=2, c="silver",
+            label="Other hits",
+        )
+
+    def plot_selected_pid_ep(self, ax) -> None:
+        """Selected-particle hits in phi/eta (reference ``latent.py:148-156``)."""
+        pid = np.asarray(self.data.particle_id)
+        phi, eta = self._phi_eta()
+        for p in self.selected_pids:
+            sel = self._nm & (pid == p)
+            ax.scatter(phi[sel], eta[sel], s=12, color=self._color(p),
+                       label="Selected PIDs")
+
+    def plot_other_hit_ep(self, ax) -> None:
+        """Background hits in phi/eta (reference ``latent.py:158-166``)."""
+        other = self._nm & ~self._selected_mask()
+        phi, eta = self._phi_eta()
+        ax.scatter(phi[other], eta[other], s=2, c="silver", label="Other hits")
+
+    def plot_collateral_ep(self, ax) -> None:
+        """Alias matching the reference name (reference ``latent.py:168-178``)."""
+        self.plot_collateral_phi_eta(ax)
+
     def _phi_eta(self):
         x = np.asarray(self.data.x)
         eta = np.asarray(self.data.eta)

@@ -118,6 +118,29 @@ def test_selected_pids_collateral_views(graph):
     assert plot2.ax is not None
 
 
+def test_selected_pids_granular_views(graph):
+    """Per-view methods matching the reference surface (latent.py:110-179):
+    selected/other/collateral hits, each in latent space and phi/eta."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(0)
+    latent = rng.normal(size=(graph.num_nodes, 2))
+    labels = np.asarray(graph.particle_id).copy()
+    p = SelectedPidsPlot(graph, latent, labels=labels, selected_pids=[1, 2])
+    assert len(p.get_colors([1, 2])) == 2
+    _, ax = plt.subplots()
+    p.plot_other_hit_latent(ax)
+    p.plot_selected_pid_latent(ax, plot_circles=True, eps=0.2)
+    p.plot_collateral_latent(ax)
+    _, ax2 = plt.subplots()
+    p.plot_other_hit_ep(ax2)
+    p.plot_selected_pid_ep(ax2)
+    p.plot_collateral_ep(ax2)
+    plt.close("all")
+
+
 def test_graph_plotter_panels(graph):
     import matplotlib
     matplotlib.use("Agg")
