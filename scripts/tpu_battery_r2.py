@@ -1336,7 +1336,152 @@ def exp_rg_decomp():
                 report(f"rgdecomp_{name}_{prec}", error=describe(ex)[:500])
 
 
+def exp_roofline():
+    """Quantify how close the sorted-XLA EC step runs to hardware
+    speed-of-light. XLA's post-optimization cost model (bytes accessed /
+    flops per fused op, via Compiled.cost_analysis()) gives the memory
+    and compute floors; the measured step time says which wall we're on
+    and how far from it. This is the measurement behind the 'the step is
+    HBM-bound, fused-kernel MXU wins can't beat the memory floor' claim
+    (battery #5/#7/#9 head-to-heads)."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+    V5E_HBM_BYTES_S = 819e9
+    rng = np.random.default_rng(2)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(rng.random(e) < 0.3).astype(np.float32),
+    ).sort_edges_by_target()
+    g = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+    model = ECForGraphTCN(
+        interaction_node_dim=32, interaction_edge_dim=32, hidden_dim=128,
+        L_ec=6, sorted_edges=True, segment_impl="xla",
+    )
+    params = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16), model.init(jax.random.PRNGKey(0), g)
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, g):
+        def loss_fn(p):
+            w = model.apply(p, g)["W"].astype(jnp.float32)
+            return binary_focal_loss(inpt=w, target=g.y.astype(jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fwd(params, g):
+        return binary_focal_loss(
+            inpt=model.apply(params, g)["W"].astype(jnp.float32),
+            target=g.y.astype(jnp.float32),
+        )
+
+    def cost(entry):
+        ca = entry.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+    for tag, fn, args in (
+        ("roofline_step", step, (params, opt_state, g)),
+        ("roofline_fwd", fwd, (params, g)),
+    ):
+        try:
+            compiled = jax.jit(fn).lower(*args).compile()
+            fl, by = cost(compiled)
+            state = list(args)
+
+            if tag == "roofline_step":
+                def once():
+                    state[0], state[1], loss = compiled(state[0], state[1], state[2])
+                    return loss
+            else:
+                def once():
+                    return compiled(*state)
+
+            t = timeit(once, iters=2 if SMOKE else 15)
+            floor_hbm_ms = by / V5E_HBM_BYTES_S * 1e3
+            floor_mxu_ms = fl / V5E_BF16_FLOPS * 1e3
+            report(
+                tag,
+                ms=t * 1e3,
+                xla_flops=fl,
+                xla_bytes_gb=by / 1e9,
+                floor_hbm_ms=floor_hbm_ms,
+                floor_mxu_ms=floor_mxu_ms,
+                hbm_frac_of_roofline=floor_hbm_ms / (t * 1e3),
+                mxu_frac_of_roofline=floor_mxu_ms / (t * 1e3),
+            )
+        except Exception as ex:
+            report(tag, error=describe(ex)[:500])
+
+
+def exp_flatt_grads():
+    """Re-probe the flatt f32 grad exactness (battery #9: transient
+    remote-compile HTTP 500 before the grad section ran)."""
+    from gnn_tracking_tpu.ops.pallas.fused_relational import (
+        fused_relational_flat_reference,
+    )
+    from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+        fused_relational_flat_t,
+    )
+
+    rng = np.random.default_rng(11)
+    n, e, w, eb = (1024, 8192, 128, 128) if SMOKE else (8192, 65536, 512, 512)
+    fx = fe = 32
+    h, fo = 128, 32
+    x, ea, meta, stats = build_flat_layout(rng, n, e, w, eb, fx, fe)
+    ws = make_weights(rng, fx, fe, h, fo)
+
+    def loss_k(x_, ea_, ws_):
+        et_, agg_ = fused_relational_flat_t(
+            w, eb, "float32", None, x_, ea_,
+            meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+        )
+        return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+    def loss_r(x_, ea_, ws_):
+        et_, agg_ = fused_relational_flat_reference(
+            x_, ea_, meta["sl"], meta["dl"], meta["inw"], meta["bs"], ws_,
+            window=w, block_e=eb,
+        )
+        return jnp.sum(jnp.tanh(et_)) + jnp.sum(jnp.sin(agg_))
+
+    try:
+        gk = sync(jax.grad(loss_k, argnums=(0, 1, 2))(x, ea, ws))
+        with jax.default_matmul_precision("highest"):
+            gr = sync(jax.grad(loss_r, argnums=(0, 1, 2))(x, ea, ws))
+        rels = {}
+        for name, a, b in (
+            ("gx", gk[0], gr[0]),
+            ("gea", gk[1], gr[1]),
+            ("gw2", gk[2]["w2"], gr[2]["w2"]),
+        ):
+            rels[name + "_rel"] = float(
+                np.abs(np.asarray(a) - np.asarray(b)).max()
+                / (np.abs(np.asarray(b)).max() + 1e-30)
+            )
+        report("flatt_exact_grads_f32_retry", **rels)
+    except Exception as ex:
+        report("flatt_exact_grads_f32_retry", error=describe(ex)[:500])
+
+
 EXPS = {
+    "roofline": exp_roofline,
+    "flattg": exp_flatt_grads,
     "flat": exp_flat,
     "flatt": exp_flat_t,
     "rgdec": exp_rg_decomp,
