@@ -79,7 +79,7 @@ def _principal_order(x, valid):
     static_argnames=(
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
-        "certify",
+        "certify", "fallback", "spill_passes",
     ),
 )
 def ivf_knn(
@@ -97,6 +97,8 @@ def ivf_knn(
     block_n: int = 4096,
     group_cells: int = 32,
     certify: bool = True,
+    fallback: bool = True,
+    spill_passes: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -338,9 +340,10 @@ def ivf_knn(
     def spill_both(carry):
         return spill_probe(extra_pass(carry))
 
-    dists, idx = jax.lax.cond(
-        n_spill > 0, spill_both, lambda c: c, (dists, idx)
-    )
+    if spill_passes:
+        dists, idx = jax.lax.cond(
+            n_spill > 0, spill_both, lambda c: c, (dists, idx)
+        )
 
     # --- 3b. re-rank: exact distances for the kw survivors ------------------
     # the direct difference formula has no cancellation (error ~eps * d^2
@@ -441,6 +444,10 @@ def ivf_knn(
         )
         n_handled = jnp.sum(take_fb)
         return dists, idx, n_handled
+
+    if not fallback:
+        # stage-attribution mode: report the violator count directly
+        return dists, idx, n_viol
 
     dists, idx, n_handled = jax.lax.cond(
         n_viol > 0,

@@ -764,6 +764,44 @@ def exp_ivf_decomp():
         report("ivf_micro", error=describe(ex)[:300])
 
 
+def exp_ivf_stages():
+    """Stage attribution of the 2.73 s ivf_knn at 262k clustered (battery
+    #11 decomp: cert+fallback 1.24 s, probe ~82 ms per probed cell, top_k
+    and argsort micros CHEAP — so the cost centers are NOT where the code
+    comments guessed). Variants isolate: probe scaling (T=1/4), the spill
+    passes (extra_pass scans all 262k queries against the 8k extra set),
+    certification alone vs the fallback cond (fallback=False reports
+    n_viol = how many queries the triangle bound conservatively failed),
+    and the uniform-cloud pathology."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 5
+
+    variants = [
+        # probe scaling: T=1 is the probe floor (own cell only)
+        ("nocert_probe1", {"certify": False, "n_probe": 1}),
+        ("nocert_probe4", {"certify": False, "n_probe": 4}),
+        # spill attribution: extra_pass/spill_probe skipped entirely
+        ("nocert_nospill", {"certify": False, "spill_passes": False}),
+        # cert alone (no fallback cond in the program); n_uncert = n_viol
+        ("certnofb", {"fallback": False}),
+        # does a smaller fallback cap change anything (how big is n_viol)?
+        ("fb1024", {"fallback_cap": 1024}),
+    ]
+    for name, kw in variants:
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, **kw))
+            t = timeit(lambda kw=kw: ivf_knn(x, k=8, **kw)[0], iters=iters)
+            report(f"ivfstage_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivfstage_{name}", error=describe(ex)[:300])
+
+
 def exp_decomp():
     """Decompose the fused-vs-sorted EC step gap (battery #5: 143 vs 81 ms):
     forward-only and L_ec=1 variants isolate per-layer cost from the head
@@ -1429,6 +1467,99 @@ def exp_roofline():
             report(tag, error=describe(ex)[:500])
 
 
+def exp_ec_diet():
+    """Byte-diet variants of the sorted-XLA EC step. Battery #10 put the
+    step at 53% of the HBM roofline with a 32 GB/step cost-model byte
+    count — so the remaining lever is reducing bytes, not MXU tricks.
+    Variants: per-layer remat (recompute IN intermediates in the backward
+    instead of storing [E,H] activations), buffer donation (alias
+    params/opt_state in place of fresh outputs), and both. Each reports
+    measured ms + the XLA cost-model flops/bytes so the byte reduction is
+    attributable."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+    V5E_HBM_BYTES_S = 819e9
+    rng = np.random.default_rng(2)
+    n, e = (2048, 16384) if SMOKE else (32768, 262144)
+    src, dst = local_graph(rng, n, e, 128 if SMOKE else 1024)
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(n, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+        y=(rng.random(e) < 0.3).astype(np.float32),
+    ).sort_edges_by_target()
+    g = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+
+    def cost(entry):
+        ca = entry.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+    for name, remat, donate in (
+        ("base", False, False),
+        ("remat", True, False),
+        ("donate", False, True),
+        ("remat_donate", True, True),
+    ):
+        try:
+            model = ECForGraphTCN(
+                interaction_node_dim=32, interaction_edge_dim=32,
+                hidden_dim=128, L_ec=6, sorted_edges=True,
+                segment_impl="xla", remat=remat,
+            )
+            params = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16),
+                model.init(jax.random.PRNGKey(0), g),
+            )
+            tx = optax.adam(1e-3)
+            opt_state = tx.init(params)
+
+            def step(params, opt_state, g):
+                def loss_fn(p):
+                    w = model.apply(p, g)["W"].astype(jnp.float32)
+                    return binary_focal_loss(
+                        inpt=w, target=g.y.astype(jnp.float32)
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            jitted = (
+                jax.jit(step, donate_argnums=(0, 1)) if donate else jax.jit(step)
+            )
+            compiled = jitted.lower(params, opt_state, g).compile()
+            fl, by = cost(compiled)
+            state = [params, opt_state]
+
+            def once():
+                state[0], state[1], loss = compiled(state[0], state[1], g)
+                return loss
+
+            t = timeit(once, iters=2 if SMOKE else 15)
+            loss = float(once())
+            floor_hbm_ms = by / V5E_HBM_BYTES_S * 1e3
+            report(
+                f"ecdiet_{name}",
+                ms=t * 1e3,
+                xla_bytes_gb=by / 1e9,
+                floor_hbm_ms=floor_hbm_ms,
+                hbm_frac_of_roofline=floor_hbm_ms / (t * 1e3),
+                edges_per_s=e / t,
+                loss=loss,
+            )
+        except Exception as ex:
+            report(f"ecdiet_{name}", error=describe(ex)[:500])
+
+
 def exp_flatt_grads():
     """Re-probe the flatt f32 grad exactness (battery #9: transient
     remote-compile HTTP 500 before the grad section ran)."""
@@ -1481,6 +1612,7 @@ def exp_flatt_grads():
 
 EXPS = {
     "roofline": exp_roofline,
+    "ecdiet": exp_ec_diet,
     "flattg": exp_flatt_grads,
     "flat": exp_flat,
     "flatt": exp_flat_t,
@@ -1494,6 +1626,7 @@ EXPS = {
     "cc": exp_cc,
     "ivf": exp_ivf,
     "ivfdec": exp_ivf_decomp,
+    "ivfstage": exp_ivf_stages,
     "tcn": exp_tcn,
     "decomp": exp_decomp,
     "prec": exp_prec,
