@@ -102,6 +102,40 @@ class PointCloudPlotter:
             ax.set_ylabel(b)
         return axs
 
+    def plot_ep_rv_uv_one(self, i: int, axs, *, pixel_only: bool = False):
+        """One sector's hits onto existing 3-panel axes, colored by sector
+        index (reference ``plotting.py:86-112``)."""
+        from matplotlib import cm
+
+        g = self.graphs[i]
+        x = np.asarray(g.x)[np.asarray(g.node_mask)]
+        colors = cm.prism(np.linspace(0, 1, max(self.n_sectors, 2)))
+        kw = {"s": 0.5 if pixel_only else 2.0, "color": colors[i % len(colors)]}
+        axs[0].scatter(x[:, 3], x[:, 1], **kw)
+        axs[1].scatter(x[:, 2], x[:, 0], **kw)
+        axs[1].set_xlim(-1550, 1550)
+        axs[2].scatter(x[:, 4], x[:, 5], **kw)
+        for ax, (a, b) in zip(
+            axs, [(r"$\eta$", r"$\phi$"), ("$z$ [mm]", "$r$ [mm]"),
+                  ("u [1/mm]", "v [1/mm]")]
+        ):
+            ax.set_xlabel(a)
+            ax.set_ylabel(b)
+        return axs
+
+    def plot_ep_rv_uv_all_sectors(
+        self, title: str = "", *, pixel_only: bool = False
+    ):
+        """All sectors overlaid in the 3-panel view, one color per sector
+        (reference ``plotting.py:114-126``)."""
+        from matplotlib import pyplot as plt
+
+        fig, axs = plt.subplots(1, 3, figsize=(24, 8))
+        for i in range(len(self.graphs)):
+            self.plot_ep_rv_uv_one(i, axs, pixel_only=pixel_only)
+        axs[1].set_title(title)
+        return fig, axs
+
     def plot_ep_rv_uv_with_boundary(
         self,
         sector: int,
@@ -191,20 +225,39 @@ class GraphPlotter:
         ax.set_ylabel("r")
         return ax
 
-    def plot_ep_rz_uv(self, axs=None, max_edges: int = 5000):
+    def plot_ep_rz_uv(
+        self,
+        axs=None,
+        max_edges: int = 5000,
+        *,
+        sector: int | None = None,
+        n_sectors: int = 64,
+        highlight_particles: int = 0,
+        rng=None,
+    ):
         """Three-panel graph view — (eta, phi), (z, r), (u, v) — with
         true/false edges drawn in every projection
-        (reference ``plotting.py:197-273``)."""
+        (reference ``plotting.py:197-273``).
+
+        ``sector`` rotates the (u, v) panel into that sector's frame;
+        ``highlight_particles`` overlays the hits of that many randomly
+        chosen particles in distinct colors (the reference picks 5)."""
         from matplotlib import pyplot as plt
 
         if axs is None:
             _, axs = plt.subplots(1, 3, figsize=(18, 5))
         x = np.asarray(self.data.x)
         nm = np.asarray(self.data.node_mask)
+        u, v = x[:, 4], x[:, 5]
+        if sector is not None:
+            theta = np.pi / n_sectors
+            rot = 2 * sector * theta
+            u = x[:, 4] * np.cos(rot) - x[:, 5] * np.sin(rot)
+            v = x[:, 4] * np.sin(rot) + x[:, 5] * np.cos(rot)
         panels = [
             (x[:, 3], x[:, 1], (r"$\eta$", r"$\phi$")),
             (x[:, 2], x[:, 0], ("$z$ [mm]", "$r$ [mm]")),
-            (x[:, 4], x[:, 5], ("u [1/mm]", "v [1/mm]")),
+            (u, v, ("u [1/mm]", "v [1/mm]")),
         ]
         for ax, (xs, ys, (la, lb)) in zip(axs, panels):
             ax.scatter(xs[nm], ys[nm], s=1, c="k")
@@ -212,6 +265,23 @@ class GraphPlotter:
                 ax.add_collection(coll)
             ax.set_xlabel(la)
             ax.set_ylabel(lb)
+        if highlight_particles:
+            rng = np.random.default_rng() if rng is None else rng
+            pid = np.asarray(self.data.particle_id)
+            pool = np.unique(pid[nm & (pid > 0)])
+            colors = ["red", "green", "purple", "yellow", "orange"]
+            n_pick = min(highlight_particles, len(pool))
+            for i, p in enumerate(
+                rng.choice(pool, size=n_pick, replace=False)
+            ):
+                mask = nm & (pid == p)
+                kw = {
+                    "s": 24,
+                    "zorder": 100,
+                    "color": colors[i % len(colors)],
+                }
+                for ax, (xs, ys, _) in zip(axs, panels):
+                    ax.scatter(xs[mask], ys[mask], **kw)
         return axs
 
     def plot_2d(self, ax=None, max_edges: int = 5000):

@@ -150,6 +150,25 @@ def test_graph_plotter_panels(graph):
     assert ax is not None
 
 
+def test_graph_plotter_highlight_and_sector_frame(graph):
+    """Reference plotting.py:197-273: random-particle track overlays in
+    every projection + the (u, v) panel rotated into a sector's frame."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(0)
+    axs = GraphPlotter(graph).plot_ep_rz_uv(
+        max_edges=50, sector=3, n_sectors=8, highlight_particles=3, rng=rng
+    )
+    assert len(axs) == 3
+    # highlighted particles add zorder-100 scatter artists on every panel
+    assert all(
+        any(c.get_zorder() == 100 for c in ax.collections) for ax in axs
+    )
+    plt.close("all")
+
+
 def test_point_cloud_plotter_panels(graph):
     import matplotlib
     matplotlib.use("Agg")
@@ -159,4 +178,6 @@ def test_point_cloud_plotter_panels(graph):
     axs = pcp.plot_ep_rv_uv(pixel_only=True)
     assert len(axs) == 3
     fig, axs = pcp.plot_ep_rv_uv_with_boundary(1, di=0.0005, ds=1.3)
+    assert len(axs) == 3
+    fig, axs = pcp.plot_ep_rv_uv_all_sectors("evt", pixel_only=True)
     assert len(axs) == 3
