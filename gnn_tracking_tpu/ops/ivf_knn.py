@@ -341,8 +341,12 @@ def ivf_knn(
         return spill_probe(extra_pass(carry))
 
     if spill_passes:
+        # True = both; "extra"/"probe" run one pass only (stage attribution)
+        fn = {"extra": extra_pass, "probe": spill_probe}.get(
+            spill_passes, spill_both
+        )
         dists, idx = jax.lax.cond(
-            n_spill > 0, spill_both, lambda c: c, (dists, idx)
+            n_spill > 0, fn, lambda c: c, (dists, idx)
         )
 
     # --- 3b. re-rank: exact distances for the kw survivors ------------------
@@ -415,45 +419,54 @@ def ivf_knn(
     # --- 5. fallback (skipped entirely when everything certified) ----------
     from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
 
-    n_viol = jnp.sum(~certified)
-
-    def run_fallback(carry):
-        dists, idx = carry
-        _, viol_idx = jax.lax.top_k(
-            jnp.where(certified, 0.0, 1.0), fallback_cap
-        )
-        # brute at width kw + direct-formula rerank: the streaming kernel's
-        # norm expansion carries the same near-tie noise as the probe
-        fb_dn, fb_iw = _fallback_brute(
-            xf[viol_idx], xf, node_mask, k=kw, block_c=1024, loop=loop,
-            self_ids=viol_idx.astype(jnp.int32), interpret=False,
-        )
-        diff = xf[viol_idx][:, None, :] - xf[fb_iw]
-        fb_dr = jnp.where(
-            jnp.isfinite(fb_dn), jnp.sum(diff * diff, axis=-1), jnp.inf
-        )
-        neg, pos = jax.lax.top_k(-fb_dr, k)
-        fb_d = -neg
-        fb_i = jnp.take_along_axis(fb_iw, pos, axis=1)
-        take_fb = ~certified[viol_idx]
-        dists = dists.at[viol_idx].set(
-            jnp.where(take_fb[:, None], fb_d, dists[viol_idx])
-        )
-        idx = idx.at[viol_idx].set(
-            jnp.where(take_fb[:, None], fb_i, idx[viol_idx])
-        )
-        n_handled = jnp.sum(take_fb)
-        return dists, idx, n_handled
-
     if not fallback:
         # stage-attribution mode: report the violator count directly
-        return dists, idx, n_viol
+        return dists, idx, jnp.sum(~certified)
 
-    dists, idx, n_handled = jax.lax.cond(
-        n_viol > 0,
-        run_fallback,
-        lambda carry: (carry[0], carry[1], jnp.array(0, n_viol.dtype)),
-        (dists, idx),
-    )
-    n_uncert = n_viol - n_handled
-    return dists, idx, n_uncert
+    def run_fallback(cap):
+        """One brute-force rung at width ``cap``: fixes up to ``cap``
+        violators and marks them proven-exact in ``certified``."""
+
+        def _rung(carry):
+            dists, idx, certified = carry
+            _, viol_idx = jax.lax.top_k(
+                jnp.where(certified, 0.0, 1.0), cap
+            )
+            # brute at width kw + direct-formula rerank: the streaming
+            # kernel's norm expansion carries the same near-tie noise as
+            # the probe
+            fb_dn, fb_iw = _fallback_brute(
+                xf[viol_idx], xf, node_mask, k=kw, block_c=1024, loop=loop,
+                self_ids=viol_idx.astype(jnp.int32), interpret=False,
+            )
+            diff = xf[viol_idx][:, None, :] - xf[fb_iw]
+            fb_dr = jnp.where(
+                jnp.isfinite(fb_dn), jnp.sum(diff * diff, axis=-1), jnp.inf
+            )
+            neg, pos = jax.lax.top_k(-fb_dr, k)
+            fb_d = -neg
+            fb_i = jnp.take_along_axis(fb_iw, pos, axis=1)
+            take_fb = ~certified[viol_idx]
+            dists = dists.at[viol_idx].set(
+                jnp.where(take_fb[:, None], fb_d, dists[viol_idx])
+            )
+            idx = idx.at[viol_idx].set(
+                jnp.where(take_fb[:, None], fb_i, idx[viol_idx])
+            )
+            certified = certified.at[viol_idx].set(True)
+            return dists, idx, certified
+
+        return _rung
+
+    # cap ladder: the brute pass costs ~cap (1165 ms at 8192 vs 115 ms at
+    # 1024 for 262k points, round-2 battery #12), while the violator count
+    # is typically tiny (66 at 262k clustered) — so run a cheap small rung
+    # first and escalate to the full cap only if violators remain
+    rungs = [c for c in (256, 1024) if c < fallback_cap] + [fallback_cap]
+    carry = (dists, idx, certified)
+    for cap in rungs:
+        carry = jax.lax.cond(
+            jnp.sum(~carry[2]) > 0, run_fallback(cap), lambda c: c, carry
+        )
+    dists, idx, certified = carry
+    return dists, idx, jnp.sum(~certified)

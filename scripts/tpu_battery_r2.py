@@ -783,15 +783,16 @@ def exp_ivf_stages():
     iters = 2 if SMOKE else 5
 
     variants = [
-        # probe scaling: T=1 is the probe floor (own cell only)
-        ("nocert_probe1", {"certify": False, "n_probe": 1}),
-        ("nocert_probe4", {"certify": False, "n_probe": 4}),
-        # spill attribution: extra_pass/spill_probe skipped entirely
-        ("nocert_nospill", {"certify": False, "spill_passes": False}),
-        # cert alone (no fallback cond in the program); n_uncert = n_viol
-        ("certnofb", {"fallback": False}),
-        # does a smaller fallback cap change anything (how big is n_viol)?
-        ("fb1024", {"fallback_cap": 1024}),
+        # the headline: full pipeline with the fallback cap ladder
+        ("ladder_full", {}),
+        # fewer probed cells (probe ~44 ms/cell); the ladder absorbs the
+        # extra violators — does total time drop with n_uncert still 0?
+        ("ladder_probe8", {"n_probe": 8}),
+        ("ladder_probe12", {"n_probe": 12}),
+        # spill-pass split: extra_pass (all-queries x extra-set scan) vs
+        # spill_probe (spilled queries x their probe cells)
+        ("nocert_spillextra", {"certify": False, "spill_passes": "extra"}),
+        ("nocert_spillprobe", {"certify": False, "spill_passes": "probe"}),
     ]
     for name, kw in variants:
         try:
