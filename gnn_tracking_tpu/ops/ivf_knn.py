@@ -90,7 +90,7 @@ def ivf_knn(
     loop: bool = False,
     n_cells: int | None = None,
     cell_cap: int | None = None,
-    n_probe: int = 16,
+    n_probe: int = 8,
     extra_cap: int = 8192,
     fallback_cap: int = 8192,
     lloyd_iters: int = 2,

@@ -208,7 +208,7 @@ def knn_graph_ivf(
     k: int,
     *,
     node_mask: jax.Array | None = None,
-    n_probe: int = 16,
+    n_probe: int = 8,
     fallback_cap: int = 8192,
     max_retries: int = 3,
     **ivf_kwargs,

@@ -783,16 +783,17 @@ def exp_ivf_stages():
     iters = 2 if SMOKE else 5
 
     variants = [
-        # the headline: full pipeline with the fallback cap ladder
-        ("ladder_full", {}),
-        # fewer probed cells (probe ~44 ms/cell); the ladder absorbs the
-        # extra violators — does total time drop with n_uncert still 0?
-        ("ladder_probe8", {"n_probe": 8}),
-        ("ladder_probe12", {"n_probe": 12}),
-        # spill-pass split: extra_pass (all-queries x extra-set scan) vs
-        # spill_probe (spilled queries x their probe cells)
-        ("nocert_spillextra", {"certify": False, "spill_passes": "extra"}),
-        ("nocert_spillprobe", {"certify": False, "spill_passes": "probe"}),
+        # the new default (probe8 + ladder) end to end
+        ("default", {}),
+        # extra_pass costs ~429 ms and scales with the STATIC extra_cap
+        # ([N, extra_cap] scan); a wider cell_cap shrinks the actual spill
+        # so a smaller extra_cap can hold it. n_uncert explodes if
+        # extra_cap is too small (spill_lost kills certification) — that's
+        # the signal it didn't fit.
+        ("cap128_extra2048", {"cell_cap": 128, "extra_cap": 2048}),
+        ("cap128_extra4096", {"cell_cap": 128, "extra_cap": 4096}),
+        ("extra4096", {"extra_cap": 4096}),
+        ("extra2048", {"extra_cap": 2048}),
     ]
     for name, kw in variants:
         try:
