@@ -79,7 +79,7 @@ def _principal_order(x, valid):
     static_argnames=(
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
-        "certify", "fallback", "spill_passes",
+        "certify", "fallback", "spill_passes", "probe_impl",
     ),
 )
 def ivf_knn(
@@ -99,6 +99,7 @@ def ivf_knn(
     certify: bool = True,
     fallback: bool = True,
     spill_passes: bool = True,
+    probe_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -209,32 +210,44 @@ def ivf_knn(
     pad_c = n_groups * g - n_cells
     cells = jnp.pad(jnp.arange(n_cells, dtype=jnp.int32), (0, pad_c))
 
-    def probe(cell_ids):
-        # shift each cell's queries AND candidates by the cell centroid:
-        # distances are shift-invariant, but the local frame keeps norms at
-        # neighborhood scale so the norm-expansion matmul stays precise
-        shift = centroids[cell_ids][:, None, :]  # [g, 1, d]
-        q = (xb3[cell_ids] - shift).reshape(g * cell_cap, d)
-        qid = ib2[cell_ids].reshape(g * cell_cap)
-        cand_cells = nbr[cell_ids]  # [g, T]
-        cx = (
-            xb3[cand_cells].reshape(g, n_probe * cell_cap, d) - shift
-        )
-        cid = ib2[cand_cells].reshape(g, n_probe * cell_cap)
-        cvalid = vb2[cand_cells].reshape(g, n_probe * cell_cap)
-        dd = jax.vmap(_pdist2)(
-            q.reshape(g, cell_cap, d), cx
-        )  # [g, cap, T*cap]
-        cid_b = jnp.broadcast_to(cid[:, None, :], dd.shape)
-        bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
-        if not loop:
-            bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
-        neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
-        return -neg, jnp.take_along_axis(cid_b, pos, axis=2)
+    if probe_impl == "pallas":
+        # scalar-prefetched cell-slab DMA + VPU direct-formula distances +
+        # in-VMEM running top-k (see ops/pallas/ivf_probe.py). The direct
+        # formula is exact (no norm-expansion cancellation); empty slots
+        # carry _FAR coords, whose squared distances overflow to +inf and
+        # self-exclude.
+        from gnn_tracking_tpu.ops.pallas.ivf_probe import ivf_probe
 
-    pd, pi = jax.lax.map(probe, cells.reshape(n_groups, g))
-    pd = pd.reshape(-1, kw)[: n_cells * cell_cap]
-    pi = pi.reshape(-1, kw)[: n_cells * cell_cap]
+        pd, pi = ivf_probe(xb3, ib2, xb3, ib2, nbr, kw=kw, loop=loop)
+    else:
+
+        def probe(cell_ids):
+            # shift each cell's queries AND candidates by the cell
+            # centroid: distances are shift-invariant, but the local frame
+            # keeps norms at neighborhood scale so the norm-expansion
+            # matmul stays precise
+            shift = centroids[cell_ids][:, None, :]  # [g, 1, d]
+            q = (xb3[cell_ids] - shift).reshape(g * cell_cap, d)
+            qid = ib2[cell_ids].reshape(g * cell_cap)
+            cand_cells = nbr[cell_ids]  # [g, T]
+            cx = (
+                xb3[cand_cells].reshape(g, n_probe * cell_cap, d) - shift
+            )
+            cid = ib2[cand_cells].reshape(g, n_probe * cell_cap)
+            cvalid = vb2[cand_cells].reshape(g, n_probe * cell_cap)
+            dd = jax.vmap(_pdist2)(
+                q.reshape(g, cell_cap, d), cx
+            )  # [g, cap, T*cap]
+            cid_b = jnp.broadcast_to(cid[:, None, :], dd.shape)
+            bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
+            if not loop:
+                bad |= cid_b == qid.reshape(g, cell_cap)[:, :, None]
+            neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
+            return -neg, jnp.take_along_axis(cid_b, pos, axis=2)
+
+        pd, pi = jax.lax.map(probe, cells.reshape(n_groups, g))
+        pd = pd.reshape(-1, kw)[: n_cells * cell_cap]
+        pi = pi.reshape(-1, kw)[: n_cells * cell_cap]
 
     # scatter bucket results back to original indexing; empty slots aim
     # out of range so mode="drop" discards them (no slot-0 collisions)

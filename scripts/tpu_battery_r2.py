@@ -804,6 +804,56 @@ def exp_ivf_stages():
             report(f"ivfstage_{name}", error=describe(ex)[:300])
 
 
+def exp_probe_pallas():
+    """Pallas IVF probe vs XLA probe on hardware: exactness (same neighbor
+    sets as the XLA path AND as brute force) + end-to-end ivf_knn timing.
+    Battery #13 put the XLA probe at ~44 ms per probed cell (gathers of
+    3 KB slabs + materialized distance tiles); the kernel DMAs cell slabs
+    via scalar-prefetched index maps and keeps the top-k in VMEM."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 5
+
+    results = {}
+    for impl in ("xla", "pallas"):
+        try:
+            d_, i_, unc = sync(ivf_knn(x, k=8, probe_impl=impl))
+            t = timeit(lambda: ivf_knn(x, k=8, probe_impl=impl)[0], iters=iters)
+            results[impl] = (np.asarray(d_), np.asarray(i_))
+            report(f"probep_{impl}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"probep_{impl}", error=describe(ex)[:500])
+    if len(results) == 2:
+        d1, i1 = results["xla"]
+        d2, i2 = results["pallas"]
+        same = int(
+            sum(set(a.tolist()) == set(b.tolist()) for a, b in zip(i1, i2))
+        )
+        report(
+            "probep_match",
+            same_idx_sets=same,
+            n=n,
+            max_abs_d=float(np.abs(np.sort(d1, 1) - np.sort(d2, 1)).max()),
+        )
+    # probe count scaling with the kernel (cheap probes -> can we afford
+    # T=16 again for a better certify rate at negligible cost?)
+    for t_probe in (16, 24):
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, probe_impl="pallas", n_probe=t_probe))
+            t = timeit(
+                lambda tp=t_probe: ivf_knn(x, k=8, probe_impl="pallas", n_probe=tp)[0],
+                iters=iters,
+            )
+            report(f"probep_pallas_T{t_probe}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"probep_pallas_T{t_probe}", error=describe(ex)[:300])
+
+
 def exp_decomp():
     """Decompose the fused-vs-sorted EC step gap (battery #5: 143 vs 81 ms):
     forward-only and L_ec=1 variants isolate per-layer cost from the head
@@ -1629,6 +1679,7 @@ EXPS = {
     "ivf": exp_ivf,
     "ivfdec": exp_ivf_decomp,
     "ivfstage": exp_ivf_stages,
+    "probep": exp_probe_pallas,
     "tcn": exp_tcn,
     "decomp": exp_decomp,
     "prec": exp_prec,

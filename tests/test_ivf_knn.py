@@ -57,13 +57,41 @@ def _check(x, k, mask=None, **kw):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_clustered_latent(seed):
+@pytest.mark.parametrize("probe_impl", ["xla", "pallas"])
+def test_clustered_latent(seed, probe_impl):
     rng = np.random.default_rng(seed)
     n = 4096
     centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
     who = rng.integers(0, n // 64, size=n)
     x = centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
-    _check(x, 8, n_cells=64, cell_cap=192, n_probe=8, fallback_cap=1024)
+    _check(x, 8, n_cells=64, cell_cap=192, n_probe=8, fallback_cap=1024,
+           probe_impl=probe_impl)
+
+
+@pytest.mark.parametrize(
+    "test", ["duplicates", "spill"]
+)
+def test_pallas_probe_matches_xla_probe(test):
+    """The Pallas probe (ops/pallas/ivf_probe.py) must reproduce the XLA
+    probe's neighbor SETS exactly (ties may permute within a row) on the
+    awkward cases: exact duplicates and bucket overflow."""
+    rng = np.random.default_rng(6)
+    if test == "duplicates":
+        x = rng.normal(size=(1024, 3)).astype(np.float32)
+        x[100:110] = x[50:60]
+        kw = dict(n_cells=16, cell_cap=256, n_probe=6, fallback_cap=1024)
+    else:
+        x = 0.01 * rng.normal(size=(2048, 4)).astype(np.float32)
+        x[:64] += 0.5
+        kw = dict(n_cells=16, cell_cap=64, n_probe=4, extra_cap=2048,
+                  fallback_cap=2048)
+    d1, i1, u1 = ivf_knn(jnp.asarray(x), k=4, probe_impl="xla", **kw)
+    d2, i2, u2 = ivf_knn(jnp.asarray(x), k=4, probe_impl="pallas", **kw)
+    assert int(u1) == 0 and int(u2) == 0
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d1), 1), np.sort(np.asarray(d2), 1),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_uniform():
