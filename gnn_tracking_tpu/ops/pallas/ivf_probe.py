@@ -2,28 +2,33 @@
 
 ``ops/ivf_knn.py``'s probe is the step where every bucketed query scans the
 ``T`` cells nearest its own cell. The XLA formulation (grouped gathers +
-batched norm-expansion matmuls + ``lax.top_k``) measured ~44 ms per probed
-cell at 262k points (round-2 battery #11/#13) — ~60x off the memory
-roofline, dominated by tiny-slab gathers (`[cap, d]` = 3 KB rows) and
-materialized ``[cap, T*cap]`` distance tiles.
+batched norm-expansion matmuls + ``lax.top_k``) measured ~44-57 ms per
+probed cell at 262k points (round-2 batteries #11/#13/#15) — ~60x off the
+memory roofline, dominated by tiny-slab gathers (``[cap, d]`` = 3 KB rows)
+and materialized ``[cap, T*cap]`` distance tiles.
 
-This kernel instead runs grid ``(C, T)`` with the ``nbr: [C, T]`` probe
-table as a *scalar-prefetch* operand: Pallas pipelines the candidate cell's
-coordinate slab (transposed, ``[d, cap]``) and id row straight from HBM by
-reading the prefetched ``nbr[i, t]`` inside the BlockSpec index_map — a
-data-dependent DMA, no gather op in sight. Distances use the direct
-``sum_d (q - c)^2`` form on the VPU (d is 4-16 here; the MXU's K=128
-contraction would be ~94% padding) — which is also *exactly* the rerank
-formula, so this path has none of the norm-expansion cancellation noise the
-XLA probe needs a rerank to absorb. The running ``[cap, kw]`` top-k lives in
-the revisited output block across ``t`` steps (same accumulation pattern as
-``pairwise_topk_streaming``; full-block read/modify/write, no dynamic-slice
-RMW).
+Kernel structure (v2 — battery #15 killed v1): grid ``(C,)`` with the
+flattened ``nbr: [C*T]`` probe table as a *scalar-prefetch* operand and
+**T static candidate in_specs** — Pallas pipelines each candidate cell's
+transposed slab straight from HBM by reading ``nbr[i*T + t]`` inside the
+BlockSpec index_map (data-dependent DMA, no gather op). All T distance
+tiles are computed in VMEM and merged in ONE top-kw pass per cell, and the
+outputs are written once — no revisited output blocks. (v1 used grid
+``(C, T)`` with the running top-k in revisited outputs: exact on hardware
+but ~64 ms/probed-cell — the per-step output read-modify-write serialized
+the pipeline behind 3 KB DMAs.)
+
+Distances use the direct ``sum_d (q - c)^2`` form on the VPU (d is 4-16;
+the MXU's K=128 contraction would be ~94% padding) — which is also exactly
+the rerank formula, so this path has none of the norm-expansion
+cancellation noise the XLA probe needs a rerank to absorb. Global ids ride
+as an extra f32 lane of the coordinate slabs (exact for n < 2^24), halving
+the DMA count; the i32 output indices are cast on the way out.
 
 Outputs match the XLA probe contract: ``(dists [C*cap, kw], idx [C*cap,
 kw])`` in bucket-slot order, +inf rows for empty slots (empty slots carry
-``_FAR`` coordinates, so they exclude themselves as candidates and their
-query rows are dropped by the caller's scatter).
+``_FAR`` coordinates, so their pair distances overflow to +inf and
+self-exclude).
 
 Reference replaced: torch_cluster ``knn`` (reference
 ``models/graph_construction.py:222-237``) — the probe is this framework's
@@ -42,47 +47,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _probe_kernel(
     nbr_ref,  # [C*T] i32 scalar-prefetch (flat: SMEM pads 2-D lanes to 128)
-    q_ref,  # [1, cap, d] query slab (cell i)
-    qid_ref,  # [1, 1, cap] i32 query global ids
-    ct_ref,  # [1, d, capc] candidate slab, transposed (cell nbr[i, t])
-    cid_ref,  # [1, 1, capc] i32 candidate global ids
-    dists_ref,  # [1, cap, kw] running best distances (revisited over t)
-    idx_ref,  # [1, cap, kw] running best ids (revisited over t)
-    *,
+    q_ref,  # [1, cap, d+1] query slab: coords + id lane (cell i)
+    *refs,  # T x [1, d+1, capc] transposed candidate slabs, then 2 outputs
     kw: int,
     d: int,
+    t: int,
     loop: bool,
 ):
+    cand_refs, (dists_ref, idx_ref) = refs[:t], refs[t:]
     cap = q_ref.shape[1]
-    capc = ct_ref.shape[2]
-    t = pl.program_id(1)
+    capc = cand_refs[0].shape[2]
 
-    @pl.when(t == 0)
-    def _init():
-        dists_ref[0] = jnp.full((cap, kw), jnp.inf, dtype=jnp.float32)
-        idx_ref[0] = jnp.zeros((cap, kw), dtype=jnp.int32)
+    qid = q_ref[0, :, d : d + 1]  # [cap, 1] f32 ids
+    tiles_d = []
+    tiles_i = []
+    for ct_ref in cand_refs:
+        dd = jnp.zeros((cap, capc), dtype=jnp.float32)
+        for dim in range(d):
+            diff = q_ref[0, :, dim : dim + 1] - ct_ref[0, dim : dim + 1, :]
+            dd = dd + diff * diff
+        cid = jnp.broadcast_to(ct_ref[0, d : d + 1, :], (cap, capc))
+        if not loop:
+            dd = jnp.where(cid == qid, jnp.inf, dd)
+        tiles_d.append(dd)
+        tiles_i.append(cid)
 
-    # direct-formula distances on the VPU: dd[q, c] = sum_d (Q[q,d]-C[d,c])^2
-    dd = jnp.zeros((cap, capc), dtype=jnp.float32)
-    for dim in range(d):
-        diff = q_ref[0, :, dim : dim + 1] - ct_ref[0, dim : dim + 1, :]
-        dd = dd + diff * diff
-
-    cid = jnp.broadcast_to(cid_ref[0], (cap, capc))
-    if not loop:
-        qid = qid_ref[0, 0][:, None]  # [cap, 1]
-        dd = jnp.where(cid == qid, jnp.inf, dd)
-
-    # merge the step's [cap, capc] tile into the running [cap, kw] best:
-    # kw rounds of row-min + first-position select (Mosaic has no sort)
-    best_d = dists_ref[0]
-    best_i = idx_ref[0]
-    all_d = jnp.concatenate([best_d, dd], axis=1)
-    all_i = jnp.concatenate([best_i, cid], axis=1)
+    all_d = jnp.concatenate(tiles_d, axis=1)  # [cap, T*capc]
+    all_i = jnp.concatenate(tiles_i, axis=1)
     width = all_d.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (cap, width), 1)
     out_pos = jax.lax.broadcasted_iota(jnp.int32, (cap, kw), 1)
 
+    # one top-kw selection per cell: kw rounds of row-min + first-position
+    # pick (Mosaic has no sort primitive)
     def select(j, carry):
         all_d_c, new_d, new_i = carry
         row_min = jnp.min(all_d_c, axis=1, keepdims=True)
@@ -91,7 +88,7 @@ def _probe_kernel(
             jnp.where(is_min, pos, width), axis=1, keepdims=True
         )
         sel = pos == first_min
-        min_i = jnp.max(jnp.where(sel, all_i, 0), axis=1)
+        min_i = jnp.max(jnp.where(sel, all_i, 0.0), axis=1)
         write = out_pos == j
         new_d = jnp.where(write, row_min, new_d)
         new_i = jnp.where(write, min_i[:, None], new_i)
@@ -101,11 +98,11 @@ def _probe_kernel(
     init = (
         all_d,
         jnp.full((cap, kw), jnp.inf, dtype=jnp.float32),
-        jnp.zeros((cap, kw), dtype=jnp.int32),
+        jnp.zeros((cap, kw), dtype=jnp.float32),
     )
-    _, new_d, new_i = jax.lax.fori_loop(0, kw, select, init)
-    dists_ref[0] = new_d
-    idx_ref[0] = new_i
+    _, best_d, best_i = jax.lax.fori_loop(0, kw, select, init)
+    dists_ref[0] = best_d
+    idx_ref[0] = best_i.astype(jnp.int32)
 
 
 @functools.partial(
@@ -134,28 +131,33 @@ def ivf_probe(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    xct = jnp.swapaxes(xc, 1, 2)  # [C, d, capc] — lane dim = capc
+    # ids ride as one extra lane (f32 is exact for ids < 2^24)
+    xq = jnp.concatenate(
+        [xb, ib.astype(jnp.float32)[:, :, None]], axis=2
+    )  # [C, cap, d+1]
+    xct = jnp.concatenate(
+        [jnp.swapaxes(xc, 1, 2), ic.astype(jnp.float32)[:, None, :]], axis=1
+    )  # [C, d+1, capc]
+
+    def cand_spec(tt):
+        return pl.BlockSpec(
+            (1, d + 1, capc),
+            lambda i, nbr_ref, tt=tt: (nbr_ref[i * t + tt], 0, 0),
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c, t),
+        grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, cap, d), lambda i, j, nbr_ref: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cap), lambda i, j, nbr_ref: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, d, capc),
-                lambda i, j, nbr_ref: (nbr_ref[i * t + j], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, capc),
-                lambda i, j, nbr_ref: (nbr_ref[i * t + j], 0, 0),
-            ),
+            pl.BlockSpec((1, cap, d + 1), lambda i, nbr_ref: (i, 0, 0)),
+            *[cand_spec(tt) for tt in range(t)],
         ],
         out_specs=[
-            pl.BlockSpec((1, cap, kw), lambda i, j, nbr_ref: (i, 0, 0)),
-            pl.BlockSpec((1, cap, kw), lambda i, j, nbr_ref: (i, 0, 0)),
+            pl.BlockSpec((1, cap, kw), lambda i, nbr_ref: (i, 0, 0)),
+            pl.BlockSpec((1, cap, kw), lambda i, nbr_ref: (i, 0, 0)),
         ],
     )
-    kernel = functools.partial(_probe_kernel, kw=kw, d=d, loop=loop)
+    kernel = functools.partial(_probe_kernel, kw=kw, d=d, t=t, loop=loop)
     dists, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -166,9 +168,7 @@ def ivf_probe(
         interpret=interpret,
     )(
         nbr.astype(jnp.int32).reshape(-1),
-        xb,
-        ib[:, None, :],
-        xct,
-        ic[:, None, :],
+        xq,
+        *([xct] * t),
     )
     return dists.reshape(c * cap, kw), idx.reshape(c * cap, kw)
