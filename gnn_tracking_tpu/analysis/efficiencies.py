@@ -18,14 +18,40 @@ class TracksVsDBSCANPlot(Plot):
         self.df = df
         self.ax.set_xlabel("DBSCAN eps")
 
-    def plot_var(self, var: str, label: str | None = None, **kwargs) -> None:
-        self.ax.plot(self.df["eps"], self.df[var], label=label or var, **kwargs)
-        if f"{var}_std" in self.df:
+    def plot_var(
+        self,
+        var: str,
+        label: str | None = None,
+        *,
+        secondary_k: int = 0,
+        **kwargs,
+    ) -> None:
+        """Plot one metric vs eps; ``secondary_k`` adds a dotted companion
+        line for that ``min_samples`` value (reference
+        ``efficiencies.py:27-55`` draws min_samples==1 solid + ==k dotted
+        when the scan dataframe carries a ``min_samples`` column)."""
+        df = self.df
+        if "min_samples" in df and secondary_k:
+            primary = df[df["min_samples"] == 1]
+        else:
+            primary = df
+        (line,) = self.ax.plot(
+            primary["eps"], primary[var], label=label or var, marker="o",
+            **kwargs,
+        )
+        if f"{var}_std" in primary:
             self.ax.fill_between(
-                self.df["eps"],
-                self.df[var] - self.df[f"{var}_std"],
-                self.df[var] + self.df[f"{var}_std"],
+                primary["eps"],
+                primary[var] - primary[f"{var}_std"],
+                primary[var] + primary[f"{var}_std"],
                 alpha=0.3,
+                color=line.get_color(),
+            )
+        if "min_samples" in df and secondary_k:
+            sec = df[df["min_samples"] == secondary_k]
+            self.ax.plot(
+                sec["eps"], sec[var], ls=":", color=line.get_color(),
+                label="_hide", **kwargs,
             )
         self.ax.legend()
 
@@ -56,6 +82,16 @@ class PerformancePlot(Plot):
                 centers, vals, yerr=df[err_col], fmt="none", color=color, capsize=2
             )
         self.ax.legend()
+
+    def add_blocked(
+        self, a: float, b: float, label: str = "Not trained for"
+    ) -> None:
+        """Gray out an untrained variable range (reference
+        ``efficiencies.py:122-127``)."""
+        self.ax.axvspan(a, b, alpha=0.3, color="gray", label=label)
+
+    def add_legend(self, **kwargs) -> None:
+        self.ax.legend(**kwargs)
 
 
 class PerformanceComparisonPlot(PerformancePlot):

@@ -79,7 +79,7 @@ def _principal_order(x, valid):
     static_argnames=(
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
-        "certify", "fallback", "spill_passes", "probe_impl",
+        "certify", "fallback", "spill_passes", "probe_impl", "cand_cap",
     ),
 )
 def ivf_knn(
@@ -99,7 +99,8 @@ def ivf_knn(
     certify: bool = True,
     fallback: bool = True,
     spill_passes: bool = True,
-    probe_impl: str = "xla",
+    probe_impl: str | None = None,
+    cand_cap: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -134,6 +135,18 @@ def ivf_knn(
     n_probe = min(n_probe, n_cells)
     fallback_cap = min(fallback_cap, n)
     extra_cap = min(extra_cap, n)
+    if probe_impl is None:
+        # the Pallas probe (ops/pallas/ivf_probe.py) is ~12x faster per
+        # probed cell on hardware (battery #16) and exact; off-TPU it runs
+        # in interpret mode, so tests keep covering it
+        probe_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if cand_cap is None:
+        # a wider CANDIDATE table costs the Pallas probe almost nothing
+        # (~+1.5 ms/probed cell) and lets the all-queries extra-set scan
+        # (battery #13: ~429 ms) be skipped whenever the widened table
+        # swallows every spill (the usual case)
+        cand_cap = cell_cap + cell_cap // 2 if probe_impl == "pallas" else cell_cap
+    cand_cap = max(cand_cap, cell_cap)
     # candidate width: carry k+8 candidates through every merge, then
     # re-rank with the direct (q-p)^2 formula at the end — the norm
     # expansion's f32 cancellation noise (~1e-3 relative on clustered
@@ -188,12 +201,35 @@ def ivf_knn(
         in_bucket, mode="drop"
     )
 
-    # spill -> extra set (complete coverage for every query)
+    # candidate table: same layout, wider cap (cand_cap >= cell_cap). The
+    # probes scan these slabs, so visited cells are covered up to cand_cap
+    # without the all-queries extra pass.
+    if cand_cap == cell_cap:
+        xcb, icb, vcb = xb, ib, vb
+    else:
+        in_cand = (rank < cand_cap) & node_mask[order]
+        slot_c = jnp.where(
+            in_cand, sa.astype(jnp.int32) * cand_cap + rank,
+            n_cells * cand_cap,
+        )
+        xcb = jnp.full((n_cells * cand_cap, d), _FAR, jnp.float32)
+        xcb = xcb.at[slot_c].set(xf[order], mode="drop")
+        icb = jnp.zeros((n_cells * cand_cap,), jnp.int32)
+        icb = icb.at[slot_c].set(order.astype(jnp.int32), mode="drop")
+        vcb = jnp.zeros((n_cells * cand_cap,), bool).at[slot_c].set(
+            in_cand, mode="drop"
+        )
+
+    # spill (rank >= cell_cap) -> extra set: these points are not probed as
+    # queries, so they get their own probe pass below. As CANDIDATES they
+    # are covered by the cand_cap table; only the residual (rank >=
+    # cand_cap) forces the all-queries extra scan.
     spill = (~in_bucket) & node_mask[order]
     n_spill = jnp.sum(spill)
-    _, spill_pos = jax.lax.top_k(spill.astype(jnp.float32), extra_cap)
+    n_resid = jnp.sum((rank >= cand_cap) & node_mask[order])
+    spill_pos = jnp.nonzero(spill, size=extra_cap, fill_value=0)[0]
+    extra_valid = jnp.arange(extra_cap) < n_spill
     extra_ids = order[spill_pos].astype(jnp.int32)
-    extra_valid = spill[spill_pos]
     x_extra = jnp.where(extra_valid[:, None], xf[extra_ids], _FAR)
     # coverage is complete only if the extra set swallowed every spill
     spill_lost = jnp.maximum(n_spill - extra_cap, 0)
@@ -204,7 +240,9 @@ def ivf_knn(
 
     xb3 = xb.reshape(n_cells, cell_cap, d)
     ib2 = ib.reshape(n_cells, cell_cap)
-    vb2 = vb.reshape(n_cells, cell_cap)
+    xc3 = xcb.reshape(n_cells, cand_cap, d)
+    ic2 = icb.reshape(n_cells, cand_cap)
+    vc2 = vcb.reshape(n_cells, cand_cap)
     g = group_cells
     n_groups = -(-n_cells // g)
     pad_c = n_groups * g - n_cells
@@ -218,7 +256,7 @@ def ivf_knn(
         # self-exclude.
         from gnn_tracking_tpu.ops.pallas.ivf_probe import ivf_probe
 
-        pd, pi = ivf_probe(xb3, ib2, xb3, ib2, nbr, kw=kw, loop=loop)
+        pd, pi = ivf_probe(xb3, ib2, xc3, ic2, nbr, kw=kw, loop=loop)
     else:
 
         def probe(cell_ids):
@@ -231,13 +269,13 @@ def ivf_knn(
             qid = ib2[cell_ids].reshape(g * cell_cap)
             cand_cells = nbr[cell_ids]  # [g, T]
             cx = (
-                xb3[cand_cells].reshape(g, n_probe * cell_cap, d) - shift
+                xc3[cand_cells].reshape(g, n_probe * cand_cap, d) - shift
             )
-            cid = ib2[cand_cells].reshape(g, n_probe * cell_cap)
-            cvalid = vb2[cand_cells].reshape(g, n_probe * cell_cap)
+            cid = ic2[cand_cells].reshape(g, n_probe * cand_cap)
+            cvalid = vc2[cand_cells].reshape(g, n_probe * cand_cap)
             dd = jax.vmap(_pdist2)(
                 q.reshape(g, cell_cap, d), cx
-            )  # [g, cap, T*cap]
+            )  # [g, cap, T*cand_cap]
             cid_b = jnp.broadcast_to(cid[:, None, :], dd.shape)
             bad = ~jnp.broadcast_to(cvalid[:, None, :], dd.shape)
             if not loop:
@@ -308,9 +346,9 @@ def ivf_knn(
             q, qid, cc, qvalid, sh = args  # [B,d],[B],[B,T],[B],[B,d]
             b = q.shape[0]
             q = q - sh
-            cx = xb3[cc].reshape(b, n_probe * cell_cap, d) - sh[:, None, :]
-            cid = ib2[cc].reshape(b, n_probe * cell_cap)
-            cv = vb2[cc].reshape(b, n_probe * cell_cap)
+            cx = xc3[cc].reshape(b, n_probe * cand_cap, d) - sh[:, None, :]
+            cid = ic2[cc].reshape(b, n_probe * cand_cap)
+            cv = vc2[cc].reshape(b, n_probe * cand_cap)
             qn = jnp.sum(q * q, axis=-1)[:, None]
             cn = jnp.sum(cx * cx, axis=-1)
             dd = qn + cn - 2.0 * jnp.einsum(
@@ -350,16 +388,17 @@ def ivf_knn(
         idx = idx.at[extra_ids].set(jnp.where(keep, im, idx[extra_ids]))
         return dists, idx
 
-    def spill_both(carry):
-        return spill_probe(extra_pass(carry))
-
-    if spill_passes:
-        # True = both; "extra"/"probe" run one pass only (stage attribution)
-        fn = {"extra": extra_pass, "probe": spill_probe}.get(
-            spill_passes, spill_both
-        )
+    if spill_passes in (True, "extra"):
+        # all-queries extra-set scan: needed only when the candidate table
+        # did not swallow every spill (n_resid > 0) — with the widened
+        # cand_cap table this is the rare case, so the ~429 ms pass
+        # (battery #13) is usually cond-skipped at runtime
         dists, idx = jax.lax.cond(
-            n_spill > 0, fn, lambda c: c, (dists, idx)
+            n_resid > 0, extra_pass, lambda c: c, (dists, idx)
+        )
+    if spill_passes in (True, "probe"):
+        dists, idx = jax.lax.cond(
+            n_spill > 0, spill_probe, lambda c: c, (dists, idx)
         )
 
     # --- 3b. re-rank: exact distances for the kw survivors ------------------
@@ -442,9 +481,9 @@ def ivf_knn(
 
         def _rung(carry):
             dists, idx, certified = carry
-            _, viol_idx = jax.lax.top_k(
-                jnp.where(certified, 0.0, 1.0), cap
-            )
+            # first <=cap violators; fill rows (index 0) are harmless: they
+            # recompute row 0's brute result and write identical values
+            viol_idx = jnp.nonzero(~certified, size=cap, fill_value=0)[0]
             # brute at width kw + direct-formula rerank: the streaming
             # kernel's norm expansion carries the same near-tie noise as
             # the probe

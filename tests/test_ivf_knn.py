@@ -112,14 +112,19 @@ def test_masked_and_duplicates():
            fallback_cap=1024)
 
 
-def test_spill_overflow_goes_to_extra_set():
+@pytest.mark.parametrize(
+    "probe_impl,cand_cap",
+    [("xla", None), ("xla", 96), ("pallas", None), ("pallas", 64)],
+)
+def test_spill_overflow_goes_to_extra_set(probe_impl, cand_cap):
     # one giant cluster overflows its cell; exactness must survive via the
-    # extra set
+    # widened candidate table and/or the extra set (cand_cap=cell_cap for
+    # xla/None disables the widening; pallas/None widens to 1.5x)
     rng = np.random.default_rng(4)
     x = 0.01 * rng.normal(size=(2048, 4)).astype(np.float32)
     x[:64] += 0.5  # a far small cluster
     _check(x, 4, n_cells=16, cell_cap=64, n_probe=4, extra_cap=2048,
-           fallback_cap=2048)
+           fallback_cap=2048, probe_impl=probe_impl, cand_cap=cand_cap)
 
 
 def test_matches_knn_graph_convention():
