@@ -44,21 +44,29 @@ _HIGH = jax.lax.Precision.HIGHEST
 _FAR = 1e30
 
 
-def _pdist2(q, c):
+def _pdist2(q, c, precision=_HIGH):
     """Squared distances [Q, C] with f32/HIGHEST matmul (exactness path)."""
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
     cn = jnp.sum(c * c, axis=-1)[None, :]
-    d = qn + cn - 2.0 * jnp.dot(q, c.T, precision=_HIGH)
+    d = qn + cn - 2.0 * jnp.dot(q, c.T, precision=precision)
     return jnp.maximum(d, 0.0)
 
 
-def _assign_blocks(x, centroids, block_n):
-    """Nearest-centroid id and distance per point, blockwise over N."""
+def _assign_blocks(x, centroids, block_n, precision=_HIGH):
+    """Nearest-centroid id and distance per point, blockwise over N.
+
+    ``precision`` may safely be DEFAULT (single bf16 MXU pass, ~6x fewer
+    tile passes than HIGHEST): cell *assignment* is a clustering choice,
+    not a correctness condition — the radius, the probe and the
+    certification bound are all computed from whatever assignment comes
+    out, so exactness of the final kNN is unaffected (only cell
+    shape/balance can drift slightly).
+    """
     n = x.shape[0]
     xp = jnp.pad(x, ((0, (-n) % block_n), (0, 0)), constant_values=_FAR)
 
     def one(q):
-        d = _pdist2(q, centroids)
+        d = _pdist2(q, centroids, precision=precision)
         a = jnp.argmin(d, axis=1).astype(jnp.int32)
         return a, jnp.min(d, axis=1)
 
@@ -80,6 +88,7 @@ def _principal_order(x, valid):
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
         "certify", "fallback", "spill_passes", "probe_impl", "cand_cap",
+        "fast_assign",
     ),
 )
 def ivf_knn(
@@ -101,6 +110,7 @@ def ivf_knn(
     spill_passes: bool = True,
     probe_impl: str | None = None,
     cand_cap: int | None = None,
+    fast_assign: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -160,8 +170,12 @@ def ivf_knn(
     seeds = order0[(jnp.arange(n_cells) * stride) % n]
     centroids = xf[seeds]
 
+    assign_prec = (
+        jax.lax.Precision.DEFAULT if fast_assign else _HIGH
+    )
+
     def lloyd(centroids, _):
-        a, _ = _assign_blocks(xf, centroids, block_n)
+        a, _ = _assign_blocks(xf, centroids, block_n, precision=assign_prec)
         w = node_mask.astype(jnp.float32)
         sums = jax.ops.segment_sum(xf * w[:, None], a, num_segments=n_cells)
         cnts = jax.ops.segment_sum(w, a, num_segments=n_cells)
@@ -170,7 +184,7 @@ def ivf_knn(
         return new, None
 
     centroids, _ = jax.lax.scan(lloyd, centroids, None, length=lloyd_iters)
-    assign, _ = _assign_blocks(xf, centroids, block_n)
+    assign, _ = _assign_blocks(xf, centroids, block_n, precision=assign_prec)
     assign = jnp.where(node_mask, assign, n_cells - 1)
 
     # cell radius over ALL assigned valid points (incl. over-cap spill)

@@ -29,6 +29,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 os.environ["JAX_TRACEBACK_FILTERING"] = "off"
 
 import jax
+
+if os.environ.get("BATTERY_CPU"):
+    # the axon TPU plugin ignores JAX_PLATFORMS=cpu; force in-process
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 
@@ -1662,7 +1667,157 @@ def exp_flatt_grads():
         report("flatt_exact_grads_f32_retry", error=describe(ex)[:500])
 
 
+def exp_ivf_base():
+    """Stage attribution of ivf_knn's remaining ~800 ms base at 262k
+    (battery #16 left: probe ~37 ms, cert ~75 ms, extra_pass gated out —
+    so assign/bucket/rerank must carry the rest). Times (a) sub-jitted
+    stage functions mirroring the op's internals, (b) end-to-end variants:
+    fast (DEFAULT-precision bf16 MXU) assignment — provably
+    exactness-neutral, assignment is a clustering choice — and fewer
+    Lloyd sweeps."""
+    from gnn_tracking_tpu.ops.ivf_knn import _assign_blocks, _pdist2, ivf_knn
+    from gnn_tracking_tpu.ops.pallas.windowed_topk import principal_axis
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 5
+    n_cells = max(8, min(8192, n // 32))
+    cell_cap = max(8, (3 * n) // n_cells)
+    block_n = 4096
+
+    # --- sub-stage jits -----------------------------------------------------
+    @jax.jit
+    def stage_order(xf):
+        key = xf @ principal_axis(xf)
+        return jnp.argsort(key)
+
+    def make_quant(precision, sweeps):
+        @jax.jit
+        def stage_quant(xf, seeds):
+            centroids = xf[seeds]
+
+            def lloyd(c, _):
+                a, _ = _assign_blocks(xf, c, block_n, precision=precision)
+                sums = jax.ops.segment_sum(xf, a, num_segments=n_cells)
+                cnts = jax.ops.segment_sum(
+                    jnp.ones(xf.shape[0]), a, num_segments=n_cells
+                )
+                new = jnp.where(
+                    cnts[:, None] > 0, sums / jnp.maximum(cnts, 1.0)[:, None], c
+                )
+                return new, None
+
+            centroids, _ = jax.lax.scan(lloyd, centroids, None, length=sweeps)
+            a, _ = _assign_blocks(xf, centroids, block_n, precision=precision)
+            return centroids, a
+
+        return stage_quant
+
+    @jax.jit
+    def stage_bucket(xf, assign):
+        order = jnp.argsort(assign)
+        sa = assign[order]
+        first = jnp.searchsorted(sa, jnp.arange(n_cells, dtype=sa.dtype))
+        rank = jnp.arange(n, dtype=jnp.int32) - first[sa].astype(jnp.int32)
+        in_bucket = rank < cell_cap
+        slot = jnp.where(
+            in_bucket, sa.astype(jnp.int32) * cell_cap + rank, n_cells * cell_cap
+        )
+        xb = jnp.full((n_cells * cell_cap, 8), 1e30, jnp.float32)
+        xb = xb.at[slot].set(xf[order], mode="drop")
+        ib = jnp.zeros((n_cells * cell_cap,), jnp.int32)
+        ib = ib.at[slot].set(order.astype(jnp.int32), mode="drop")
+        return xb, ib
+
+    @jax.jit
+    def stage_rerank(xf, dists, idx):
+        diff = xf[:, None, :] - xf[idx]
+        dr = jnp.sum(diff * diff, axis=-1)
+        dr = jnp.where(jnp.isfinite(dists), dr, jnp.inf)
+        neg, pos = jax.lax.top_k(-dr, 8)
+        return -neg, jnp.take_along_axis(idx, pos, axis=1)
+
+    import jax.lax as lax
+
+    seeds = jnp.asarray(rng.permutation(n)[:n_cells].astype(np.int32))
+    try:
+        t = timeit(stage_order, x, iters=iters)
+        report("ivfbase_order", ms=t * 1e3)
+        for tag, prec, sweeps in (
+            ("quant_high_l2", lax.Precision.HIGHEST, 2),
+            ("quant_fast_l2", lax.Precision.DEFAULT, 2),
+            ("quant_fast_l1", lax.Precision.DEFAULT, 1),
+            ("quant_fast_l0", lax.Precision.DEFAULT, 0),
+        ):
+            f = make_quant(prec, sweeps)
+            t = timeit(f, x, seeds, iters=iters)
+            report(f"ivfbase_{tag}", ms=t * 1e3)
+        _, assign = sync(make_quant(lax.Precision.DEFAULT, 2)(x, seeds))
+        t = timeit(stage_bucket, x, assign, iters=iters)
+        report("ivfbase_bucket", ms=t * 1e3)
+        dd = jnp.abs(jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32)))
+        ii = jnp.asarray(rng.integers(0, n, size=(n, 16)).astype(np.int32))
+        t = timeit(stage_rerank, x, dd, ii, iters=iters)
+        report("ivfbase_rerank", ms=t * 1e3)
+    except Exception as ex:
+        report("ivfbase_stages", error=describe(ex)[:400])
+
+    # --- end-to-end variants -------------------------------------------------
+    for name, kw in (
+        ("fast_l2", {}),
+        ("slow_assign", {"fast_assign": False}),
+        ("fast_l1", {"lloyd_iters": 1}),
+        ("fast_l0", {"lloyd_iters": 0}),
+        ("fast_l1_T12", {"lloyd_iters": 1, "n_probe": 12}),
+    ):
+        try:
+            d_, i_, unc = sync(ivf_knn(x, k=8, **kw))
+            t = timeit(lambda kw=kw: ivf_knn(x, k=8, **kw)[0], iters=iters)
+            report(f"ivfbase_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivfbase_{name}", error=describe(ex)[:300])
+
+    # exactness spot-check of the new default vs brute force
+    try:
+        from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
+
+        nm = jnp.ones((n,), bool)
+        d_, i_, unc = sync(ivf_knn(x, k=8))
+        sub = jnp.asarray(rng.permutation(n)[:4096].astype(np.int32))
+        bd, bi = sync(
+            _fallback_brute(
+                x[sub], x, nm, k=8, block_c=1024, loop=False,
+                self_ids=sub, interpret=False,
+            )
+        )
+        diff = x[sub][:, None, :] - x[bi]
+        bdr = jnp.sum(diff * diff, axis=-1)
+        neg, pos = jax.lax.top_k(-bdr, 8)
+        bi = jnp.take_along_axis(bi, pos, axis=1)
+        same = int(
+            sum(
+                set(np.asarray(a).tolist()) == set(np.asarray(b).tolist())
+                for a, b in zip(np.asarray(i_)[np.asarray(sub)], np.asarray(bi))
+            )
+        )
+        # ties: index sets may legitimately differ at equal distance, so
+        # the hard criterion is the sorted distance spectrum
+        bd_sorted = np.sort(np.asarray(-neg), axis=1)
+        id_sorted = np.sort(np.asarray(d_)[np.asarray(sub)], axis=1)
+        max_dd = float(np.abs(bd_sorted - id_sorted).max())
+        report(
+            "ivfbase_exact", same_idx_sets=same, checked=4096,
+            max_abs_ddist=max_dd, n_uncert=int(unc),
+        )
+    except Exception as ex:
+        report("ivfbase_exact", error=describe(ex)[:400])
+
+
 EXPS = {
+    "ivfbase": exp_ivf_base,
     "roofline": exp_roofline,
     "ecdiet": exp_ec_diet,
     "flattg": exp_flatt_grads,

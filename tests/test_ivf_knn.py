@@ -127,6 +127,19 @@ def test_spill_overflow_goes_to_extra_set(probe_impl, cand_cap):
            fallback_cap=2048, probe_impl=probe_impl, cand_cap=cand_cap)
 
 
+def test_fast_assign_is_exactness_neutral():
+    # assignment precision is a clustering choice: rad/probe/certification
+    # all derive from the realized assignment, so DEFAULT-precision (bf16
+    # MXU) assignment must still yield the exact kNN spectrum
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(32, 8)).astype(np.float32)
+    who = rng.integers(0, 32, size=2048)
+    x = centers[who] + 0.05 * rng.normal(size=(2048, 8)).astype(np.float32)
+    kw = dict(n_cells=32, cell_cap=192, n_probe=8, fallback_cap=1024)
+    for fast in (True, False):
+        _check(x, 8, fast_assign=fast, **kw)
+
+
 def test_matches_knn_graph_convention():
     rng = np.random.default_rng(5)
     x = rng.normal(size=(512, 4)).astype(np.float32)
