@@ -234,19 +234,41 @@ def ivf_knn(
             in_cand, mode="drop"
         )
 
-    # spill (rank >= cell_cap) -> extra set: these points are not probed as
-    # queries, so they get their own probe pass below. As CANDIDATES they
-    # are covered by the cand_cap table; only the residual (rank >=
-    # cand_cap) forces the all-queries extra scan.
+    # Two over-cap sets, and they must NOT be conflated (round-2 battery
+    # #18 + CPU repro: conflating them returned DUPLICATE neighbor ids):
+    #
+    # * spill (rank >= cell_cap): points absent from the QUERY buckets —
+    #   they need their own probe pass below (``spill_probe``);
+    # * resid (rank >= cand_cap): points absent from the CANDIDATE slabs —
+    #   they must be merged into every query via ``extra_pass``.
+    #
+    # With a widened candidate table (cand_cap > cell_cap) the sets
+    # differ: ranks in [cell_cap, cand_cap) are already candidates in
+    # their cell's slab, so putting them in the extra set too makes the
+    # concat+top_k merges count the same point twice — each duplicate
+    # evicts a true neighbor, and certification cannot catch it (the k-th
+    # distance only shrinks). The extra CANDIDATE set is therefore the
+    # residual only.
     spill = (~in_bucket) & node_mask[order]
     n_spill = jnp.sum(spill)
-    n_resid = jnp.sum((rank >= cand_cap) & node_mask[order])
+    resid = (rank >= cand_cap) & node_mask[order]
+    n_resid = jnp.sum(resid)
     spill_pos = jnp.nonzero(spill, size=extra_cap, fill_value=0)[0]
-    extra_valid = jnp.arange(extra_cap) < n_spill
-    extra_ids = order[spill_pos].astype(jnp.int32)
-    x_extra = jnp.where(extra_valid[:, None], xf[extra_ids], _FAR)
-    # coverage is complete only if the extra set swallowed every spill
-    spill_lost = jnp.maximum(n_spill - extra_cap, 0)
+    spill_valid = jnp.arange(extra_cap) < n_spill
+    spill_ids = order[spill_pos].astype(jnp.int32)
+    x_spill = jnp.where(spill_valid[:, None], xf[spill_ids], _FAR)
+    if cand_cap == cell_cap:
+        resid_pos, resid_valid = spill_pos, spill_valid
+        resid_ids, x_resid = spill_ids, x_spill
+    else:
+        resid_pos = jnp.nonzero(resid, size=extra_cap, fill_value=0)[0]
+        resid_valid = jnp.arange(extra_cap) < n_resid
+        resid_ids = order[resid_pos].astype(jnp.int32)
+        x_resid = jnp.where(resid_valid[:, None], xf[resid_ids], _FAR)
+    # candidate coverage is complete only if the extra set swallowed every
+    # residual; spilled QUERIES beyond the cap simply stay +inf and fail
+    # ``found_all`` -> fallback
+    spill_lost = jnp.maximum(n_resid - extra_cap, 0)
 
     # --- 3. probe ----------------------------------------------------------
     cdist = _pdist2(centroids, centroids)
@@ -322,12 +344,12 @@ def ivf_knn(
 
         def one(args):
             q, qid = args
-            de = _pdist2(q, x_extra)  # [B, extra_cap]
-            ebad = ~extra_valid[None, :]
+            de = _pdist2(q, x_resid)  # [B, extra_cap]
+            ebad = ~resid_valid[None, :]
             if not loop:
-                ebad = ebad | (extra_ids[None, :] == qid[:, None])
+                ebad = ebad | (resid_ids[None, :] == qid[:, None])
             neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), kw)
-            return -neg_e, extra_ids[pos_e]
+            return -neg_e, resid_ids[pos_e]
 
         de, ie = jax.lax.map(
             one, (xq.reshape(-1, block_n, d), qi.reshape(-1, block_n))
@@ -350,7 +372,7 @@ def ivf_knn(
         buckets here so the triangle bound's premise holds for every query.
         """
         dists, idx = carry
-        own_cell = assign[extra_ids]
+        own_cell = assign[spill_ids]
         cand_cells = nbr[own_cell]  # [X, T]
         shift_x = centroids[own_cell]  # [X, d] local frame (see probe)
         bq = min(1024, extra_cap)
@@ -378,28 +400,30 @@ def ivf_knn(
         dp, ip = jax.lax.map(
             one,
             (
-                jnp.pad(x_extra, ((0, pad_x), (0, 0)), constant_values=_FAR)
+                jnp.pad(x_spill, ((0, pad_x), (0, 0)), constant_values=_FAR)
                 .reshape(-1, bq, d),
-                jnp.pad(extra_ids, (0, pad_x)).reshape(-1, bq),
+                jnp.pad(spill_ids, (0, pad_x)).reshape(-1, bq),
                 jnp.pad(cand_cells, ((0, pad_x), (0, 0))).reshape(
                     -1, bq, n_probe
                 ),
-                jnp.pad(extra_valid, (0, pad_x)).reshape(-1, bq),
+                jnp.pad(spill_valid, (0, pad_x)).reshape(-1, bq),
                 jnp.pad(shift_x, ((0, pad_x), (0, 0))).reshape(-1, bq, d),
             ),
         )
         dp = dp.reshape(-1, kw)[:extra_cap]
         ip = ip.reshape(-1, kw)[:extra_cap]
-        dall = jnp.concatenate([dists[extra_ids], dp], axis=1)
-        iall = jnp.concatenate([idx[extra_ids], ip], axis=1)
+        # rows at spill_ids hold only extra_pass (residual-set) results,
+        # disjoint from the candidate slabs dp scanned -> no duplicates
+        dall = jnp.concatenate([dists[spill_ids], dp], axis=1)
+        iall = jnp.concatenate([idx[spill_ids], ip], axis=1)
         neg, pos = jax.lax.top_k(-dall, kw)
         dm = -neg
         im = jnp.take_along_axis(iall, pos, axis=1)
-        keep = extra_valid[:, None]
-        dists = dists.at[extra_ids].set(
-            jnp.where(keep, dm, dists[extra_ids])
+        keep = spill_valid[:, None]
+        dists = dists.at[spill_ids].set(
+            jnp.where(keep, dm, dists[spill_ids])
         )
-        idx = idx.at[extra_ids].set(jnp.where(keep, im, idx[extra_ids]))
+        idx = idx.at[spill_ids].set(jnp.where(keep, im, idx[spill_ids]))
         return dists, idx
 
     if spill_passes in (True, "extra"):

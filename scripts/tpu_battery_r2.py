@@ -1816,7 +1816,184 @@ def exp_ivf_base():
         report("ivfbase_exact", error=describe(ex)[:400])
 
 
+def exp_ivf_oracle():
+    """Definitive exactness attribution with a host float64 numpy oracle.
+
+    ``ivfbase_exact`` (battery #17) showed 191/4096 neighbor-set diffs
+    (max spectrum diff 0.012) between default ivf_knn and the streaming
+    brute kernel — but BOTH sides there carry f32/selection noise, so it
+    cannot say which is wrong. Here the reference is an exact float64
+    host computation (no MXU, no norm expansion), and each suspect factor
+    (bf16 assignment, Pallas probe, widened candidate table) is toggled
+    independently."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    xn = (centers[who] + 0.05 * rng.normal(size=(n, 8))).astype(np.float32)
+    x = jnp.asarray(xn)
+
+    # host float64 oracle: exact k-th smallest distance spectrum for a
+    # fixed query subset (self excluded)
+    q_sub = rng.permutation(n)[:2048].astype(np.int64)
+    xs = xn.astype(np.float64)
+    k = 8
+    oracle = np.empty((len(q_sub), k))
+    for a in range(0, len(q_sub), 256):
+        qs = q_sub[a : a + 256]
+        dd = ((xs[qs][:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+        dd[np.arange(len(qs)), qs] = np.inf
+        oracle[a : a + 256] = np.sort(np.partition(dd, k, axis=1)[:, :k], 1)
+
+    def check(name, **kw):
+        try:
+            d_, i_, unc = sync(ivf_knn(x, k=k, **kw))
+            ii = np.asarray(i_)[q_sub]
+            got = np.sort(((xs[q_sub][:, None, :] - xs[ii]) ** 2).sum(-1), 1)
+            bad = (~np.isclose(got, oracle, rtol=1e-4, atol=1e-6)).any(1)
+            report(
+                f"ivforacle_{name}",
+                n_uncert=int(unc),
+                frac_bad=float(bad.mean()),
+                n_bad=int(bad.sum()),
+                max_abs=float(np.abs(got - oracle).max()),
+            )
+            return bad
+        except Exception as ex:
+            report(f"ivforacle_{name}", error=describe(ex)[:400])
+            return None
+
+    check("default", )
+    check("high_assign", fast_assign=False)
+    check("xla_probe_widecand", probe_impl="xla", cand_cap=144)
+    check("xla_probe_narrowcand", probe_impl="xla")
+    check("pallas_narrowcand", probe_impl="pallas", cand_cap=96)
+    check("high_assign_xla_narrow", fast_assign=False, probe_impl="xla")
+
+    # and the brute kernel itself vs the oracle (is the OLD check's
+    # reference side the noisy one?)
+    try:
+        from gnn_tracking_tpu.ops.pallas.windowed_topk import _fallback_brute
+
+        sub_j = jnp.asarray(q_sub.astype(np.int32))
+        fb_d, fb_i = sync(
+            _fallback_brute(
+                x[sub_j], x, jnp.ones((n,), bool), k=k, block_c=1024,
+                loop=False, self_ids=sub_j, interpret=False,
+            )
+        )
+        ii = np.asarray(fb_i)
+        got = np.sort(((xs[q_sub][:, None, :] - xs[ii]) ** 2).sum(-1), 1)
+        bad = (~np.isclose(got, oracle, rtol=1e-4, atol=1e-6)).any(1)
+        report(
+            "ivforacle_brute_kernel",
+            frac_bad=float(bad.mean()),
+            n_bad=int(bad.sum()),
+            max_abs=float(np.abs(got - oracle).max()),
+        )
+    except Exception as ex:
+        report("ivforacle_brute_kernel", error=describe(ex)[:400])
+
+
+def exp_ivf_base2():
+    """Follow-up to ivfbase (battery #17: bucket 237 ms, rerank 140 ms are
+    the base): attribute bucket time between the argsort and the scatter
+    table builds, and time the two candidate fixes — gather-built tables
+    (no scatters) and select-only rerank (valid whenever merge distances
+    are already direct-formula exact, i.e. the Pallas-probe path with no
+    extra pass)."""
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    d = 8
+    n_cells = max(8, min(8192, n // 32))
+    cell_cap = max(8, (3 * n) // n_cells)
+    cand_cap = cell_cap + cell_cap // 2
+    centers = rng.normal(size=(n // 64, d)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, d)).astype(np.float32))
+    assign = jnp.asarray(rng.integers(0, n_cells, size=n).astype(np.int32))
+    iters = 2 if SMOKE else 10
+
+    @jax.jit
+    def stage_argsort(a):
+        return jnp.argsort(a)
+
+    @jax.jit
+    def stage_bucket_scatter(xf, a):
+        order = jnp.argsort(a)
+        sa = a[order]
+        first = jnp.searchsorted(sa, jnp.arange(n_cells, dtype=sa.dtype))
+        rank = jnp.arange(n, dtype=jnp.int32) - first[sa].astype(jnp.int32)
+        out = []
+        for cap in (cell_cap, cand_cap):
+            in_b = rank < cap
+            slot = jnp.where(
+                in_b, sa.astype(jnp.int32) * cap + rank, n_cells * cap
+            )
+            xb = jnp.full((n_cells * cap, d), 1e30, jnp.float32)
+            xb = xb.at[slot].set(xf[order], mode="drop")
+            ib = jnp.zeros((n_cells * cap,), jnp.int32)
+            ib = ib.at[slot].set(order.astype(jnp.int32), mode="drop")
+            vb = jnp.zeros((n_cells * cap,), bool).at[slot].set(in_b, mode="drop")
+            out += [xb, ib, vb]
+        return tuple(out)
+
+    @jax.jit
+    def stage_bucket_gather(xf, a):
+        order = jnp.argsort(a).astype(jnp.int32)
+        sa = a[order]
+        first = jnp.searchsorted(sa, jnp.arange(n_cells, dtype=sa.dtype)).astype(
+            jnp.int32
+        )
+        cnt = jnp.append(first, jnp.int32(n))[1:] - first
+        out = []
+        for cap in (cell_cap, cand_cap):
+            r = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            pos = first[:, None] + r
+            valid = r < cnt[:, None]
+            take = order[jnp.clip(pos, 0, n - 1)]
+            xb = jnp.where(valid[..., None], xf[take], 1e30).reshape(-1, d)
+            ib = jnp.where(valid, take, 0).reshape(-1)
+            out += [xb, ib, valid.reshape(-1)]
+        return tuple(out)
+
+    @jax.jit
+    def stage_rerank_select(dists, idx):
+        neg, pos = jax.lax.top_k(-dists, 8)
+        return -neg, jnp.take_along_axis(idx, pos, axis=1)
+
+    try:
+        t = timeit(stage_argsort, assign, iters=iters)
+        report("ivfbase2_argsort", ms=t * 1e3)
+        t = timeit(stage_bucket_scatter, x, assign, iters=iters)
+        report("ivfbase2_bucket_scatter_both", ms=t * 1e3)
+        t = timeit(stage_bucket_gather, x, assign, iters=iters)
+        report("ivfbase2_bucket_gather_both", ms=t * 1e3)
+        # equivalence of the two bucket builds
+        s = sync(stage_bucket_scatter(x, assign))
+        g = sync(stage_bucket_gather(x, assign))
+        ok = all(
+            bool(jnp.all(jnp.where(sv[:, None] if a.ndim == 2 else sv, a, 0)
+                         == jnp.where(sv[:, None] if b.ndim == 2 else sv, b, 0)))
+            for a, b, sv in (
+                (s[0], g[0], s[2]), (s[1], g[1], s[2]),
+                (s[3], g[3], s[5]), (s[4], g[4], s[5]),
+            )
+        ) and bool(jnp.all(s[2] == g[2])) and bool(jnp.all(s[5] == g[5]))
+        report("ivfbase2_bucket_match", ok=ok)
+        dd = jnp.abs(jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32)))
+        ii = jnp.asarray(rng.integers(0, n, size=(n, 16)).astype(np.int32))
+        t = timeit(stage_rerank_select, dd, ii, iters=iters)
+        report("ivfbase2_rerank_select", ms=t * 1e3)
+    except Exception as ex:
+        report("ivfbase2", error=describe(ex)[:400])
+
+
 EXPS = {
+    "ivforacle": exp_ivf_oracle,
+    "ivfbase2": exp_ivf_base2,
     "ivfbase": exp_ivf_base,
     "roofline": exp_roofline,
     "ecdiet": exp_ec_diet,

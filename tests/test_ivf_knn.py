@@ -127,6 +127,39 @@ def test_spill_overflow_goes_to_extra_set(probe_impl, cand_cap):
            fallback_cap=2048, probe_impl=probe_impl, cand_cap=cand_cap)
 
 
+@pytest.mark.parametrize("probe_impl", ["xla", "pallas"])
+def test_wide_cand_table_no_duplicate_neighbors(probe_impl):
+    """Regression (round-2 battery #17/#18): with a widened candidate table
+    (cand_cap > cell_cap), points with rank in [cell_cap, cand_cap) sit in
+    their cell's candidate slab — putting them in the extra set TOO made
+    the concat+top_k merges return the same neighbor twice, silently
+    evicting a true neighbor (certification cannot catch it: the k-th
+    distance only shrinks). Clustered data with cells forced over cap,
+    checked against a float64 oracle + explicit duplicate-id assertion."""
+    k = 8
+    rng = np.random.default_rng(30)
+    n = 2048
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = (centers[who] + 0.05 * rng.normal(size=(n, 8))).astype(np.float32)
+    xs = x.astype(np.float64)
+    dd = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(dd, np.inf)
+    oracle = np.sort(np.partition(dd, k, axis=1)[:, :k], 1)
+    for cell_cap, cand_cap in ((48, 72), (24, 36)):
+        d_, i_, unc = ivf_knn(
+            jnp.asarray(x), k=k, n_cells=64, cell_cap=cell_cap,
+            cand_cap=cand_cap, probe_impl=probe_impl,
+        )
+        assert int(unc) == 0
+        ii = np.asarray(i_)
+        got = np.sort(((xs[:, None, :] - xs[ii]) ** 2).sum(-1), 1)
+        np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-6)
+        # every returned row must be k DISTINCT neighbors
+        n_distinct = min(len(set(row.tolist())) for row in ii)
+        assert n_distinct == k
+
+
 def test_fast_assign_is_exactness_neutral():
     # assignment precision is a clustering choice: rad/probe/certification
     # all derive from the realized assignment, so DEFAULT-precision (bf16
