@@ -443,27 +443,68 @@ def ivf_knn(
     # the direct difference formula has no cancellation (error ~eps * d^2
     # itself), so the final top-k selection and the certification radius
     # are immune to the norm-expansion noise that picked the candidates
-    def rerank(args):
-        dn, ix, q = args  # [B, kw], [B, kw], [B, d]
-        diff = q[:, None, :] - xf[ix]
-        dr = jnp.sum(diff * diff, axis=-1)
-        dr = jnp.where(jnp.isfinite(dn), dr, jnp.inf)
-        neg, pos = jax.lax.top_k(-dr, k)
-        return -neg, jnp.take_along_axis(ix, pos, axis=1)
+    def full_rerank(carry):
+        dists, idx = carry
 
-    bnr = min(block_n, 8192)
-    pad_r = (-n) % bnr
-    dists, idx = jax.lax.map(
-        rerank,
-        (
-            jnp.pad(dists, ((0, pad_r), (0, 0)), constant_values=jnp.inf)
-            .reshape(-1, bnr, kw),
-            jnp.pad(idx, ((0, pad_r), (0, 0))).reshape(-1, bnr, kw),
-            jnp.pad(xf, ((0, pad_r), (0, 0))).reshape(-1, bnr, d),
-        ),
-    )
-    dists = dists.reshape(-1, k)[:n]
-    idx = idx.reshape(-1, k)[:n]
+        def rerank(args):
+            dn, ix, q = args  # [B, kw], [B, kw], [B, d]
+            diff = q[:, None, :] - xf[ix]
+            dr = jnp.sum(diff * diff, axis=-1)
+            dr = jnp.where(jnp.isfinite(dn), dr, jnp.inf)
+            neg, pos = jax.lax.top_k(-dr, k)
+            return -neg, jnp.take_along_axis(ix, pos, axis=1)
+
+        bnr = min(block_n, 8192)
+        pad_r = (-n) % bnr
+        dk, ik = jax.lax.map(
+            rerank,
+            (
+                jnp.pad(dists, ((0, pad_r), (0, 0)), constant_values=jnp.inf)
+                .reshape(-1, bnr, kw),
+                jnp.pad(idx, ((0, pad_r), (0, 0))).reshape(-1, bnr, kw),
+                jnp.pad(xf, ((0, pad_r), (0, 0))).reshape(-1, bnr, d),
+            ),
+        )
+        return dk.reshape(-1, k)[:n], ik.reshape(-1, k)[:n]
+
+    if probe_impl == "pallas":
+        # the Pallas probe's distances are already the exact direct formula,
+        # sorted ascending (ops/pallas/ivf_probe.py) — the full-N rerank
+        # (~140 ms at 262k, battery #17) collapses to a slice. Only rows
+        # whose candidates came through a norm-expansion merge still need
+        # the direct formula: the spilled queries (spill_probe), and — when
+        # the widened candidate table did NOT swallow every residual — all
+        # rows (extra_pass), handled by the same runtime cond that gated
+        # the pass itself.
+        def fix_spill(carry):
+            dk, ik = carry
+            dkw, ikw = dists[spill_ids], idx[spill_ids]
+            diff = xf[spill_ids][:, None, :] - xf[ikw]
+            dr = jnp.sum(diff * diff, axis=-1)
+            dr = jnp.where(jnp.isfinite(dkw), dr, jnp.inf)
+            neg, pos = jax.lax.top_k(-dr, k)
+            dm, im = -neg, jnp.take_along_axis(ikw, pos, axis=1)
+            keep = spill_valid[:, None]
+            dk = dk.at[spill_ids].set(jnp.where(keep, dm, dk[spill_ids]))
+            ik = ik.at[spill_ids].set(jnp.where(keep, im, ik[spill_ids]))
+            return dk, ik
+
+        dk, ik = dists[:, :k], idx[:, :k]
+        if spill_passes in (True, "probe"):
+            dk, ik = jax.lax.cond(
+                n_spill > 0, fix_spill, lambda c: c, (dk, ik)
+            )
+        if spill_passes in (True, "extra"):
+            dists, idx = jax.lax.cond(
+                n_resid > 0,
+                lambda _: full_rerank((dists, idx)),
+                lambda _: (dk, ik),
+                None,
+            )
+        else:
+            dists, idx = dk, ik
+    else:
+        dists, idx = full_rerank((dists, idx))
 
     if not certify:
         # timing/diagnostic mode: skip certification + fallback entirely
