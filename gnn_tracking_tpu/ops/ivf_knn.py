@@ -88,7 +88,7 @@ def _principal_order(x, valid):
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
         "certify", "fallback", "spill_passes", "probe_impl", "cand_cap",
-        "fast_assign",
+        "fast_assign", "bucket_impl",
     ),
 )
 def ivf_knn(
@@ -111,6 +111,7 @@ def ivf_knn(
     probe_impl: str | None = None,
     cand_cap: int | None = None,
     fast_assign: bool = True,
+    bucket_impl: str = "scatter",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -201,19 +202,39 @@ def ivf_knn(
     first = jnp.searchsorted(sa, jnp.arange(n_cells, dtype=sa.dtype))
     rank = jnp.arange(n, dtype=jnp.int32) - first[sa].astype(jnp.int32)
     in_bucket = (rank < cell_cap) & node_mask[order]
-    # out-of-bucket entries aim out of range: a default slot of 0 would let
-    # their scatter writes clobber the real slot-0 contents (mode="drop")
-    slot = jnp.where(
-        in_bucket, sa.astype(jnp.int32) * cell_cap + rank, n_cells * cell_cap
-    )
 
-    xb = jnp.full((n_cells * cell_cap, d), _FAR, jnp.float32)
-    xb = xb.at[slot].set(xf[order], mode="drop")
-    ib = jnp.zeros((n_cells * cell_cap,), jnp.int32)
-    ib = ib.at[slot].set(order.astype(jnp.int32), mode="drop")
-    vb = jnp.zeros((n_cells * cell_cap,), bool).at[slot].set(
-        in_bucket, mode="drop"
-    )
+    def build_table(cap):
+        """[C*cap] slab tables (coords / global ids / validity)."""
+        if bucket_impl == "gather":
+            # gather formulation: slot (c, r) reads the sorted stream at
+            # first[c] + r — no scatters, every output written exactly once
+            cnt = (
+                jnp.append(first, jnp.int32(n))[1:] - first
+            ).astype(jnp.int32)
+            r = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            pos = first.astype(jnp.int32)[:, None] + r
+            take = order[jnp.clip(pos, 0, n - 1)]
+            valid = (r < cnt[:, None]) & node_mask[take]
+            xt = jnp.where(valid[..., None], xf[take], _FAR).reshape(-1, d)
+            it = jnp.where(valid, take, 0).astype(jnp.int32).reshape(-1)
+            return xt, it, valid.reshape(-1)
+        in_b = (rank < cap) & node_mask[order]
+        # out-of-bucket entries aim out of range: a default slot of 0 would
+        # let their scatter writes clobber the real slot-0 contents
+        # (mode="drop")
+        slot_b = jnp.where(
+            in_b, sa.astype(jnp.int32) * cap + rank, n_cells * cap
+        )
+        xt = jnp.full((n_cells * cap, d), _FAR, jnp.float32)
+        xt = xt.at[slot_b].set(xf[order], mode="drop")
+        it = jnp.zeros((n_cells * cap,), jnp.int32)
+        it = it.at[slot_b].set(order.astype(jnp.int32), mode="drop")
+        vt = jnp.zeros((n_cells * cap,), bool).at[slot_b].set(
+            in_b, mode="drop"
+        )
+        return xt, it, vt
+
+    xb, ib, vb = build_table(cell_cap)
 
     # candidate table: same layout, wider cap (cand_cap >= cell_cap). The
     # probes scan these slabs, so visited cells are covered up to cand_cap
@@ -221,18 +242,7 @@ def ivf_knn(
     if cand_cap == cell_cap:
         xcb, icb, vcb = xb, ib, vb
     else:
-        in_cand = (rank < cand_cap) & node_mask[order]
-        slot_c = jnp.where(
-            in_cand, sa.astype(jnp.int32) * cand_cap + rank,
-            n_cells * cand_cap,
-        )
-        xcb = jnp.full((n_cells * cand_cap, d), _FAR, jnp.float32)
-        xcb = xcb.at[slot_c].set(xf[order], mode="drop")
-        icb = jnp.zeros((n_cells * cand_cap,), jnp.int32)
-        icb = icb.at[slot_c].set(order.astype(jnp.int32), mode="drop")
-        vcb = jnp.zeros((n_cells * cand_cap,), bool).at[slot_c].set(
-            in_cand, mode="drop"
-        )
+        xcb, icb, vcb = build_table(cand_cap)
 
     # Two over-cap sets, and they must NOT be conflated (round-2 battery
     # #18 + CPU repro: conflating them returned DUPLICATE neighbor ids):

@@ -1991,7 +1991,54 @@ def exp_ivf_base2():
         report("ivfbase2", error=describe(ex)[:400])
 
 
+def exp_ivf_new():
+    """Battery #19: end-to-end impact of the select-only rerank (Pallas
+    probe distances are already direct-formula exact and sorted) and the
+    gather-vs-scatter slab table builds, at 262k. Oracle-style exactness
+    stamp on the winning config."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    xn = (centers[who] + 0.05 * rng.normal(size=(n, 8))).astype(np.float32)
+    x = jnp.asarray(xn)
+    iters = 2 if SMOKE else 8
+
+    q_sub = rng.permutation(n)[:2048].astype(np.int64)
+    xs = xn.astype(np.float64)
+    k = 8
+    oracle = np.empty((len(q_sub), k))
+    for a in range(0, len(q_sub), 256):
+        qs = q_sub[a : a + 256]
+        dd = ((xs[qs][:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+        dd[np.arange(len(qs)), qs] = np.inf
+        oracle[a : a + 256] = np.sort(np.partition(dd, k, axis=1)[:, :k], 1)
+
+    for name, kw in (
+        ("scatter", dict(bucket_impl="scatter")),
+        ("gather", dict(bucket_impl="gather")),
+    ):
+        try:
+            d_, i_, unc = sync(ivf_knn(x, k=k, **kw))
+            t = timeit(lambda: ivf_knn(x, k=k, **kw)[0], iters=iters)
+            ii = np.asarray(i_)[q_sub]
+            got = np.sort(((xs[q_sub][:, None, :] - xs[ii]) ** 2).sum(-1), 1)
+            bad = (~np.isclose(got, oracle, rtol=1e-4, atol=1e-6)).any(1)
+            report(
+                f"ivfnew_{name}",
+                ms=t * 1e3,
+                n_uncert=int(unc),
+                frac_bad=float(bad.mean()),
+                n_bad=int(bad.sum()),
+            )
+        except Exception as ex:
+            report(f"ivfnew_{name}", error=describe(ex)[:400])
+
+
 EXPS = {
+    "ivfnew": exp_ivf_new,
     "ivforacle": exp_ivf_oracle,
     "ivfbase2": exp_ivf_base2,
     "ivfbase": exp_ivf_base,

@@ -160,6 +160,34 @@ def test_wide_cand_table_no_duplicate_neighbors(probe_impl):
         assert n_distinct == k
 
 
+@pytest.mark.parametrize("probe_impl", ["xla", "pallas"])
+def test_gather_bucket_build_matches_scatter(probe_impl):
+    """The gather-formulated slab tables (bucket_impl="gather") must produce
+    the same kNN as the scatter build — including spilled cells, masked
+    nodes, and the widened candidate table."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(32, 8)).astype(np.float32)
+    who = rng.integers(0, 32, size=2048)
+    x = centers[who] + 0.05 * rng.normal(size=(2048, 8)).astype(np.float32)
+    x[:80] += 3.0  # overflow one region -> spill path
+    mask = rng.random(2048) > 0.1
+    kw = dict(
+        n_cells=32, cell_cap=64, cand_cap=96, n_probe=6, extra_cap=2048,
+        fallback_cap=2048, probe_impl=probe_impl,
+    )
+    outs = {}
+    for impl in ("scatter", "gather"):
+        d_, i_, unc = ivf_knn(
+            jnp.asarray(x), k=6, node_mask=jnp.asarray(mask),
+            bucket_impl=impl, **kw,
+        )
+        assert int(unc) == 0
+        outs[impl] = (np.asarray(d_), np.asarray(i_))
+        _check(x, 6, mask=mask, bucket_impl=impl, **kw)
+    np.testing.assert_array_equal(outs["scatter"][1], outs["gather"][1])
+    np.testing.assert_allclose(outs["scatter"][0], outs["gather"][0])
+
+
 def test_fast_assign_is_exactness_neutral():
     # assignment precision is a clustering choice: rad/probe/certification
     # all derive from the realized assignment, so DEFAULT-precision (bf16
