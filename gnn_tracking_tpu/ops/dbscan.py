@@ -32,6 +32,7 @@ from gnn_tracking_tpu.ops.cc import (
     compact_labels,
     connected_components,
     connected_components_neighbors,
+    connected_components_neighbors_many,
 )
 from gnn_tracking_tpu.ops.knn import radius_graph
 
@@ -109,6 +110,67 @@ def dbscan_from_graph(
     in_cluster = node_mask & (rep < sentinel)
     rep = jnp.where(in_cluster, rep, 0)
     return compact_labels(rep, valid=in_cluster, noise_value=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "neighbor_cap"))
+def dbscan_from_graph_many(
+    edge_index: jax.Array,
+    dists: jax.Array,
+    num_nodes: int,
+    *,
+    eps: jax.Array,
+    min_samples: jax.Array,
+    edge_mask: jax.Array | None = None,
+    node_mask: jax.Array | None = None,
+    neighbor_cap: int,
+) -> jax.Array:
+    """Batched DBSCAN over ``B`` ``(eps, min_samples)`` trials sharing one
+    fixed-degree neighbor graph. Returns labels ``[B, N]``, each row equal
+    to the corresponding :func:`dbscan_from_graph` call.
+
+    Internals keep the trial axis LAST so the hot connected-components
+    sweep and the core/border gathers are shared-index row gathers of
+    ``B``-lane rows instead of ``B`` separate scalar gathers (see
+    :func:`gnn_tracking_tpu.ops.cc.connected_components_neighbors_many`).
+    """
+    n, cap = num_nodes, neighbor_cap
+    e = edge_index.shape[1]
+    assert e == n * cap, (e, n, cap)
+    b = eps.shape[0]
+    if edge_mask is None:
+        edge_mask = jnp.ones((e,), dtype=bool)
+    if node_mask is None:
+        node_mask = jnp.ones((n,), dtype=bool)
+    src2d = edge_index[0].reshape(n, cap)
+    flat_src = src2d.reshape(-1)
+    sentinel = jnp.int32(n)
+
+    eps = eps.astype(dists.dtype)
+    min_samples = min_samples.astype(jnp.int32)
+    within = (
+        edge_mask.reshape(n, cap)[:, :, None]
+        & (dists.reshape(n, cap)[:, :, None] <= eps[None, None, :])
+    )  # [N, cap, B]
+    deg = jnp.sum(within, axis=1)  # [N, B]
+    core = node_mask[:, None] & (deg + 1 >= min_samples[None, :])  # [N, B]
+    core_src = core[flat_src].reshape(n, cap, b)
+    core_edges = within & core_src & core[:, None, :]
+    comp = connected_components_neighbors_many(src2d, core_edges)  # [N, B]
+
+    cand = jnp.where(
+        within & core_src, comp[flat_src].reshape(n, cap, b), sentinel
+    )
+    border_rep = jnp.min(cand, axis=1)  # [N, B]
+    has_core_neighbor = border_rep < sentinel
+    rep = jnp.where(
+        core, comp, jnp.where(has_core_neighbor, border_rep, sentinel)
+    )
+    in_cluster = node_mask[:, None] & (rep < sentinel)
+    rep = jnp.where(in_cluster, rep, 0)
+    # compacting is a one-shot per-trial cumsum — vmap is fine here
+    return jax.vmap(
+        lambda r, v: compact_labels(r, valid=v, noise_value=-1)
+    )(rep.T, in_cluster.T)
 
 
 def dbscan(

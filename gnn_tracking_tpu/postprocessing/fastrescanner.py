@@ -16,19 +16,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
+from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph, dbscan_from_graph_many
 from gnn_tracking_tpu.ops.knn import radius_graph
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "neighbor_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("num_nodes", "neighbor_cap", "impl")
+)
 def _dbscan_many(
     edge_index, dists, num_nodes, *, eps, min_samples, edge_mask, node_mask,
-    neighbor_cap,
+    neighbor_cap, impl="lanes",
 ):
-    """Vmapped DBSCAN over a batch of (eps, min_samples) trials — the graph is
-    shared, the connected-components sweeps run once for all trials (the
-    while-loop batching rule keeps iterating until every trial converges), and
-    the scanner pays one device dispatch instead of one per trial."""
+    """Batched DBSCAN over (eps, min_samples) trials in one device call.
+
+    ``impl="lanes"`` (default) keeps the trial axis on lanes so the
+    connected-components sweeps are shared-index row gathers
+    (``ops.dbscan.dbscan_from_graph_many``); ``impl="vmap"`` is the older
+    per-trial formulation (kept for A/B batteries — the while-loop batching
+    rule makes all trials iterate until the slowest converges either way)."""
+    if impl == "lanes" and neighbor_cap is not None:
+        return dbscan_from_graph_many(
+            edge_index,
+            dists,
+            num_nodes,
+            eps=eps,
+            min_samples=min_samples,
+            edge_mask=edge_mask,
+            node_mask=node_mask,
+            neighbor_cap=neighbor_cap,
+        )
     return jax.vmap(
         lambda e, m: dbscan_from_graph(
             edge_index,
@@ -98,15 +114,18 @@ class DBSCANFastRescan:
         )
         return np.asarray(labels)
 
-    def cluster_many(self, trials: list[dict[str, float]]) -> np.ndarray:
+    def cluster_many(
+        self, trials: list[dict[str, float]], *, impl: str = "lanes"
+    ) -> np.ndarray:
         """DBSCAN labels ``[len(trials), N]`` for a batch of
         ``{"eps": float, "min_samples": int}`` trials in ONE device call.
 
         All trials share the precomputed neighbor graph and the
-        connected-components sweeps run batched (vmap), so T trials cost far
-        less than T ``cluster()`` calls — this is the hyperparameter-scanner
-        fast path (reference scans trial-by-trial on the host,
-        ``postprocessing/dbscanscanner.py:160-178``).
+        connected-components sweeps run batched (trials on the lane axis by
+        default; ``impl="vmap"`` keeps the per-trial formulation), so T
+        trials cost far less than T ``cluster()`` calls — this is the
+        hyperparameter-scanner fast path (reference scans trial-by-trial on
+        the host, ``postprocessing/dbscanscanner.py:160-178``).
         """
         if not trials:
             return np.zeros((0, self._x.shape[0]), dtype=np.int32)
@@ -126,5 +145,6 @@ class DBSCANFastRescan:
             edge_mask=self._edge_mask,
             node_mask=self._node_mask,
             neighbor_cap=self._cap,
+            impl=impl,
         )
         return np.asarray(labels)

@@ -2037,7 +2037,41 @@ def exp_ivf_new():
             report(f"ivfnew_{name}", error=describe(ex)[:400])
 
 
+def exp_cc_lanes():
+    """Battery #19b: trials-on-lanes batched DBSCAN scan vs the vmapped
+    formulation (ROADMAP #3 target <30 ms/trial; vmap measured 31.9 ms)."""
+    from gnn_tracking_tpu.postprocessing.fastrescanner import DBSCANFastRescan
+
+    rng = np.random.default_rng(5)
+    n = 2048 if SMOKE else 16384
+    centers = rng.normal(size=(n // 8, 4)).astype(np.float32)
+    x = centers[rng.integers(0, n // 8, size=n)] + 0.03 * rng.normal(
+        size=(n, 4)
+    ).astype(np.float32)
+    rescan = DBSCANFastRescan(x, max_eps=0.5, max_num_neighbors=64)
+    trials = [{"eps": e, "min_samples": 3} for e in np.linspace(0.02, 0.5, 12)]
+    iters = 1 if SMOKE else 5
+    outs = {}
+    for impl in ("lanes", "vmap"):
+        try:
+            outs[impl] = rescan.cluster_many(trials, impl=impl)  # compile
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = rescan.cluster_many(trials, impl=impl)
+            dt = (time.perf_counter() - t0) / iters
+            report(
+                f"cclanes_{impl}",
+                ms_per_trial=dt / len(trials) * 1e3,
+                total_ms=dt * 1e3,
+            )
+        except Exception as ex:
+            report(f"cclanes_{impl}", error=describe(ex)[:400])
+    if len(outs) == 2:
+        report("cclanes_match", ok=bool(np.array_equal(outs["lanes"], outs["vmap"])))
+
+
 EXPS = {
+    "cclanes": exp_cc_lanes,
     "ivfnew": exp_ivf_new,
     "ivforacle": exp_ivf_oracle,
     "ivfbase2": exp_ivf_base2,

@@ -27,9 +27,11 @@ def test_fast_rescan_matches_sklearn():
             np.testing.assert_array_equal(ours, ref)
 
 
-def test_cluster_many_matches_per_trial():
-    """The batched (vmapped) multi-trial rescan must agree exactly with the
-    per-trial path (and hence with sklearn)."""
+@pytest.mark.parametrize("impl", ["lanes", "vmap"])
+def test_cluster_many_matches_per_trial(impl):
+    """Both batched multi-trial rescan formulations (trials-on-lanes and
+    vmapped) must agree exactly with the per-trial path (and hence with
+    sklearn)."""
     rng = np.random.default_rng(1)
     x = rng.uniform(size=(150, 2))
     scanner = DBSCANFastRescan(x, max_eps=0.3, max_num_neighbors=150)
@@ -38,7 +40,7 @@ def test_cluster_many_matches_per_trial():
         for e in (0.05, 0.15, 0.3)
         for m in (1, 4)
     ]
-    many = scanner.cluster_many(trials)
+    many = scanner.cluster_many(trials, impl=impl)
     assert many.shape == (len(trials), 150)
     for trial, labels in zip(trials, many):
         one = scanner.cluster(eps=trial["eps"], min_pts=trial["min_samples"])
