@@ -111,7 +111,7 @@ def ivf_knn(
     probe_impl: str | None = None,
     cand_cap: int | None = None,
     fast_assign: bool = True,
-    bucket_impl: str = "scatter",
+    bucket_impl: str = "gather",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -333,13 +333,18 @@ def ivf_knn(
         pd = pd.reshape(-1, kw)[: n_cells * cell_cap]
         pi = pi.reshape(-1, kw)[: n_cells * cell_cap]
 
-    # scatter bucket results back to original indexing; empty slots aim
-    # out of range so mode="drop" discards them (no slot-0 collisions)
-    tgt = jnp.where(vb, ib, n)
-    dists = jnp.full((n, kw), jnp.inf, jnp.float32).at[tgt].set(
-        pd, mode="drop"
-    )
-    idx = jnp.zeros((n, kw), jnp.int32).at[tgt].set(pi, mode="drop")
+    # bucket results back to original indexing via the INVERSE map: scatter
+    # only an [N] i32 slot table, then row-gather the [*, kw] results —
+    # far cheaper than scattering the [C*cap, kw] f32+i32 tables themselves
+    # (TPU scatters serialize on conflict detection; gathers don't)
+    n_slots = pd.shape[0]
+    slot_of = jnp.full((n,), n_slots, jnp.int32).at[
+        jnp.where(vb, ib, n)
+    ].set(jnp.arange(n_slots, dtype=jnp.int32), mode="drop")
+    has_slot = slot_of < n_slots
+    take = jnp.minimum(slot_of, n_slots - 1)
+    dists = jnp.where(has_slot[:, None], pd[take], jnp.inf)
+    idx = jnp.where(has_slot[:, None], pi[take], 0)
 
     # extra-set pass (original indexing, blockwise, only if spill exists):
     # every query merges the spill points' top-k with its bucket result so
