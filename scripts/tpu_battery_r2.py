@@ -2070,7 +2070,62 @@ def exp_cc_lanes():
         report("cclanes_match", ok=bool(np.array_equal(outs["lanes"], outs["vmap"])))
 
 
+def exp_ivf_glue():
+    """Battery #20: cumulative stage toggles for the ~500 ms of 262k
+    ivf_knn time unattributed by ivfbase (order 20 + quant 32 + bucket
+    184-scatter + probe ~40 + cert ~75 + rerank 0 ≈ 350 of ~900). Also
+    times the centroid-neighbor table (cdist [C,C] + top_k T) and the
+    cell-radius reduction standalone."""
+    from gnn_tracking_tpu.ops.ivf_knn import _pdist2, ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 8
+    n_cells = max(8, min(8192, n // 32))
+
+    for name, kw in (
+        ("probe_only", dict(certify=False, fallback=False, spill_passes=False)),
+        ("plus_spill", dict(certify=False, fallback=False)),
+        ("plus_cert", dict(fallback=False)),
+        ("full", {}),
+        ("full_scatter", dict(bucket_impl="scatter")),
+    ):
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, **kw))
+            t = timeit(lambda kw=kw: ivf_knn(x, k=8, **kw)[0], iters=iters)
+            report(f"ivfglue_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivfglue_{name}", error=describe(ex)[:300])
+
+    # standalone: centroid-neighbor table and radius reduction
+    c = jnp.asarray(rng.normal(size=(n_cells, 8)).astype(np.float32))
+    assign = jnp.asarray(rng.integers(0, n_cells, size=n).astype(np.int32))
+
+    @jax.jit
+    def nbr_table(c):
+        cdist = _pdist2(c, c)
+        _, nbr = jax.lax.top_k(-cdist, 8)
+        return nbr
+
+    @jax.jit
+    def radius(xf, c, a):
+        d = jnp.sqrt(jnp.maximum(jnp.sum((xf - c[a]) ** 2, axis=1), 0.0))
+        return jax.ops.segment_max(d, a, num_segments=n_cells)
+
+    try:
+        t = timeit(nbr_table, c, iters=iters)
+        report("ivfglue_nbr_table", ms=t * 1e3)
+        t = timeit(radius, x, c, assign, iters=iters)
+        report("ivfglue_radius", ms=t * 1e3)
+    except Exception as ex:
+        report("ivfglue_aux", error=describe(ex)[:300])
+
+
 EXPS = {
+    "ivfglue": exp_ivf_glue,
     "cclanes": exp_cc_lanes,
     "ivfnew": exp_ivf_new,
     "ivforacle": exp_ivf_oracle,
