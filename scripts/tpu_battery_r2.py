@@ -2092,6 +2092,14 @@ def exp_ivf_glue():
         ("plus_cert", dict(fallback=False)),
         ("full", {}),
         ("full_scatter", dict(bucket_impl="scatter")),
+        # battery #20 found plus_spill - probe_only = 535 ms: n_resid > 0
+        # on this cloud, so the extra_pass + full-rerank conds FIRE. Sweep
+        # the candidate width until the table swallows every residual
+        # (signature: the ~500 ms cliff disappears)
+        ("cand192", dict(cand_cap=192)),
+        ("cand256", dict(cand_cap=256)),
+        ("cap128", dict(cell_cap=128)),
+        ("cap128_cand256", dict(cell_cap=128, cand_cap=256)),
     ):
         try:
             _, _, unc = sync(ivf_knn(x, k=8, **kw))
