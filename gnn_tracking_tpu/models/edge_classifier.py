@@ -27,6 +27,8 @@ class ECForGraphTCN(nn.Module):
     L_ec: int = 3
     alpha: float = 0.5
     residual_type: str = "skip1"
+    #: for skip2: reproduce the reference's overlapping blocks (resin.py:157)
+    compat_overlap: bool = False
     use_intermediate_edge_embeddings: bool = True
     use_node_embedding: bool = True
     #: promise that edge_index[1] is non-decreasing
@@ -80,6 +82,7 @@ class ECForGraphTCN(nn.Module):
             alpha=self.alpha,
             n_layers=self.L_ec,
             residual_type=self.residual_type,
+            compat_overlap=self.compat_overlap,
             collect_hidden_edge_embeds=self.use_intermediate_edge_embeddings,
             sorted_edges=self.sorted_edges,
             segment_impl=self.segment_impl,

@@ -7,8 +7,12 @@ and optional collection of per-layer edge embeddings for the EC head.
 
 Note: the reference's ``Skip2ResidualNetwork`` iterates ``pairwise(range(L))``
 (reference ``resin.py:157``), which overlaps blocks for L > 2 and disagrees
-with its own ``concat_edge_embeddings_length`` formula; we implement the
-documented non-overlapping two-layer blocks, which coincide for L == 2.
+with its own ``concat_edge_embeddings_length`` formula; by default we
+implement the documented non-overlapping two-layer blocks, which coincide
+for L == 2. Set ``compat_overlap=True`` to reproduce the reference's
+overlapping-block behavior bit-for-bit (layers shared between consecutive
+blocks, L-1 blocks, L collected edge embeddings) — needed to reproduce a
+reference skip2 checkpoint with L > 2.
 """
 
 from __future__ import annotations
@@ -113,6 +117,10 @@ class ResIN(nn.Module):
     connect_to: int = 1
     #: for skip2: add (masked) batch norm
     add_bn: bool = False
+    #: for skip2: reproduce the reference's overlapping ``pairwise`` blocks
+    #: (reference ``resin.py:157``) — L-1 blocks sharing layers between
+    #: consecutive blocks — instead of the documented non-overlapping ones
+    compat_overlap: bool = False
     #: promise that edge_index[1] is non-decreasing
     sorted_edges: bool = False
     #: aggregation implementation: "xla" or "pallas_sorted"
@@ -139,6 +147,10 @@ class ResIN(nn.Module):
         """Width of the concatenated per-level edge embeddings
         (reference ``resin.py:284-290``)."""
         if self.residual_type == "skip2":
+            if self.compat_overlap:
+                # input + (L-1) overlapping blocks (reference resin.py:157;
+                # its :284 formula disagrees with its own forward for L > 2)
+                return self.edge_dim * max(self.n_layers, 2)
             return self.edge_dim * (self.n_layers // 2 + 1)
         return self.edge_dim * (self.n_layers + 1)
 
@@ -199,8 +211,53 @@ class ResIN(nn.Module):
             if self.n_layers % 2 != 0:
                 msg = "skip2 requires an even number of layers"
                 raise ValueError(msg)
-            for b in range(self.n_layers // 2):
-                i0, i1 = 2 * b, 2 * b + 1
+            if self.compat_overlap:
+                # reference-compat: overlapping pairwise blocks sharing
+                # layer/bn modules between consecutive blocks
+                # (reference resin.py:157)
+                layers = [self._make_layer(i) for i in range(self.n_layers)]
+                if self.add_bn:
+                    node_bns = [
+                        MaskedBatchNorm(name=f"node_bn_{i}")
+                        for i in range(self.n_layers)
+                    ]
+                    edge_bns = [
+                        MaskedBatchNorm(name=f"edge_bn_{i}")
+                        for i in range(self.n_layers)
+                    ]
+                blocks = [
+                    (i, i + 1) for i in range(self.n_layers - 1)
+                ]
+            else:
+                blocks = [
+                    (2 * b, 2 * b + 1) for b in range(self.n_layers // 2)
+                ]
+            for i0, i1 in blocks:
+                if self.compat_overlap:
+                    act0 = nn.relu if i0 > 0 else (lambda v: v)
+                    x_in, e_in = x, edge_attr
+                    if self.add_bn:
+                        x_in = node_bns[i0](x_in, node_mask)
+                        e_in = edge_bns[i0](e_in, edge_mask)
+                    hidden_x, hidden_e = layers[i0](
+                        ex(act0(x_in)), edge_index, act0(e_in), edge_mask,
+                        extras, **layer_kw,
+                    )
+                    hidden_x = hidden_x[:n_local]
+                    if self.add_bn:
+                        hidden_x = node_bns[i1](hidden_x, node_mask)
+                        hidden_e = edge_bns[i1](hidden_e, edge_mask)
+                    delta_x, edge_attr = layers[i1](
+                        ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e),
+                        edge_mask, extras, **layer_kw,
+                    )
+                    x = sqconvex_combination(
+                        delta=delta_x[:n_local], residue=x,
+                        alpha_residue=self.alpha,
+                    )
+                    if collect:
+                        edge_attrs.append(edge_attr)
+                    continue
                 act0 = nn.relu if i0 > 0 else (lambda v: v)
                 x_in, e_in = x, edge_attr
                 if self.add_bn:

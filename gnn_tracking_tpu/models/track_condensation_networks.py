@@ -351,6 +351,9 @@ class PerfectECGraphTCN(nn.Module):
     #: static local/halo edge boundary for compute/comm overlap under an
     #: exchange hook (``ShardedGraph.e_split``); 0 = off
     halo_edge_split: int = 0
+    residual_type: str = "skip1"
+    #: for skip2: reproduce the reference's overlapping blocks (resin.py:157)
+    compat_overlap: bool = False
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -368,6 +371,8 @@ class PerfectECGraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             halo_edge_split=self.halo_edge_split,
+            residual_type=self.residual_type,
+            compat_overlap=self.compat_overlap,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -413,6 +418,8 @@ class GraphTCNForMLGCPipeline(nn.Module):
     #: exchange hook (``ShardedGraph.e_split``); 0 = off
     halo_edge_split: int = 0
     residual_type: str = "skip1"
+    #: for skip2: reproduce the reference's overlapping blocks (resin.py:157)
+    compat_overlap: bool = False
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -431,6 +438,7 @@ class GraphTCNForMLGCPipeline(nn.Module):
             fused_dtype=self.fused_dtype,
             halo_edge_split=self.halo_edge_split,
             residual_type=self.residual_type,
+            compat_overlap=self.compat_overlap,
             name="hc_in",
         )
         return ModularGraphTCN(
@@ -476,6 +484,9 @@ class PreTrainedECGraphTCN(nn.Module):
     #: static local/halo edge boundary for compute/comm overlap under an
     #: exchange hook (``ShardedGraph.e_split``); 0 = off
     halo_edge_split: int = 0
+    residual_type: str = "skip1"
+    #: for skip2: reproduce the reference's overlapping blocks (resin.py:157)
+    compat_overlap: bool = False
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -492,6 +503,8 @@ class PreTrainedECGraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             halo_edge_split=self.halo_edge_split,
+            residual_type=self.residual_type,
+            compat_overlap=self.compat_overlap,
             name="hc_in",
         )
         return ModularGraphTCN(

@@ -151,6 +151,17 @@ def ivf_knn(
         # probed cell on hardware (battery #16) and exact; off-TPU it runs
         # in interpret mode, so tests keep covering it
         probe_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if probe_impl not in ("pallas", "xla"):
+        raise ValueError(f"probe_impl must be 'pallas' or 'xla', got {probe_impl!r}")
+    if bucket_impl not in ("gather", "scatter"):
+        raise ValueError(
+            f"bucket_impl must be 'gather' or 'scatter', got {bucket_impl!r}"
+        )
+    if spill_passes not in (True, False, "probe", "extra"):
+        raise ValueError(
+            "spill_passes must be True, False, 'probe' or 'extra', "
+            f"got {spill_passes!r}"
+        )
     if cand_cap is None:
         # a wider CANDIDATE table costs the Pallas probe almost nothing
         # (~+1.5 ms/probed cell) and lets the all-queries extra-set scan
@@ -504,20 +515,26 @@ def ivf_knn(
             ik = ik.at[spill_ids].set(jnp.where(keep, im, ik[spill_ids]))
             return dk, ik
 
-        dk, ik = dists[:, :k], idx[:, :k]
-        if spill_passes in (True, "probe"):
-            dk, ik = jax.lax.cond(
-                n_spill > 0, fix_spill, lambda c: c, (dk, ik)
-            )
+        def spill_then_slice(_):
+            # the spill fix is only worth running when the full rerank
+            # won't supersede it (advisor r2: doing it unconditionally
+            # wasted extra_cap rows of work in the residual case)
+            dk, ik = dists[:, :k], idx[:, :k]
+            if spill_passes in (True, "probe"):
+                dk, ik = jax.lax.cond(
+                    n_spill > 0, fix_spill, lambda c: c, (dk, ik)
+                )
+            return dk, ik
+
         if spill_passes in (True, "extra"):
             dists, idx = jax.lax.cond(
                 n_resid > 0,
                 lambda _: full_rerank((dists, idx)),
-                lambda _: (dk, ik),
+                spill_then_slice,
                 None,
             )
         else:
-            dists, idx = dk, ik
+            dists, idx = spill_then_slice(None)
     else:
         dists, idx = full_rerank((dists, idx))
 

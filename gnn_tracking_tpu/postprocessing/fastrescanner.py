@@ -34,6 +34,8 @@ def _dbscan_many(
     (``ops.dbscan.dbscan_from_graph_many``); ``impl="vmap"`` is the older
     per-trial formulation (kept for A/B batteries — the while-loop batching
     rule makes all trials iterate until the slowest converges either way)."""
+    if impl not in ("lanes", "vmap"):
+        raise ValueError(f"impl must be 'lanes' or 'vmap', got {impl!r}")
     if impl == "lanes" and neighbor_cap is not None:
         return dbscan_from_graph_many(
             edge_index,

@@ -241,3 +241,89 @@ def test_tcn_activations_match_torch_replica():
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+# ----------------------------------------------------------------------
+# skip2 reference-compat (overlapping pairwise blocks, resin.py:157)
+# ----------------------------------------------------------------------
+
+
+class TorchSkip2Overlap(tnn.Module):
+    """Reference ``Skip2ResidualNetwork._forward`` semantics: overlapping
+    ``pairwise(range(L))`` blocks sharing layers between consecutive blocks
+    (reference resin.py:157-176), no batch norm."""
+
+    def __init__(self, n_layers):
+        super().__init__()
+        self.layers = tnn.ModuleList(
+            [TorchIN(H_DIM, E_DIM, HID) for _ in range(n_layers)]
+        )
+
+    def forward(self, x, edge_index, edge_attr):
+        embeds = [edge_attr]
+        alpha = 0.5
+        for i0 in range(len(self.layers) - 1):
+            i1 = i0 + 1
+            act0 = torch.relu if i0 > 0 else (lambda v: v)
+            hx, he = self.layers[i0](act0(x), edge_index, act0(edge_attr))
+            dx, edge_attr = self.layers[i1](
+                torch.relu(hx), edge_index, torch.relu(he)
+            )
+            x = math.sqrt(alpha) * x + math.sqrt(1 - alpha) * dx
+            embeds.append(edge_attr)
+        return x, edge_attr, embeds
+
+
+def test_skip2_compat_overlap_matches_torch_replica():
+    from gnn_tracking_tpu.models.resin import ResIN
+
+    n_layers = 4
+    rng = np.random.default_rng(7)
+    graph = make_graph(3)
+    x = rng.normal(size=(N_NODES, H_DIM)).astype(np.float32)
+    e = rng.normal(size=(N_EDGES, E_DIM)).astype(np.float32)
+    ei = np.asarray(graph.edge_index)
+
+    model = ResIN(
+        node_dim=H_DIM,
+        edge_dim=E_DIM,
+        object_hidden_dim=HID,
+        relational_hidden_dim=HID,
+        n_layers=n_layers,
+        residual_type="skip2",
+        compat_overlap=True,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), x, jax.numpy.asarray(ei), e
+    )
+    x_jax, e_jax, embeds_jax = model.apply(
+        variables, x, jax.numpy.asarray(ei), e
+    )
+    # L-1 overlapping blocks -> input + (L-1) collected embeddings
+    assert len(embeds_jax) == n_layers
+    assert model.concat_edge_embeddings_length == E_DIM * n_layers
+
+    t = TorchSkip2Overlap(n_layers).eval()
+    for i in range(n_layers):
+        layer_p = variables["params"][f"layer_{i}"]
+        _copy_mlp(t.layers[i].relational_model, layer_p["relational_model"])
+        _copy_mlp(t.layers[i].object_model, layer_p["object_model"])
+    with torch.no_grad():
+        x_t, e_t, embeds_t = t(
+            torch.from_numpy(x).float(),
+            torch.from_numpy(ei).long(),
+            torch.from_numpy(e).float(),
+        )
+    np.testing.assert_allclose(
+        np.asarray(x_jax, np.float64), x_t.numpy().astype(np.float64),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_jax, np.float64), e_t.numpy().astype(np.float64),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(embeds_jax, embeds_t):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), b.numpy().astype(np.float64),
+            rtol=1e-4, atol=1e-5,
+        )
