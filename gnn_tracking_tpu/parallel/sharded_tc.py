@@ -62,8 +62,17 @@ def partition_condensation(
     max_n_objects: int,
     pt_thld: float = 0.9,
     max_eta: float = 4.0,
+    subsample_seed: int | None = None,
 ) -> ShardedCondensationData:
-    """Host-side: build the static truth tables for the sharded loss."""
+    """Host-side: build the static truth tables for the sharded loss.
+
+    ``subsample_seed``: when the event has more good particles than
+    ``max_n_objects``, randomly keep ``max_n_objects`` of them as objects
+    (their hits attract; every hit still repels all condensation points) —
+    the per-event static analog of the reference's ``sample_pids``
+    subsampling (reference ``metrics/losses/oc.py:410-415``), which keeps
+    full-detector events trainable without an [N, n_particles] blowup.
+    ``None`` keeps the strict behavior (assert)."""
     pid = np.asarray(graph.particle_id)
     pt = np.asarray(graph.pt)
     eta = np.asarray(graph.eta)
@@ -72,6 +81,12 @@ def partition_condensation(
 
     good = (pt > pt_thld) & (pid > 0) & (reco > 0) & (np.abs(eta) < max_eta) & node_mask
     unique = np.unique(pid[good])
+    if len(unique) > max_n_objects and subsample_seed is not None:
+        sel = np.random.default_rng(subsample_seed).choice(
+            unique, size=max_n_objects, replace=False
+        )
+        unique = np.sort(sel)
+        good = good & np.isin(pid, unique)
     assert len(unique) <= max_n_objects, (len(unique), max_n_objects)
     col = np.searchsorted(unique, pid)
     col = np.where(

@@ -1,0 +1,344 @@
+"""Round-3 TPU battery: EC-step anatomy (VERDICT #1 groundwork).
+
+Battery #9/#10/#12 established: sorted-XLA EC step 73.8 ms / 32.1 GB (53%
+of the 819 GB/s HBM roofline), fwd 23.7 ms / 13.2 GB (68%); per-layer fused
+kernels beat XLA 2x raw but TIE at step level; remat/donation are dead
+ends. What was never measured is WHERE inside the step the bytes/time live:
+per-IN-layer marginals, the W head, the loss/adam intercept, and the
+per-piece cost (gather / relational MLP / scatter / object MLP) of a single
+layer including its backward. This battery measures exactly that, so the
+cross-layer-fusion design (VERDICT round-2 item #1) attacks the real
+hot spot instead of a guess.
+
+Experiments:
+- anatomy: one sorted-XLA IN layer at bench scale, cumulative pieces
+  (gathers -> +relational MLP -> +segment-sum -> +object MLP), fwd and
+  fwd+bwd, each with XLA cost-model bytes;
+- lsweep:  full EC step at L in {1,3,6} (+ no-intermediate-embeddings arm)
+  fwd / step ms + bytes -> per-layer marginal and intercept;
+- tbound:  transposed-kernel config sweep (w,eb) + boundary-transpose
+  micro at bench scale (the flatt integration overhead).
+
+Usage: python scripts/tpu_battery_r3.py [exp ...]   (default: all)
+BATTERY_SMOKE=1 BATTERY_CPU=1 for the CPU sanity pass.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
+os.environ["JAX_TRACEBACK_FILTERING"] = "off"
+
+import jax
+
+if os.environ.get("BATTERY_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import optax
+
+from tpu_experiments import claim_or_exit, describe, report, sync, timeit
+from tpu_battery_r2 import local_graph, make_weights, build_flat_layout
+
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
+SMOKE = bool(int(os.environ.get("BATTERY_SMOKE", "0")))
+
+N, E = (2048, 16384) if SMOKE else (32768, 262144)
+IDIM, HDIM, L_FULL = 32, 128, 6
+ITERS = 2 if SMOKE else 15
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _timed(tag, fn, *args, iters=ITERS):
+    """Compile fn(*args), report ms + XLA cost-model flops/bytes."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    fl, by = _cost(compiled)
+    sync(compiled(*args))
+    t = timeit(lambda: compiled(*args), iters=iters)
+    report(
+        tag, ms=t * 1e3, xla_bytes_gb=by / 1e9,
+        hbm_floor_ms=by / V5E_HBM_BYTES_S * 1e3,
+        mxu_floor_ms=fl / V5E_BF16_FLOPS * 1e3,
+    )
+    return t
+
+
+def _bench_graph(rng_seed=2):
+    from gnn_tracking_tpu.graphs import EventGraph
+
+    rng = np.random.default_rng(rng_seed)
+    src, dst = local_graph(rng, N, E, 128 if SMOKE else 1024)
+    g = EventGraph.from_arrays(
+        x=rng.normal(size=(N, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(E, 4)).astype(np.float32),
+        y=(rng.random(E) < 0.3).astype(np.float32),
+    ).sort_edges_by_target()
+    return jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+
+
+def exp_anatomy():
+    """Cumulative piece timings of ONE sorted-XLA interaction layer at
+    bench scale (same ops as models/interaction_network.py), fwd and
+    fwd+bwd (grads wrt x, e, weights), with XLA cost-model bytes."""
+    from gnn_tracking_tpu.ops.segment import (
+        masked_segment_sum,
+        sorted_take,
+        take_sorted_by,
+    )
+
+    g = _bench_graph()
+    src, dst = g.edge_index[0], g.edge_index[1]
+    extras = g.extras
+    rng = np.random.default_rng(5)
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(N, IDIM)), dt)
+    e = jnp.asarray(rng.normal(size=(E, IDIM)), dt)
+
+    def mk(shape):
+        fan = shape[0]
+        return jnp.asarray(rng.normal(size=shape) / np.sqrt(fan), dt)
+
+    ws = {
+        "w1": mk((3 * IDIM, HDIM)), "b1": jnp.zeros((HDIM,), dt),
+        "w2": mk((HDIM, HDIM)), "b2": jnp.zeros((HDIM,), dt),
+        "w3": mk((HDIM, IDIM)), "b3": jnp.zeros((IDIM,), dt),
+        "o1": mk((2 * IDIM, HDIM)), "ob1": jnp.zeros((HDIM,), dt),
+        "o2": mk((HDIM, HDIM)), "ob2": jnp.zeros((HDIM,), dt),
+        "o3": mk((HDIM, IDIM)), "ob3": jnp.zeros((IDIM,), dt),
+    }
+
+    def gathers(x_, e_, ws_):
+        xd = sorted_take(x_, dst)
+        xs = take_sorted_by(x_, src, extras["src_perm"], extras["src_sorted"])
+        return jnp.concatenate([xd, xs, e_], axis=1)
+
+    def relational(x_, e_, ws_):
+        m = gathers(x_, e_, ws_)
+        h1 = jax.nn.relu(m @ ws_["w1"] + ws_["b1"])
+        h2 = jax.nn.relu(h1 @ ws_["w2"] + ws_["b2"])
+        return h2 @ ws_["w3"] + ws_["b3"]
+
+    def scattered(x_, e_, ws_):
+        et = relational(x_, e_, ws_)
+        agg = masked_segment_sum(et, dst, N, None, indices_are_sorted=True)
+        return et, agg
+
+    def full_layer(x_, e_, ws_):
+        et, agg = scattered(x_, e_, ws_)
+        m = jnp.concatenate([x_, agg], axis=1)
+        h1 = jax.nn.relu(m @ ws_["o1"] + ws_["ob1"])
+        h2 = jax.nn.relu(h1 @ ws_["o2"] + ws_["ob2"])
+        return et, h2 @ ws_["o3"] + ws_["ob3"]
+
+    # full-rank TRACED cotangents (built from the e_ argument): plain
+    # .sum() gives constant (ones) cotangents that XLA constant-folds; a
+    # rank-1 or captured-constant weight lets it rewrite the backward
+    # scatter away. Neither measures the real gather backward.
+    pieces = [
+        ("gathers", lambda x_, e_, w_: (
+            gathers(x_, e_, w_)
+            * jnp.concatenate([e_, e_, e_], axis=1)
+        ).astype(jnp.float32).sum()),
+        ("relational", lambda x_, e_, w_: relational(x_, e_, w_).astype(jnp.float32).sum()),
+        ("scattered", lambda x_, e_, w_: sum(
+            v.astype(jnp.float32).sum() for v in scattered(x_, e_, w_))),
+        ("full_layer", lambda x_, e_, w_: sum(
+            v.astype(jnp.float32).sum() for v in full_layer(x_, e_, w_))),
+    ]
+    for name, fn in pieces:
+        try:
+            _timed(f"anatomy_fwd_{name}", fn, x, e, ws)
+            _timed(
+                f"anatomy_fb_{name}",
+                lambda x_, e_, w_, fn=fn: jax.grad(fn, argnums=(0, 1, 2))(x_, e_, w_),
+                x, e, ws,
+            )
+        except Exception as ex:
+            report(f"anatomy_{name}", error=describe(ex)[:400])
+
+    # unsorted-scatter control: how much does the sorted promise save?
+    try:
+        def unsorted_gather(x_, e_, w_):
+            return ((x_[dst] + x_[src]) * e_).astype(jnp.float32).sum()
+
+        _timed("anatomy_fb_unsorted_gathers",
+               lambda x_, e_, w_: jax.grad(unsorted_gather)(x_, e_, w_), x, e, ws)
+
+        def sorted_gathers_w(x_, e_, w_):
+            xd = sorted_take(x_, dst)
+            xs = take_sorted_by(
+                x_, src, extras["src_perm"], extras["src_sorted"]
+            )
+            return ((xd + xs) * e_).astype(jnp.float32).sum()
+
+        _timed("anatomy_fb_sorted_gathers",
+               lambda x_, e_, w_: jax.grad(sorted_gathers_w)(x_, e_, w_), x, e, ws)
+    except Exception as ex:
+        report("anatomy_unsorted", error=describe(ex)[:400])
+
+
+def exp_lsweep():
+    """Full EC train step at L in {1, 3, 6}: fwd / step ms + bytes ->
+    per-layer marginal cost and the encoders+W+loss+adam intercept; plus
+    the no-intermediate-edge-embeddings arm isolating the W head's width."""
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+
+    g = _bench_graph()
+
+    def run(L, collect, tag):
+        model = ECForGraphTCN(
+            interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+            hidden_dim=HDIM, L_ec=L, sorted_edges=True, segment_impl="xla",
+            use_intermediate_edge_embeddings=collect,
+        )
+        params = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16), model.init(jax.random.PRNGKey(0), g)
+        )
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def fwd(p, g_):
+            return binary_focal_loss(
+                inpt=model.apply(p, g_)["W"].astype(jnp.float32),
+                target=g_.y.astype(jnp.float32),
+            )
+
+        def step(p, o, g_):
+            loss, grads = jax.value_and_grad(fwd)(p, g_)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        try:
+            _timed(f"lsweep_fwd_{tag}", fwd, params, g)
+            compiled = jax.jit(step).lower(params, opt_state, g).compile()
+            fl, by = _cost(compiled)
+            state = [params, opt_state]
+
+            def once():
+                state[0], state[1], loss = compiled(state[0], state[1], g)
+                return loss
+
+            sync(once())
+            t = timeit(once, iters=ITERS)
+            report(
+                f"lsweep_step_{tag}", ms=t * 1e3, xla_bytes_gb=by / 1e9,
+                hbm_floor_ms=by / V5E_HBM_BYTES_S * 1e3,
+                edges_per_s=E / t,
+            )
+        except Exception as ex:
+            report(f"lsweep_{tag}", error=describe(ex)[:400])
+
+    for L in (1, 3, 6):
+        run(L, True, f"L{L}")
+    run(6, False, "L6_noembeds")
+
+
+def exp_tbound():
+    """Transposed fused kernel (w, eb) sweep + boundary-transpose micro:
+    what does flatt integration actually pay per layer boundary?"""
+    from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+        fused_relational_flat_t,
+    )
+
+    rng = np.random.default_rng(12)
+    fx = fe = IDIM
+    h, fo = HDIM, IDIM
+    configs = [(128, 128)] if SMOKE else [
+        (512, 512), (256, 512), (512, 1024), (256, 1024), (1024, 512),
+    ]
+    for w2, eb2 in configs:
+        try:
+            x2, ea2, m2, st2 = build_flat_layout(rng, N, E, w2, eb2, fx, fe)
+            ws2 = make_weights(rng, fx, fe, h, fo)
+
+            def fwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                return fused_relational_flat_t(
+                    w_, eb_, "bfloat16", None, x_, ea_,
+                    m["sl"], m["dl"], m["inw"], m["bs"], ws_,
+                )[1].astype(jnp.float32).sum()
+
+            def fwdbwd(x_, ea_, ws_, m=m2, w_=w2, eb_=eb2):
+                def lf(x__, ea__, ws__):
+                    et_, agg_ = fused_relational_flat_t(
+                        w_, eb_, "bfloat16", None, x__, ea__,
+                        m["sl"], m["dl"], m["inw"], m["bs"], ws__,
+                    )
+                    return (
+                        jnp.sum(et_.astype(jnp.float32))
+                        + jnp.sum(agg_.astype(jnp.float32))
+                    )
+
+                return jax.grad(lf, argnums=(0, 1, 2))(x_, ea_, ws_)[0]
+
+            t_f = _timed(f"tbound_kernel_fwd_w{w2}_eb{eb2}", fwd, x2, ea2, ws2)
+            t_fb = _timed(f"tbound_kernel_fb_w{w2}_eb{eb2}", fwdbwd, x2, ea2, ws2)
+            report(
+                f"tbound_kernel_w{w2}_eb{eb2}", fill=st2["fill"],
+                fwd_ms=t_f * 1e3, fwdbwd_ms=t_fb * 1e3,
+            )
+        except Exception as ex:
+            report(f"tbound_kernel_w{w2}_eb{eb2}", error=describe(ex)[:400])
+
+    # boundary transposes: what one layer boundary pays in flatt mode
+    try:
+        e_pad = int(np.ceil(E * 1.13 / 512) * 512)
+        a = jnp.asarray(
+            np.random.default_rng(0).normal(size=(e_pad, IDIM)), jnp.bfloat16
+        )
+        at = jnp.asarray(np.asarray(a).T.copy(), jnp.bfloat16)
+        _timed("tbound_transpose_EF_to_FE", lambda v: v.T.astype(jnp.float32).sum(), a)
+        _timed("tbound_transpose_FE_to_EF", lambda v: v.T.astype(jnp.float32).sum(), at)
+        def roundtrip6(v):
+            out = jnp.float32(0.0)
+            for i in range(6):
+                v = (v + jnp.bfloat16(i + 1)).T  # force 6 real relayouts
+                out += v.astype(jnp.float32).sum()
+            return out
+
+        _timed("tbound_transpose_roundtrip6", roundtrip6, a)
+    except Exception as ex:
+        report("tbound_transpose", error=describe(ex)[:400])
+
+
+EXPS = {
+    "anatomy": exp_anatomy,
+    "lsweep": exp_lsweep,
+    "tbound": exp_tbound,
+}
+
+
+def main():
+    if not os.environ.get("BATTERY_CPU"):
+        claim_or_exit()
+    names = sys.argv[1:] or list(EXPS)
+    print("devices:", jax.devices(), flush=True)
+    for name in names:
+        try:
+            EXPS[name]()
+        except Exception as e:  # noqa: BLE001
+            report(name, fatal=describe(e)[:600])
+    report("battery_done", ok=True)
+
+
+if __name__ == "__main__":
+    main()

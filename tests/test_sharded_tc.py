@@ -95,3 +95,40 @@ def test_sharded_condensation_grads_match(setup):
     nm = np.asarray(g.node_mask)
     np.testing.assert_allclose(gb_back[nm], np.asarray(gb_f)[nm], rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(gx_back[nm], np.asarray(gx_f)[nm], rtol=1e-6, atol=1e-9)
+
+
+def test_partition_condensation_subsample():
+    """With more good particles than max_n_objects, subsample_seed keeps a
+    deterministic random subset as objects (the reference sample_pids
+    analog, oc.py:410-415); without it the strict assert fires."""
+    from gnn_tracking_tpu.parallel.sharded_tc import partition_condensation
+
+    g = make_graph(3)
+    sg = partition_event(g, N_SHARDS)
+    n_good_pids = len(
+        np.unique(np.asarray(g.particle_id)[np.asarray(get_good_node_mask(g))])
+    )
+    k = max(n_good_pids // 2, 1)
+
+    with pytest.raises(AssertionError):
+        partition_condensation(g, sg, max_n_objects=k)
+
+    cd = partition_condensation(g, sg, max_n_objects=k, subsample_seed=0)
+    assert int(cd.n_objects) == k
+    # determinism
+    cd2 = partition_condensation(g, sg, max_n_objects=k, subsample_seed=0)
+    np.testing.assert_array_equal(np.asarray(cd.obj_col), np.asarray(cd2.obj_col))
+    # every member hit's column is a valid object slot; non-members are -1
+    col = np.asarray(cd.obj_col)
+    assert col.max() < k
+    # object hits attract; hit count of interest matches the good-mask count
+    assert int(cd.n_hits_oi) == int(np.asarray(cd.object_mask).sum())
+    # the loss still evaluates finitely on the subsampled tables
+    beta = jnp.full(col.shape, 0.5)
+    x = jnp.zeros(col.shape + (3,))
+    from gnn_tracking_tpu.parallel.sharded_tc import make_sharded_condensation
+
+    mesh = Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("graph",))
+    loss_fn = make_sharded_condensation(mesh, max_n_objects=k)
+    out = loss_fn(beta, x + 0.1 * jax.random.normal(jax.random.PRNGKey(0), x.shape), cd)
+    assert all(np.isfinite(float(v)) for v in out.values())
