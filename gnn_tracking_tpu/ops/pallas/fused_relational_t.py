@@ -198,10 +198,11 @@ def _common_specs_t(w, fe8, fx8, eb, shapes):
     ]
 
 
-def _prep_t(window, block_e, x, edge_attr, weights, compute_dtype):
-    """Transpose + sublane-pad everything once, outside the kernel."""
+def _prep_xw(window, block_e, x, weights, compute_dtype, fe, e_pad):
+    """Transpose + sublane-pad x and the weights (edge stream handled by
+    the caller: either transposed from natural [E, Fe] or already
+    transposed for the cross-layer stack path)."""
     n, fx = x.shape
-    e_pad, fe = edge_attr.shape
     s_slabs = -(-n // window)
     assert e_pad % block_e == 0, (e_pad, block_e)
     cd = compute_dtype
@@ -210,7 +211,6 @@ def _prep_t(window, block_e, x, edge_attr, weights, compute_dtype):
     fo = weights["w3"].shape[1]
     h8, fo8 = _pad8(h), _pad8(fo)
     xt = _pad_xt(x.astype(cd), window, s_slabs)
-    eat = jnp.pad(edge_attr.astype(cd).T, ((0, fe8 - fe), (0, 0)))
 
     def tp(a, rows, cols):
         return jnp.pad(
@@ -235,7 +235,19 @@ def _prep_t(window, block_e, x, edge_attr, weights, compute_dtype):
         fx8=fx8, fe8=fe8, fo8=fo8, h8=h8,
         e_pad=e_pad, s_slabs=s_slabs,
     )
-    return dims, xt, eat, wl, shapes
+    return dims, xt, wl, shapes
+
+
+def _prep_t(window, block_e, x, edge_attr, weights, compute_dtype):
+    """Transpose + sublane-pad everything once, outside the kernel."""
+    e_pad, fe = edge_attr.shape
+    d, xt, wl, shapes = _prep_xw(
+        window, block_e, x, weights, compute_dtype, fe, e_pad
+    )
+    eat = jnp.pad(
+        edge_attr.astype(compute_dtype).T, ((0, d["fe8"] - fe), (0, 0))
+    )
+    return d, xt, eat, wl, shapes
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -262,11 +274,10 @@ def fused_relational_flat_t(
     return out
 
 
-def _fwd_impl_t(window, block_e, compute_dtype, interpret,
-                x, edge_attr, srcloc, dstloc, inwin, block_slab, weights):
-    interpret = _resolve_interpret(interpret)
-    cd = jnp.dtype(compute_dtype)
-    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+def _fwd_core_t(window, block_e, interpret, cd, out_dtype,
+                d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab):
+    """Run the forward kernel; returns raw transposed outputs
+    (eout^T [Fo8, E_pad], agg^T [Fo8, S*W])."""
     n_blocks = d["e_pad"] // block_e
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
@@ -281,11 +292,11 @@ def _fwd_impl_t(window, block_e, compute_dtype, interpret,
             pl.BlockSpec((d["fo8"], window), lambda b, bs: (0, bs[b])),
         ],
     )
-    eout_t, agg_t = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((d["fo8"], d["e_pad"]), x.dtype),
+            jax.ShapeDtypeStruct((d["fo8"], d["e_pad"]), out_dtype),
             jax.ShapeDtypeStruct((d["fo8"], d["s_slabs"] * window), jnp.float32),
         ],
         interpret=interpret,
@@ -295,6 +306,17 @@ def _fwd_impl_t(window, block_e, compute_dtype, interpret,
         wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
         wl["w2"], wl["b2"], wl["w3"], wl["b3"],
     )
+
+
+def _fwd_impl_t(window, block_e, compute_dtype, interpret,
+                x, edge_attr, srcloc, dstloc, inwin, block_slab, weights):
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+    eout_t, agg_t = _fwd_core_t(
+        window, block_e, interpret, cd, x.dtype,
+        d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab,
+    )
     eout = eout_t[: d["fo"]].T
     agg = agg_t[: d["fo"], : d["n"]].T.astype(x.dtype)
     return (
@@ -303,24 +325,16 @@ def _fwd_impl_t(window, block_e, compute_dtype, interpret,
     )
 
 
-def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
-    x, edge_attr, srcloc, dstloc, inwin, block_slab, weights = res
-    g_eout, g_agg = cts
-    interpret = _resolve_interpret(interpret)
-    cd = jnp.dtype(compute_dtype)
-    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+def _bwd_core_t(window, block_e, interpret, cd,
+                d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab,
+                geout_t, gagg_t):
+    """Run the backward kernel on raw transposed cotangents; returns the
+    raw output tuple (g_ea^T, g_x parts, weight grads)."""
     n_blocks = d["e_pad"] // block_e
     s_slabs, w = d["s_slabs"], window
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
     inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
-    geout_t = jnp.pad(
-        g_eout.astype(cd).T, ((0, d["fo8"] - d["fo"]), (0, 0))
-    )
-    gagg_t = jnp.pad(
-        g_agg.astype(cd).T,
-        ((0, d["fo8"] - d["fo"]), (0, s_slabs * w - d["n"])),
-    )
     kernel = functools.partial(_bwd_kernel_t, w=window, dtype=cd)
     const2 = lambda b, bs: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -345,7 +359,7 @@ def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
             pl.BlockSpec(shapes["b3"], const2),
         ],
     )
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -369,11 +383,13 @@ def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
         wl["w2"], wl["b2"], wl["w3"], wl["b3"],
         geout_t, gagg_t,
     )
-    (g_ea_t, gxd_t, gxs_parts, gw1d, gw1s, gw1e, gb1, gw2, gb2, gw3, gb3) = outs
 
-    n, fx, fe = d["n"], d["fx"], d["fe"]
-    # combine the per-slab 3W source windows (same as the natural-layout
-    # flat kernel, with the feature axis transposed)
+
+def _combine_gx_src(gxs_parts, d, w):
+    """Combine the per-slab 3W source windows into a transposed-and-padded
+    node grad [(S+2)*W, Fx8] (same scheme as the natural-layout flat
+    kernel, with the feature axis transposed)."""
+    s_slabs = d["s_slabs"]
     pieces = (
         gxs_parts.reshape(s_slabs, d["fx8"], 3, w)
         .transpose(0, 2, 1, 3)
@@ -383,19 +399,49 @@ def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
         jnp.arange(s_slabs)[:, None] + jnp.arange(3)[None, :]
     ).reshape(-1)
     gx_src = jax.ops.segment_sum(pieces, keys, num_segments=s_slabs + 2)
-    gx_src = gx_src.transpose(0, 2, 1).reshape((s_slabs + 2) * w, d["fx8"])
-    g_x = gxd_t[:fx, :n].T + gx_src[w : w + n, :fx]
+    return gx_src.transpose(0, 2, 1).reshape((s_slabs + 2) * w, d["fx8"])
 
-    g_weights = {
-        "w1d": gw1d[: d["h"], :fx].T.astype(weights["w1d"].dtype),
-        "w1s": gw1s[: d["h"], :fx].T.astype(weights["w1s"].dtype),
-        "w1e": gw1e[: d["h"], :fe].T.astype(weights["w1e"].dtype),
-        "b1": gb1[: d["h"], 0].astype(weights["b1"].dtype),
-        "w2": gw2[: d["h"], : d["h"]].T.astype(weights["w2"].dtype),
-        "b2": gb2[: d["h"], 0].astype(weights["b2"].dtype),
-        "w3": gw3[: d["fo"], : d["h"]].T.astype(weights["w3"].dtype),
-        "b3": gb3[: d["fo"], 0].astype(weights["b3"].dtype),
+
+def _unpack_gw(outs_tail, d, weights):
+    """Slice the padded transposed weight grads back to natural shapes."""
+    gw1d, gw1s, gw1e, gb1, gw2, gb2, gw3, gb3 = outs_tail
+    h, fx, fe, fo = d["h"], d["fx"], d["fe"], d["fo"]
+    return {
+        "w1d": gw1d[:h, :fx].T.astype(weights["w1d"].dtype),
+        "w1s": gw1s[:h, :fx].T.astype(weights["w1s"].dtype),
+        "w1e": gw1e[:h, :fe].T.astype(weights["w1e"].dtype),
+        "b1": gb1[:h, 0].astype(weights["b1"].dtype),
+        "w2": gw2[:h, :h].T.astype(weights["w2"].dtype),
+        "b2": gb2[:h, 0].astype(weights["b2"].dtype),
+        "w3": gw3[:fo, :h].T.astype(weights["w3"].dtype),
+        "b3": gb3[:fo, 0].astype(weights["b3"].dtype),
     }
+
+
+def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
+    x, edge_attr, srcloc, dstloc, inwin, block_slab, weights = res
+    g_eout, g_agg = cts
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, eat, wl, shapes = _prep_t(window, block_e, x, edge_attr, weights, cd)
+    s_slabs, w = d["s_slabs"], window
+    geout_t = jnp.pad(
+        g_eout.astype(cd).T, ((0, d["fo8"] - d["fo"]), (0, 0))
+    )
+    gagg_t = jnp.pad(
+        g_agg.astype(cd).T,
+        ((0, d["fo8"] - d["fo"]), (0, s_slabs * w - d["n"])),
+    )
+    outs = _bwd_core_t(
+        window, block_e, interpret, cd,
+        d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab,
+        geout_t, gagg_t,
+    )
+    g_ea_t, gxd_t, gxs_parts = outs[:3]
+    n, fx, fe = d["n"], d["fx"], d["fe"]
+    gx_src = _combine_gx_src(gxs_parts, d, w)
+    g_x = gxd_t[:fx, :n].T + gx_src[w : w + n, :fx]
+    g_weights = _unpack_gw(outs[3:], d, weights)
     return (
         g_x.astype(x.dtype),
         g_ea_t[:fe].T.astype(edge_attr.dtype),
