@@ -89,11 +89,18 @@ class InteractionNetwork(nn.Module):
         *,
         n_local: int | None = None,
         halo_split: int | None = None,
+        relu_edge: bool = False,
     ) -> tuple[jax.Array, jax.Array]:
         num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
-        if self.segment_impl in ("fused", "fused_flat", "fused_flat_t"):
-            return self._fused(x, edge_index, edge_attr, extras, edge_mask)
+        if self.segment_impl in (
+            "fused", "fused_flat", "fused_flat_t", "fused_stack_t"
+        ):
+            return self._fused(
+                x, edge_index, edge_attr, extras, edge_mask,
+                relu_edge=relu_edge,
+            )
+        assert not relu_edge, "relu_edge is a fused_stack_t-only call option"
         if halo_split is not None and n_local is not None:
             return self._halo_overlap(
                 x, edge_index, edge_attr, edge_mask,
@@ -236,8 +243,17 @@ class InteractionNetwork(nn.Module):
         )(jnp.concatenate([x, agg], axis=1))
         return x_tilde, e_tilde
 
-    def _fused(self, x, edge_index, edge_attr, extras, edge_mask=None):
+    def _fused(self, x, edge_index, edge_attr, extras, edge_mask=None,
+               relu_edge=False):
         """Single-kernel edge pipeline (``ops.pallas.fused_relational``).
+
+        ``segment_impl="fused_stack_t"`` is the cross-layer-stack mode:
+        ``edge_attr`` arrives TRANSPOSED (``[pad8(Fe), E_pad]``, the previous
+        layer's ``eout_t`` or the stack entry transpose) and ``e_tilde`` is
+        returned transposed — the full ResIN stack's edge stream never
+        relayouts through HBM between layers. The true edge feature count
+        rides statically in ``extras["stack_fe"]``; ``relu_edge`` applies the
+        inter-layer activation inside the kernel.
 
         Parameter tree: one fused first-layer kernel ``relational_w1``
         ([2*Fx+Fe, H], split into per-input blocks for the kernel) instead of
@@ -259,9 +275,11 @@ class InteractionNetwork(nn.Module):
         )
         from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
             fused_relational_flat_t,
+            fused_relational_layer_tt,
         )
 
-        flat = self.segment_impl in ("fused_flat", "fused_flat_t")
+        stack = self.segment_impl == "fused_stack_t"
+        flat = stack or self.segment_impl in ("fused_flat", "fused_flat_t")
         assert self.aggr == "add", "fused path supports add aggregation only"
         assert extras is not None and "slab_srcloc" in extras, (
             f"segment_impl={self.segment_impl!r} needs a slab-layout graph "
@@ -273,7 +291,17 @@ class InteractionNetwork(nn.Module):
                 "(ops.pallas.slab_layout.apply_flat_slab_layout or "
                 "PaddingConfig(slab_layout='flat'))"
             )
-        fx, fe, fo = x.shape[-1], edge_attr.shape[-1], self.edge_outdim
+        if stack:
+            assert "stack_fe" in extras, (
+                "fused_stack_t receives transposed edge features; the caller "
+                "(ResIN stack mode) must record the true edge feature count "
+                "in extras['stack_fe']"
+            )
+            fe = extras["stack_fe"]
+        else:
+            assert not relu_edge, "relu_edge is a fused_stack_t-only option"
+            fe = edge_attr.shape[-1]
+        fx, fo = x.shape[-1], self.edge_outdim
         fan1 = 2 * fx + fe
         h = self.edge_hidden_dim or max(fan1, fo)
         w1 = self.param("relational_w1", torch_linear_init(), (fan1, h))
@@ -295,7 +323,14 @@ class InteractionNetwork(nn.Module):
         inwin = extras["slab_inwin"]
         if edge_mask is not None:
             inwin = inwin * edge_mask.astype(inwin.dtype)
-        if flat:
+        if stack:
+            e_tilde, agg = fused_relational_layer_tt(
+                self.fused_window, self.fused_block, self.fused_dtype, None,
+                relu_edge,
+                x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
+                inwin, extras["slab_block_slab"], weights,
+            )
+        elif flat:
             flat_fn = (
                 fused_relational_flat_t
                 if self.segment_impl == "fused_flat_t"
@@ -314,19 +349,30 @@ class InteractionNetwork(nn.Module):
             )
         # overflow edges (source beyond the 3W halo / spilled slabs): XLA
         of_pos, of_mask = extras["slab_of_pos"], extras["slab_of_mask"]
-        e_pad = edge_attr.shape[0]
+        e_pad = edge_attr.shape[1] if stack else edge_attr.shape[0]
         ofp = jnp.minimum(of_pos, e_pad - 1)
         of_dst = edge_index[1][ofp]
-        m_of = jnp.concatenate(
-            [x[of_dst], x[edge_index[0][ofp]], edge_attr[ofp]], axis=1
-        )
+        if stack:
+            ea_of = edge_attr[:fe, ofp].T
+            if relu_edge:
+                ea_of = nn.relu(ea_of)
+        else:
+            ea_of = edge_attr[ofp]
+        m_of = jnp.concatenate([x[of_dst], x[edge_index[0][ofp]], ea_of], axis=1)
         h1 = nn.relu(m_of @ w1 + b1)
         h2 = nn.relu(h1 @ w2 + b2)
         of_scale = of_mask.astype(x.dtype)
         if edge_mask is not None:
             of_scale = of_scale * edge_mask[ofp].astype(x.dtype)
         et_of = (h2 @ w3 + b3) * of_scale[:, None]
-        e_tilde = e_tilde.at[of_pos].add(et_of.astype(e_tilde.dtype), mode="drop")
+        if stack:
+            e_tilde = e_tilde.at[:fo, of_pos].add(
+                et_of.T.astype(e_tilde.dtype), mode="drop"
+            )
+        else:
+            e_tilde = e_tilde.at[of_pos].add(
+                et_of.astype(e_tilde.dtype), mode="drop"
+            )
         agg = agg + jax.ops.segment_sum(
             et_of, of_dst, num_segments=x.shape[0]
         ).astype(agg.dtype)

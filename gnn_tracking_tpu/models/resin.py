@@ -195,12 +195,40 @@ class ResIN(nn.Module):
         split = self.halo_edge_split if exchange is not None else 0
         layer_kw = {"n_local": n_local, "halo_split": split or None}
 
+        stack = self.segment_impl == "fused_stack_t"
+        if stack:
+            # cross-layer-fused stack: the edge stream rides TRANSPOSED
+            # ([pad8(F), E_pad]) through every layer — one transpose in, one
+            # per collected embedding out, zero relayouts between layers.
+            # Inter-layer edge relus run inside the kernel (relu_edge).
+            assert not self.add_bn, "fused_stack_t does not support add_bn"
+            assert not self.remat, (
+                "fused_stack_t threads a static relu_edge call flag that "
+                "nn.remat cannot treat as static; use remat=False"
+            )
+            fe_true = edge_attr.shape[1]
+            fe8 = fe_true + (-fe_true) % 8
+            edge_attr = jnp.pad(edge_attr.T, ((0, fe8 - fe_true), (0, 0)))
+            extras = dict(extras or {})
+            extras["stack_fe"] = fe_true
+
+        def run_layer(layer, x_in, e_in, relu_in, **kw):
+            """Pre-layer activation: relu on x stays XLA (node side is
+            small); the edge relu is deferred into the kernel in stack
+            mode so it never touches HBM."""
+            xi = nn.relu(x_in) if relu_in else x_in
+            if stack:
+                return layer(
+                    ex(xi), edge_index, e_in, edge_mask, extras,
+                    relu_edge=relu_in, **kw,
+                )
+            ei = nn.relu(e_in) if relu_in else e_in
+            return layer(ex(xi), edge_index, ei, edge_mask, extras, **kw)
+
         if self.residual_type == "skip1":
             for i in range(self.n_layers):
-                act = nn.relu if i > 0 else (lambda v: v)
-                delta_x, edge_attr = self._make_layer(i)(
-                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras,
-                    **layer_kw,
+                delta_x, edge_attr = run_layer(
+                    self._make_layer(i), x, edge_attr, i > 0, **layer_kw
                 )
                 x = sqconvex_combination(
                     delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
@@ -234,22 +262,19 @@ class ResIN(nn.Module):
                 ]
             for i0, i1 in blocks:
                 if self.compat_overlap:
-                    act0 = nn.relu if i0 > 0 else (lambda v: v)
                     x_in, e_in = x, edge_attr
                     if self.add_bn:
                         x_in = node_bns[i0](x_in, node_mask)
                         e_in = edge_bns[i0](e_in, edge_mask)
-                    hidden_x, hidden_e = layers[i0](
-                        ex(act0(x_in)), edge_index, act0(e_in), edge_mask,
-                        extras, **layer_kw,
+                    hidden_x, hidden_e = run_layer(
+                        layers[i0], x_in, e_in, i0 > 0, **layer_kw
                     )
                     hidden_x = hidden_x[:n_local]
                     if self.add_bn:
                         hidden_x = node_bns[i1](hidden_x, node_mask)
                         hidden_e = edge_bns[i1](hidden_e, edge_mask)
-                    delta_x, edge_attr = layers[i1](
-                        ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e),
-                        edge_mask, extras, **layer_kw,
+                    delta_x, edge_attr = run_layer(
+                        layers[i1], hidden_x, hidden_e, True, **layer_kw
                     )
                     x = sqconvex_combination(
                         delta=delta_x[:n_local], residue=x,
@@ -258,22 +283,19 @@ class ResIN(nn.Module):
                     if collect:
                         edge_attrs.append(edge_attr)
                     continue
-                act0 = nn.relu if i0 > 0 else (lambda v: v)
                 x_in, e_in = x, edge_attr
                 if self.add_bn:
                     x_in = MaskedBatchNorm(name=f"node_bn_{i0}")(x_in, node_mask)
                     e_in = MaskedBatchNorm(name=f"edge_bn_{i0}")(e_in, edge_mask)
-                hidden_x, hidden_e = self._make_layer(i0)(
-                    ex(act0(x_in)), edge_index, act0(e_in), edge_mask, extras,
-                    **layer_kw,
+                hidden_x, hidden_e = run_layer(
+                    self._make_layer(i0), x_in, e_in, i0 > 0, **layer_kw
                 )
                 hidden_x = hidden_x[:n_local]
                 if self.add_bn:
                     hidden_x = MaskedBatchNorm(name=f"node_bn_{i1}")(hidden_x, node_mask)
                     hidden_e = MaskedBatchNorm(name=f"edge_bn_{i1}")(hidden_e, edge_mask)
-                delta_x, edge_attr = self._make_layer(i1)(
-                    ex(nn.relu(hidden_x)), edge_index, nn.relu(hidden_e),
-                    edge_mask, extras, **layer_kw,
+                delta_x, edge_attr = run_layer(
+                    self._make_layer(i1), hidden_x, hidden_e, True, **layer_kw
                 )
                 x = sqconvex_combination(
                     delta=delta_x[:n_local], residue=x, alpha_residue=self.alpha
@@ -286,10 +308,8 @@ class ResIN(nn.Module):
             for i in range(self.n_layers):
                 if i == self.connect_to:
                     x_residue = x
-                act = nn.relu if i > 0 else (lambda v: v)
-                delta_x, edge_attr = self._make_layer(i)(
-                    ex(act(x)), edge_index, act(edge_attr), edge_mask, extras,
-                    **layer_kw,
+                delta_x, edge_attr = run_layer(
+                    self._make_layer(i), x, edge_attr, i > 0, **layer_kw
                 )
                 if x_residue is not None:
                     x = sqconvex_combination(
@@ -303,4 +323,12 @@ class ResIN(nn.Module):
             msg = f"Unknown residual type: {self.residual_type}"
             raise ValueError(msg)
 
+        if stack:
+            # back to natural layout: one transpose for the final edge
+            # embedding + one per collected intermediate (entry [0] was
+            # stored natural before the stack transpose)
+            fo = self.edge_dim
+            edge_attr = edge_attr[:fo].T
+            if collect:
+                edge_attrs = [edge_attrs[0]] + [t[:fo].T for t in edge_attrs[1:]]
         return x, edge_attr, edge_attrs

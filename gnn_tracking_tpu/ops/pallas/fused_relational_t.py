@@ -87,7 +87,7 @@ def _fwd_kernel_t(
     x0_ref, x1_ref, x2_ref,
     w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     eout_ref, agg_ref,
-    *, w: int, dtype,
+    *, w: int, dtype, relu_edge: bool = False,
 ):
     eb = ea_ref.shape[1]
     b = pl.program_id(0)
@@ -95,6 +95,11 @@ def _fwd_kernel_t(
     dl = _tile_row(dl_ref, b)
     inw = _tile_row(inw_ref, b).astype(jnp.float32)
 
+    ea = ea_ref[:]
+    if relu_edge:
+        # free in-VMEM activation of the previous stack layer's output —
+        # the inter-layer relu never touches HBM
+        ea = jnp.maximum(ea, 0)
     gsrc = _gather3_t(sl, x0_ref[:], x1_ref[:], x2_ref[:], w, eb, dtype)
     oh_dl = _onehot_t(dl, w, eb, dtype)  # [w, eb]
     gdst = _mxu(x1_ref[:], oh_dl)
@@ -102,7 +107,7 @@ def _fwd_kernel_t(
         w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
-    _, _, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea_ref[:], ws, dtype)
+    _, _, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
     et = et * inw  # [fo8, eb] * [1, eb]: lane-aligned broadcast
     eout_ref[:] = et.astype(eout_ref.dtype)
 
@@ -121,7 +126,7 @@ def _bwd_kernel_t(
     geout_ref, gagg_ref,
     gea_ref, gxd_ref, gxs_ref,
     gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
-    *, w: int, dtype,
+    *, w: int, dtype, relu_edge: bool = False,
 ):
     eb = ea_ref.shape[1]
     b = pl.program_id(0)
@@ -129,6 +134,8 @@ def _bwd_kernel_t(
     dl = _tile_row(dl_ref, b)
     inw = _tile_row(inw_ref, b).astype(jnp.float32)
 
+    ea_raw = ea_ref[:]
+    ea = jnp.maximum(ea_raw, 0) if relu_edge else ea_raw
     gsrc = _gather3_t(sl, x0_ref[:], x1_ref[:], x2_ref[:], w, eb, dtype)
     oh_dl = _onehot_t(dl, w, eb, dtype)
     gdst = _mxu(x1_ref[:], oh_dl)
@@ -136,7 +143,7 @@ def _bwd_kernel_t(
         w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
-    h1, h2, _, m1, m2 = _mlp_fwd_t(gdst, gsrc, ea_ref[:], ws, dtype)
+    h1, h2, _, m1, m2 = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
 
     g_et = geout_ref[:].astype(jnp.float32)
     g_et += _mxu(gagg_ref[:].astype(dtype), oh_dl)
@@ -146,7 +153,10 @@ def _bwd_kernel_t(
     g_h1 = (_mxu(w2_ref[:], g_h2, transpose_a=True) * m1).astype(dtype)
     g_gdst = _mxu(w1d_ref[:], g_h1, transpose_a=True).astype(dtype)
     g_gsrc = _mxu(w1s_ref[:], g_h1, transpose_a=True).astype(dtype)
-    gea_ref[:] = _mxu(w1e_ref[:], g_h1, transpose_a=True).astype(gea_ref.dtype)
+    g_ea = _mxu(w1e_ref[:], g_h1, transpose_a=True)
+    if relu_edge:
+        g_ea = g_ea * (ea_raw > 0)
+    gea_ref[:] = g_ea.astype(gea_ref.dtype)
 
     @pl.when(_first_visit(bs_ref, b))
     def _():
@@ -166,7 +176,7 @@ def _bwd_kernel_t(
 
     gw1d_ref[:] += _mxu(g_h1, gdst.astype(dtype), transpose_b=True)
     gw1s_ref[:] += _mxu(g_h1, gsrc.astype(dtype), transpose_b=True)
-    gw1e_ref[:] += _mxu(g_h1, ea_ref[:], transpose_b=True)
+    gw1e_ref[:] += _mxu(g_h1, ea, transpose_b=True)
     gb1_ref[:] += jnp.sum(g_h1.astype(jnp.float32), axis=1, keepdims=True)
     gw2_ref[:] += _mxu(g_h2, h1, transpose_b=True)
     gb2_ref[:] += jnp.sum(g_h2.astype(jnp.float32), axis=1, keepdims=True)
@@ -275,14 +285,17 @@ def fused_relational_flat_t(
 
 
 def _fwd_core_t(window, block_e, interpret, cd, out_dtype,
-                d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab):
+                d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab,
+                relu_edge=False):
     """Run the forward kernel; returns raw transposed outputs
     (eout^T [Fo8, E_pad], agg^T [Fo8, S*W])."""
     n_blocks = d["e_pad"] // block_e
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
     inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
-    kernel = functools.partial(_fwd_kernel_t, w=window, dtype=cd)
+    kernel = functools.partial(
+        _fwd_kernel_t, w=window, dtype=cd, relu_edge=relu_edge
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -327,7 +340,7 @@ def _fwd_impl_t(window, block_e, compute_dtype, interpret,
 
 def _bwd_core_t(window, block_e, interpret, cd,
                 d, xt, eat, wl, shapes, srcloc, dstloc, inwin, block_slab,
-                geout_t, gagg_t):
+                geout_t, gagg_t, relu_edge=False):
     """Run the backward kernel on raw transposed cotangents; returns the
     raw output tuple (g_ea^T, g_x parts, weight grads)."""
     n_blocks = d["e_pad"] // block_e
@@ -335,7 +348,9 @@ def _bwd_core_t(window, block_e, interpret, cd,
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
     inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
-    kernel = functools.partial(_bwd_kernel_t, w=window, dtype=cd)
+    kernel = functools.partial(
+        _bwd_kernel_t, w=window, dtype=cd, relu_edge=relu_edge
+    )
     const2 = lambda b, bs: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -454,3 +469,112 @@ def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
 
 
 fused_relational_flat_t.defvjp(_fwd_impl_t, _bwd_impl_t)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-IO layer op: the cross-layer-stack building block.
+#
+# ``fused_relational_flat_t`` accepts and returns *natural* ``[E, F]`` edge
+# arrays, so a stack of L layers pays ~5 full-edge-stream relayout passes per
+# layer boundary (fwd detranspose, next-layer retranspose, and the backward's
+# re-prep + cotangent transposes). This op keeps the edge stream TRANSPOSED
+# across the whole stack: it takes ``eat [Fe8, E_pad]`` (sublane-padded rows,
+# padding zero) and returns ``eout_t [Fo8, E_pad]`` — the next layer consumes
+# the previous layer's output verbatim, and the backward chain flows entirely
+# in transposed layout (the kernel already produces ``g_ea^T`` natively).
+# ``relu_edge=True`` applies the inter-layer relu to the edge input INSIDE
+# the kernel (recomputed in the backward from the saved pre-activation), so
+# the activation between stack layers costs zero HBM passes.
+#
+# The node side (x in, agg out) stays natural: it is ~8x smaller than the
+# edge stream and feeds the XLA object-model MLP directly.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_relational_layer_tt(
+    window: int,
+    block_e: int,
+    compute_dtype,
+    interpret: bool | None,
+    relu_edge: bool,
+    x: jax.Array,
+    eat: jax.Array,
+    srcloc: jax.Array,
+    dstloc: jax.Array,
+    inwin: jax.Array,
+    block_slab: jax.Array,
+    weights: dict[str, jax.Array],
+) -> tuple[jax.Array, jax.Array]:
+    """One fused relational layer with transposed edge IO.
+
+    ``eat``: ``[pad8(Fe), E_pad]`` transposed edge features (padded rows must
+    be zero; a previous layer's ``eout_t`` qualifies). Returns
+    ``(eout_t [pad8(Fo), E_pad] of x.dtype — padded rows exactly zero,
+    agg [N, Fo])``. ``Fe`` is recovered from ``weights['w1e']``.
+    """
+    out, _ = _fwd_impl_tt(
+        window, block_e, compute_dtype, interpret, relu_edge,
+        x, eat, srcloc, dstloc, inwin, block_slab, weights,
+    )
+    return out
+
+
+def _prep_tt(window, block_e, x, eat, weights, cd):
+    fe = weights["w1e"].shape[0]
+    e_pad = eat.shape[1]
+    assert eat.shape[0] == _pad8(fe), (eat.shape, fe)
+    return _prep_xw(window, block_e, x, weights, cd, fe, e_pad)
+
+
+def _fwd_impl_tt(window, block_e, compute_dtype, interpret, relu_edge,
+                 x, eat, srcloc, dstloc, inwin, block_slab, weights):
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, wl, shapes = _prep_tt(window, block_e, x, eat, weights, cd)
+    eout_t, agg_t = _fwd_core_t(
+        window, block_e, interpret, cd, x.dtype,
+        d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin, block_slab,
+        relu_edge=relu_edge,
+    )
+    agg = agg_t[: d["fo"], : d["n"]].T.astype(x.dtype)
+    return (
+        (eout_t, agg),
+        (x, eat, srcloc, dstloc, inwin, block_slab, weights),
+    )
+
+
+def _bwd_impl_tt(window, block_e, compute_dtype, interpret, relu_edge,
+                 res, cts):
+    x, eat, srcloc, dstloc, inwin, block_slab, weights = res
+    g_eout_t, g_agg = cts
+    interpret = _resolve_interpret(interpret)
+    cd = jnp.dtype(compute_dtype)
+    d, xt, wl, shapes = _prep_tt(window, block_e, x, eat, weights, cd)
+    s_slabs, w = d["s_slabs"], window
+    gagg_t = jnp.pad(
+        g_agg.astype(cd).T,
+        ((0, d["fo8"] - d["fo"]), (0, s_slabs * w - d["n"])),
+    )
+    outs = _bwd_core_t(
+        window, block_e, interpret, cd,
+        d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin, block_slab,
+        g_eout_t.astype(cd), gagg_t, relu_edge=relu_edge,
+    )
+    g_ea_t, gxd_t, gxs_parts = outs[:3]
+    n, fx = d["n"], d["fx"]
+    gx_src = _combine_gx_src(gxs_parts, d, w)
+    g_x = gxd_t[:fx, :n].T + gx_src[w : w + n, :fx]
+    g_weights = _unpack_gw(outs[3:], d, weights)
+    return (
+        g_x.astype(x.dtype),
+        g_ea_t.astype(eat.dtype),
+        None,
+        None,
+        None,
+        None,
+        g_weights,
+    )
+
+
+fused_relational_layer_tt.defvjp(_fwd_impl_tt, _bwd_impl_tt)

@@ -148,7 +148,7 @@ def _graph_flat(seed=0, n=280, e=1600):
     return apply_flat_slab_layout(g, spec, blocks_cap=flat_blocks_cap(n, e, spec))
 
 
-@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t"])
+@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t", "fused_stack_t"])
 def test_fused_flat_ec_matches_xla(impl):
     """segment_impl='fused_flat'/'fused_flat_t' == 'xla' on the flat graph."""
     g = _graph_flat()
@@ -168,7 +168,7 @@ def test_fused_flat_ec_matches_xla(impl):
     )
 
 
-@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t"])
+@pytest.mark.parametrize("impl", ["fused_flat", "fused_flat_t", "fused_stack_t"])
 def test_fused_flat_ec_gradients(impl):
     g = _graph_flat(seed=1)
     m_flat, m_xla = _model(impl), _model("xla")

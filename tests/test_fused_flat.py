@@ -193,3 +193,76 @@ def test_flat_kernel_with_blocks_cap():
     np.testing.assert_allclose(
         np.asarray(agg), np.asarray(agg_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def _pad8(f):
+    return f + (-f) % 8
+
+
+def test_layer_tt_matches_flat_t():
+    """The transposed-IO stack building block == the natural-IO op, for
+    plain and relu_edge inputs, forward and full gradients."""
+    from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+        fused_relational_layer_tt,
+    )
+
+    x, ea, meta, ws, part, _ = _setup(seed=4)
+    fe, fo = ea.shape[1], ws["w3"].shape[1]
+    ea = ea - 0.3  # make relu non-trivial
+    eat = jnp.pad(ea.T, ((0, _pad8(fe) - fe), (0, 0)))
+
+    et_ref, agg_ref = fused_relational_flat_t(
+        W, EB, "float32", None, x, ea, *meta, ws
+    )
+    et_t, agg_t = fused_relational_layer_tt(
+        W, EB, "float32", None, False, x, eat, *meta, ws
+    )
+    np.testing.assert_allclose(
+        np.asarray(et_t[:fo].T), np.asarray(et_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(agg_t), np.asarray(agg_ref), rtol=1e-5, atol=1e-5
+    )
+    # padded output rows must be exactly zero (the next layer consumes them)
+    assert np.all(np.asarray(et_t[fo:]) == 0.0)
+
+    # relu_edge: in-kernel activation == pre-activated natural input
+    et_a, agg_a = fused_relational_layer_tt(
+        W, EB, "float32", None, True, x, eat, *meta, ws
+    )
+    et_b, agg_b = fused_relational_flat_t(
+        W, EB, "float32", None, x, jnp.maximum(ea, 0), *meta, ws
+    )
+    np.testing.assert_allclose(
+        np.asarray(et_a[:fo].T), np.asarray(et_b), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(agg_a), np.asarray(agg_b), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_tt(x_, eat_, ws_):
+        et, agg = fused_relational_layer_tt(
+            W, EB, "float32", None, True, x_, eat_, *meta, ws_
+        )
+        return jnp.sum(jnp.sin(et)) + jnp.sum(jnp.cos(agg))
+
+    def loss_ref(x_, ea_, ws_):
+        et, agg = fused_relational_flat_t(
+            W, EB, "float32", None, x_, jnp.maximum(ea_, 0), *meta, ws_
+        )
+        etp = jnp.pad(et.T, ((0, _pad8(fo) - fo), (0, 0)))
+        return jnp.sum(jnp.sin(etp)) + jnp.sum(jnp.cos(agg))
+
+    g_tt = jax.grad(loss_tt, argnums=(0, 1, 2))(x, eat, ws)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ea, ws)
+    np.testing.assert_allclose(
+        np.asarray(g_tt[0]), np.asarray(g_ref[0]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_tt[1][:fe].T), np.asarray(g_ref[1]), rtol=2e-4, atol=2e-4
+    )
+    for k in ws:
+        np.testing.assert_allclose(
+            np.asarray(g_tt[2][k]), np.asarray(g_ref[2][k]),
+            rtol=2e-4, atol=2e-4, err_msg=k,
+        )

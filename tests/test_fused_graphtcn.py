@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnn_tracking_tpu.graphs import EventGraph
 from gnn_tracking_tpu.models.track_condensation_networks import (
@@ -81,8 +82,10 @@ def test_perfect_ec_graphtcn_fused_matches_xla():
         )
 
 
-def test_graphtcn_fused_flat_t_matches_xla_through_ec_cut():
-    """Same EC-cut mask-folding parity on the transposed flat kernel."""
+@pytest.mark.parametrize("impl", ["fused_flat_t", "fused_stack_t"])
+def test_graphtcn_fused_flat_t_matches_xla_through_ec_cut(impl):
+    """Same EC-cut mask-folding parity on the transposed flat kernel and
+    the cross-layer stack."""
     from gnn_tracking_tpu.ops.pallas.slab_layout import (
         apply_flat_slab_layout,
         flat_blocks_cap,
@@ -108,7 +111,7 @@ def test_graphtcn_fused_flat_t_matches_xla_through_ec_cut():
         L_ec=2, ec_threshold=0.4,
     )
     m_xla = GraphTCN(segment_impl="xla", **common)
-    m_t = GraphTCN(segment_impl="fused_flat_t", **common)
+    m_t = GraphTCN(segment_impl=impl, **common)
     params = m_xla.init(jax.random.PRNGKey(3), g)
     params_t = mlp_to_fused(params)
     out_x = m_xla.apply(params, g)
