@@ -17,7 +17,8 @@ round-1 #8): MFU of the EC step, full-GraphTCN step, batched DBSCAN scan,
 windowed full-detector kNN.
 
 Env knobs: ``BENCH_MODE`` (bf16_sorted | bf16_fused | bf16_fused_flat |
-bf16_fused_flat_t | f32 | f32_sorted | bf16 | bf16_pallas; auto races
+bf16_fused_flat_t | bf16_fused_stack_t | f32 | f32_sorted | bf16 |
+bf16_pallas; auto races
 sorted vs fused_flat vs fused_flat_t), ``BENCH_EXTRAS=0`` to skip extras,
 ``BENCH_WATCHDOG_S`` (default 1200).
 """
@@ -90,10 +91,14 @@ def bench_tpu(mode: str) -> float:
 
     dtype = jnp.float32 if mode.startswith("f32") else jnp.bfloat16
     fused = "fused" in mode
-    flat = "flat" in mode
+    flat = "flat" in mode or "stack" in mode
     sorted_edges = not fused and ("sorted" in mode or "pallas" in mode)
     segment_impl = (
-        ("fused_flat_t" if "flat_t" in mode else "fused_flat" if flat else "fused")
+        (
+            "fused_stack_t" if "stack" in mode
+            else "fused_flat_t" if "flat_t" in mode
+            else "fused_flat" if flat else "fused"
+        )
         if fused
         else ("pallas_sorted" if "pallas" in mode else "xla")
     )
@@ -501,7 +506,7 @@ def main():
     if mode == "auto":
         # race the sorted-XLA and fused-kernel EC steps, report the winner
         results = {}
-        for m in ("bf16_sorted", "bf16_fused_flat", "bf16_fused_flat_t"):
+        for m in ("bf16_sorted", "bf16_fused_flat_t", "bf16_fused_stack_t"):
             try:
                 results[m] = bench_tpu(m)
             except Exception as e:  # noqa: BLE001

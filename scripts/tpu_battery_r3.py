@@ -320,10 +320,102 @@ def exp_tbound():
         report("tbound_transpose", error=describe(ex)[:400])
 
 
+def exp_stackstep():
+    """THE decisive head-to-head: full EC train step at bench scale,
+    sorted-XLA vs per-layer fused (flat_t) vs the cross-layer stack
+    (fused_stack_t), plus fwd-only splits and a (w, eb) sweep for the
+    stack. Target (VERDICT #1): step <= 50 ms / >= 5.2 M edges/s."""
+    import optax
+
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        apply_flat_slab_layout,
+        default_spec,
+        flat_blocks_cap,
+    )
+
+    rng = np.random.default_rng(7)
+    src, dst = local_graph(rng, N, E, 128 if SMOKE else 1024)
+    base = EventGraph.from_arrays(
+        x=rng.normal(size=(N, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(E, 4)).astype(np.float32),
+        y=(rng.random(E) < 0.3).astype(np.float32),
+    )
+
+    def to_bf16(g):
+        return jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32
+            else v,
+            g,
+        )
+
+    def run(tag, impl, w, eb, sorted_edges):
+        g = base
+        if impl.startswith("fused"):
+            spec = default_spec(N, E, window=w, block_e=eb)
+            g = apply_flat_slab_layout(g, spec, blocks_cap=flat_blocks_cap(N, E, spec))
+        elif sorted_edges:
+            g = g.sort_edges_by_target()
+        g = to_bf16(g)
+        model = ECForGraphTCN(
+            interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+            hidden_dim=HDIM, L_ec=L_FULL, sorted_edges=sorted_edges,
+            segment_impl=impl, fused_window=w, fused_block=eb,
+            fused_dtype="bfloat16",
+        )
+        params = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16), model.init(jax.random.PRNGKey(0), g)
+        )
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def fwd(p, g_):
+            return binary_focal_loss(
+                inpt=model.apply(p, g_)["W"].astype(jnp.float32),
+                target=g_.y.astype(jnp.float32),
+            )
+
+        def step(p, o, g_):
+            loss, grads = jax.value_and_grad(fwd)(p, g_)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        try:
+            _timed(f"stackstep_fwd_{tag}", fwd, params, g)
+            compiled = jax.jit(step).lower(params, opt_state, g).compile()
+            fl, by = _cost(compiled)
+            state = [params, opt_state]
+
+            def once():
+                state[0], state[1], loss = compiled(state[0], state[1], g)
+                return loss
+
+            loss0 = float(sync(once()))
+            t = timeit(once, iters=ITERS)
+            report(
+                f"stackstep_step_{tag}", ms=t * 1e3, xla_bytes_gb=by / 1e9,
+                hbm_floor_ms=by / V5E_HBM_BYTES_S * 1e3,
+                edges_per_s=E / t, loss=loss0,
+            )
+        except Exception as ex:
+            report(f"stackstep_{tag}", error=describe(ex)[:400])
+
+    run("sorted", "xla", 0, 0, True)
+    run("flat_t_w1024_eb512", "fused_flat_t", 1024, 512, False)
+    cfgs = [(128, 128)] if SMOKE else [(1024, 512), (512, 512), (512, 1024), (1024, 1024)]
+    for w, eb in cfgs:
+        run(f"stack_w{w}_eb{eb}", "fused_stack_t", w, eb, False)
+
+
 EXPS = {
     "anatomy": exp_anatomy,
     "lsweep": exp_lsweep,
     "tbound": exp_tbound,
+    "stackstep": exp_stackstep,
 }
 
 
