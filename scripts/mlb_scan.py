@@ -88,7 +88,7 @@ def train_one(g, cfg, in_dim):
         model=GraphConstructionFCNN(
             in_dim=in_dim,
             hidden_dim=cfg["hidden"],
-            out_dim=8,
+            out_dim=cfg.get("out_dim", 8),
             depth=cfg["depth"],
         ),
         loss_fct=GraphConstructionHingeEmbeddingLoss(
@@ -118,6 +118,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--stage2", action="store_true")
+    ap.add_argument("--stage3", action="store_true")
     ap.add_argument("--json", type=Path, default=None)
     ap.add_argument("--workdir", type=Path, default=Path("/tmp/mlb_scan"))
     args = ap.parse_args()
@@ -163,6 +164,18 @@ def main():
             {"epochs": 2400, "schedule": "cosine"},
             {"epochs": 1200, "schedule": "cosine", "p_attr": 2.0},
             {"epochs": 1200, "schedule": "cosine", "lw_rep": 0.2},
+        ]
+    if args.stage3:
+        # round 3: 2400-epoch constant-lr matched 2400 cosine; push run
+        # length, latent width, and the hinge radius at the long-run recipe
+        base.update({"pt_thld": 0.0, "lw_rep": 0.5})
+        grid = [
+            {"epochs": 4800},
+            {"epochs": 4800, "schedule": "cosine"},
+            {"epochs": 2400, "out_dim": 16},
+            {"epochs": 4800, "out_dim": 16, "schedule": "cosine"},
+            {"epochs": 2400, "r_emb": 0.5, "schedule": "cosine"},
+            {"epochs": 2400, "lr": 4e-3, "schedule": "cosine"},
         ]
     if args.quick:
         grid = grid[:3]

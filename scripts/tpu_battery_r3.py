@@ -411,11 +411,95 @@ def exp_stackstep():
         run(f"stack_w{w}_eb{eb}", "fused_stack_t", w, eb, False)
 
 
+def exp_ivfglue():
+    """VERDICT #2 groundwork: attribute the ~400 ms of unexplained 'glue'
+    in the 262k exact kNN (battery #20 accounted ~350-450 of ~850 ms).
+    (a) cumulative e2e toggles; (b) isolated micros of every glue piece
+    #20 did not time (nbr top_k over the [C, C] centroid table, cell-radius
+    segment max, bucket order/rank build, spill/resid nonzero scans,
+    slot-map scatter-back, per-pass merged top_k)."""
+    from gnn_tracking_tpu.ops.ivf_knn import _assign_blocks, _pdist2, ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    d = 8
+    centers = rng.normal(size=(n // 64, d)).astype(np.float32)
+    who = rng.integers(0, n // 64, size=n)
+    x = jnp.asarray(centers[who] + 0.05 * rng.normal(size=(n, d)).astype(np.float32))
+    iters = 2 if SMOKE else 5
+    k = 8
+
+    variants = [
+        ("full", {}),
+        ("nofb", {"fallback": False}),
+        ("nocert", {"fallback": False, "certify": False}),
+        ("nospill", {"fallback": False, "certify": False, "spill_passes": False}),
+        ("nospill_cand96", {
+            "fallback": False, "certify": False, "spill_passes": False,
+            "cand_cap": 96,
+        }),
+        ("probe16", {"fallback": False, "certify": False, "n_probe": 16}),
+    ]
+    for name, kwv in variants:
+        try:
+            _, _, unc = sync(ivf_knn(x, k=k, **kwv))
+            t = timeit(lambda kwv=kwv: ivf_knn(x, k=k, **kwv)[0], iters=iters)
+            report(f"ivfglue_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivfglue_{name}", error=describe(ex)[:300])
+
+    # ---- isolated glue micros at the ivf_knn-internal shapes ----
+    n_cells = max(8, min(8192, n // 32))
+    cell_cap = max(8, (3 * n) // n_cells)
+    kw = k + 8
+    extra_cap = min(8192, n)
+    cents = jnp.asarray(rng.normal(size=(n_cells, d)).astype(np.float32))
+    assign = jnp.asarray(rng.integers(0, n_cells, size=n).astype(np.int32))
+    flags = jnp.asarray(rng.random(n) < 0.01)
+    dkw = jnp.asarray(rng.random((n, kw)).astype(np.float32))
+    ikw = jnp.asarray(rng.integers(0, n, size=(n, kw)).astype(np.int32))
+    # every operand rides as a jit ARGUMENT (captured constants get
+    # constant-folded at compile time and time as no-ops)
+    micros = [
+        ("nbr_topk_CC", lambda c: jax.lax.top_k(-_pdist2(c, c), 8)[1],
+         (cents,)),
+        ("rad_segmax", lambda xx, a, c: jax.ops.segment_max(
+            jnp.sqrt(jnp.sum((xx - c[a]) ** 2, axis=1)),
+            a, num_segments=n_cells), (x, assign, cents)),
+        ("order_argsort", lambda a: jnp.argsort(a), (assign,)),
+        ("rank_searchsorted", lambda a: jnp.searchsorted(
+            jnp.sort(a), jnp.arange(n_cells, dtype=jnp.int32)), (assign,)),
+        ("nonzero_scan_x2", lambda f: (
+            jnp.nonzero(f, size=extra_cap, fill_value=0)[0],
+            jnp.nonzero(~f, size=extra_cap, fill_value=0)[0]), (flags,)),
+        ("slotmap_scatter_gather", lambda dk, ik: jnp.take(
+            dk,
+            jnp.minimum(
+                jnp.full((n,), n, jnp.int32).at[ik[:, 0]].set(
+                    jnp.arange(n, dtype=jnp.int32), mode="drop"),
+                n - 1),
+            axis=0), (dkw, ikw)),
+        ("merge_topk_2kw", lambda dk: jax.lax.top_k(
+            -jnp.concatenate([dk, dk], axis=1), kw), (dkw,)),
+        ("final_assign", lambda xx, c: _assign_blocks(xx, c, 4096)[0],
+         (x, cents)),
+    ]
+    for name, fn, args in micros:
+        try:
+            jfn = jax.jit(fn)
+            sync(jfn(*args))
+            t = timeit(lambda: jfn(*args), iters=iters)
+            report(f"ivfglue_micro_{name}", ms=t * 1e3)
+        except Exception as ex:
+            report(f"ivfglue_micro_{name}", error=describe(ex)[:300])
+
+
 EXPS = {
     "anatomy": exp_anatomy,
     "lsweep": exp_lsweep,
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,
+    "ivfglue": exp_ivfglue,
 }
 
 
