@@ -155,7 +155,7 @@ def _bwd_kernel_t(
     g_gsrc = _mxu(w1s_ref[:], g_h1, transpose_a=True).astype(dtype)
     g_ea = _mxu(w1e_ref[:], g_h1, transpose_a=True)
     if relu_edge:
-        g_ea = g_ea * (ea_raw > 0)
+        g_ea = jnp.where(ea_raw > 0, g_ea, 0.0)
     gea_ref[:] = g_ea.astype(gea_ref.dtype)
 
     @pl.when(_first_visit(bs_ref, b))

@@ -384,31 +384,80 @@ def exp_stackstep():
             updates, o = tx.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
+        _timed(f"stackstep_fwd_{tag}", fwd, params, g)
+        compiled = jax.jit(step).lower(params, opt_state, g).compile()
+        fl, by = _cost(compiled)
+        state = [params, opt_state]
+
+        def once():
+            state[0], state[1], loss = compiled(state[0], state[1], g)
+            return loss
+
+        loss0 = float(sync(once()))
+        t = timeit(once, iters=ITERS)
+        report(
+            f"stackstep_step_{tag}", ms=t * 1e3, xla_bytes_gb=by / 1e9,
+            hbm_floor_ms=by / V5E_HBM_BYTES_S * 1e3,
+            edges_per_s=E / t, loss=loss0,
+        )
+
+    # graph locality is 1024 -> slab windows below 1024 overflow the
+    # flat layout's overflow_cap (first hardware run: SlabLayoutError)
+    cfgs = [("sorted", "xla", 0, 0, True)]
+    if not SMOKE:
+        cfgs += [("flat_t_w1024_eb512", "fused_flat_t", 1024, 512, False)]
+    cfgs += (
+        [("stack_w128_eb128", "fused_stack_t", 128, 128, False)]
+        if SMOKE
+        else [
+            ("stack_w1024_eb512", "fused_stack_t", 1024, 512, False),
+            ("stack_w1024_eb1024", "fused_stack_t", 1024, 1024, False),
+        ]
+    )
+    for tag, impl, w, eb, sorted_edges in cfgs:
         try:
-            _timed(f"stackstep_fwd_{tag}", fwd, params, g)
-            compiled = jax.jit(step).lower(params, opt_state, g).compile()
-            fl, by = _cost(compiled)
-            state = [params, opt_state]
-
-            def once():
-                state[0], state[1], loss = compiled(state[0], state[1], g)
-                return loss
-
-            loss0 = float(sync(once()))
-            t = timeit(once, iters=ITERS)
-            report(
-                f"stackstep_step_{tag}", ms=t * 1e3, xla_bytes_gb=by / 1e9,
-                hbm_floor_ms=by / V5E_HBM_BYTES_S * 1e3,
-                edges_per_s=E / t, loss=loss0,
-            )
+            run(tag, impl, w, eb, sorted_edges)
         except Exception as ex:
             report(f"stackstep_{tag}", error=describe(ex)[:400])
 
-    run("sorted", "xla", 0, 0, True)
-    run("flat_t_w1024_eb512", "fused_flat_t", 1024, 512, False)
-    cfgs = [(128, 128)] if SMOKE else [(1024, 512), (512, 512), (512, 1024), (1024, 1024)]
-    for w, eb in cfgs:
-        run(f"stack_w{w}_eb{eb}", "fused_stack_t", w, eb, False)
+
+def exp_stackfix():
+    """Isolate the stack-bwd remote-compile HTTP 500 (first hardware run):
+    compile+time the tt op's fwd+bwd alone at bench scale with
+    relu_edge False/True, bf16 and f32."""
+    from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
+        fused_relational_layer_tt,
+    )
+
+    rng = np.random.default_rng(12)
+    fx = fe = IDIM
+    h, fo = HDIM, IDIM
+    w2, eb2 = (128, 128) if SMOKE else (1024, 512)
+    x2, ea2, m2, st2 = build_flat_layout(rng, N, E, w2, eb2, fx, fe)
+    ws2 = make_weights(rng, fx, fe, h, fo)
+    fe8 = fe + (-fe) % 8
+    eat = jnp.pad(ea2.T, ((0, fe8 - fe), (0, 0)))
+
+    for cd in ("bfloat16",):
+        for relu in (False, True):
+            tag = f"relu{int(relu)}_{cd}"
+            try:
+                def fb(x_, eat_, ws_, relu=relu, cd=cd):
+                    def lf(x__, eat__, ws__):
+                        et, agg = fused_relational_layer_tt(
+                            w2, eb2, cd, None, relu, x__, eat__,
+                            m2["sl"], m2["dl"], m2["inw"], m2["bs"], ws__,
+                        )
+                        return (
+                            jnp.sum(et.astype(jnp.float32))
+                            + jnp.sum(agg.astype(jnp.float32))
+                        )
+
+                    return jax.grad(lf, argnums=(0, 1, 2))(x_, eat_, ws_)[0]
+
+                t = _timed(f"stackfix_fb_{tag}", fb, x2, eat, ws2)
+            except Exception as ex:
+                report(f"stackfix_{tag}", error=describe(ex)[:400])
 
 
 def exp_ivfglue():
@@ -499,6 +548,7 @@ EXPS = {
     "lsweep": exp_lsweep,
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,
+    "stackfix": exp_stackfix,
     "ivfglue": exp_ivfglue,
 }
 
