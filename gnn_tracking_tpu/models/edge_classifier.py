@@ -39,6 +39,8 @@ class ECForGraphTCN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: fused_stack_t: save activations in fwd, skip backward recompute
+    fused_save_acts: bool = True
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
     #: rematerialize interaction layers in the backward pass (memory saver)
@@ -90,6 +92,7 @@ class ECForGraphTCN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            fused_save_acts=self.fused_save_acts,
             remat=self.remat,
             halo_edge_split=self.halo_edge_split,
             name="ec_resin",

@@ -68,6 +68,10 @@ class InteractionNetwork(nn.Module):
     fused_block: int = 512
     #: kernel compute dtype for segment_impl="fused"
     fused_dtype: str = "bfloat16"
+    #: fused_stack_t only: save gathered operands + hidden activations in
+    #: the forward kernel so the backward skips the recompute (identical
+    #: gradients; ~40% fewer backward MXU passes for ~0.5 ms of HBM)
+    fused_save_acts: bool = True
     #: compute the relational MLP's first linear as three split matmuls —
     #: the node-side projections run at NODE level ([N,F]@[F,H] instead of
     #: [E,2F]@[2F,H]) and are gathered per edge, skipping the [E, 3F] concat.
@@ -326,7 +330,7 @@ class InteractionNetwork(nn.Module):
         if stack:
             e_tilde, agg = fused_relational_layer_tt(
                 self.fused_window, self.fused_block, self.fused_dtype, None,
-                relu_edge,
+                relu_edge, self.fused_save_acts,
                 x, edge_attr, extras["slab_srcloc"], extras["slab_dstloc"],
                 inwin, extras["slab_block_slab"], weights,
             )

@@ -131,6 +131,8 @@ class ResIN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
+    #: fused_stack_t: save activations in fwd, skip backward recompute
+    fused_save_acts: bool = True
     #: static boundary from ``partition_event(halo_edges_last=True)``
     #: (``ShardedGraph.e_split``): under an exchange hook, edges before it
     #: provably never read halo rows, so each layer computes their messages
@@ -167,6 +169,7 @@ class ResIN(nn.Module):
             fused_window=self.fused_window,
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
+            fused_save_acts=self.fused_save_acts,
             name=f"layer_{i}",
         )
 

@@ -471,6 +471,247 @@ def _bwd_impl_t(window, block_e, compute_dtype, interpret, res, cts):
 fused_relational_flat_t.defvjp(_fwd_impl_t, _bwd_impl_t)
 
 
+def _fwd_kernel_save_t(
+    bs_ref,
+    ea_ref, sl_ref, dl_ref, inw_ref,
+    x0_ref, x1_ref, x2_ref,
+    w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    eout_ref, agg_ref, gdst_ref, gsrc_ref, h1_ref, h2_ref,
+    *, w: int, dtype, relu_edge: bool = False,
+):
+    """Forward kernel that additionally SAVES the gathered endpoint
+    features and hidden activations (battery #12 'ecdiet': storing [E, H]
+    activations beats recomputing them in the backward on this workload —
+    the gather one-hot matmuls + MLP recompute are ~40% of the backward
+    kernel's MXU passes, while the saved streams cost ~0.5 ms of HBM)."""
+    eb = ea_ref.shape[1]
+    b = pl.program_id(0)
+    sl = _tile_row(sl_ref, b)
+    dl = _tile_row(dl_ref, b)
+    inw = _tile_row(inw_ref, b).astype(jnp.float32)
+
+    ea = ea_ref[:]
+    if relu_edge:
+        ea = jnp.maximum(ea, 0)
+    gsrc = _gather3_t(sl, x0_ref[:], x1_ref[:], x2_ref[:], w, eb, dtype)
+    oh_dl = _onehot_t(dl, w, eb, dtype)
+    gdst = _mxu(x1_ref[:], oh_dl)
+    ws = (
+        w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+    )
+    h1, h2, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
+    gdst_ref[:] = gdst.astype(gdst_ref.dtype)
+    gsrc_ref[:] = gsrc.astype(gsrc_ref.dtype)
+    h1_ref[:] = h1.astype(h1_ref.dtype)
+    h2_ref[:] = h2.astype(h2_ref.dtype)
+    et = et * inw
+    eout_ref[:] = et.astype(eout_ref.dtype)
+
+    @pl.when(_first_visit(bs_ref, b))
+    def _():
+        agg_ref[:] = jnp.zeros_like(agg_ref)
+
+    agg_ref[:] += _mxu(et.astype(dtype), oh_dl, transpose_b=True)
+
+
+def _bwd_kernel_saved_t(
+    bs_ref,
+    ea_ref, sl_ref, dl_ref, inw_ref,
+    gdst_ref2, gsrc_ref2, h1_ref2, h2_ref2,
+    w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    geout_ref, gagg_ref,
+    gea_ref, gxd_ref, gxs_ref,
+    gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
+    *, w: int, dtype, relu_edge: bool = False,
+):
+    """Backward using the saved activations: no gathers, no MLP recompute.
+    Relu masks come from the saved post-activation signs (h > 0 iff the
+    pre-activation was > 0, the same measure-zero convention as the
+    recompute path)."""
+    eb = ea_ref.shape[1]
+    b = pl.program_id(0)
+    sl = _tile_row(sl_ref, b)
+    dl = _tile_row(dl_ref, b)
+    inw = _tile_row(inw_ref, b).astype(jnp.float32)
+
+    ea_raw = ea_ref[:]
+    ea = jnp.maximum(ea_raw, 0) if relu_edge else ea_raw
+    gdst = gdst_ref2[:]
+    gsrc = gsrc_ref2[:]
+    h1 = h1_ref2[:]
+    h2 = h2_ref2[:]
+    m1 = h1 > 0
+    m2 = h2 > 0
+    oh_dl = _onehot_t(dl, w, eb, dtype)
+
+    g_et = geout_ref[:].astype(jnp.float32)
+    g_et += _mxu(gagg_ref[:].astype(dtype), oh_dl)
+    g_et = (g_et * inw).astype(dtype)
+
+    g_h2 = (_mxu(w3_ref[:], g_et, transpose_a=True) * m2).astype(dtype)
+    g_h1 = (_mxu(w2_ref[:], g_h2, transpose_a=True) * m1).astype(dtype)
+    g_gdst = _mxu(w1d_ref[:], g_h1, transpose_a=True).astype(dtype)
+    g_gsrc = _mxu(w1s_ref[:], g_h1, transpose_a=True).astype(dtype)
+    g_ea = _mxu(w1e_ref[:], g_h1, transpose_a=True)
+    if relu_edge:
+        g_ea = jnp.where(ea_raw > 0, g_ea, 0.0)
+    gea_ref[:] = g_ea.astype(gea_ref.dtype)
+
+    @pl.when(_first_visit(bs_ref, b))
+    def _():
+        gxd_ref[:] = jnp.zeros_like(gxd_ref)
+        gxs_ref[:] = jnp.zeros_like(gxs_ref)
+
+    gxd_ref[:] += _mxu(g_gdst, oh_dl, transpose_b=True)
+    for i in range(3):
+        oh_s = _onehot_t(sl - i * w, w, eb, dtype)
+        gxs_ref[0, :, pl.ds(i * w, w)] += _mxu(g_gsrc, oh_s, transpose_b=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in (gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref,
+                  gw3_ref, gb3_ref):
+            r[:] = jnp.zeros_like(r)
+
+    gw1d_ref[:] += _mxu(g_h1, gdst.astype(dtype), transpose_b=True)
+    gw1s_ref[:] += _mxu(g_h1, gsrc.astype(dtype), transpose_b=True)
+    gw1e_ref[:] += _mxu(g_h1, ea, transpose_b=True)
+    gb1_ref[:] += jnp.sum(g_h1.astype(jnp.float32), axis=1, keepdims=True)
+    gw2_ref[:] += _mxu(g_h2, h1.astype(dtype), transpose_b=True)
+    gb2_ref[:] += jnp.sum(g_h2.astype(jnp.float32), axis=1, keepdims=True)
+    gw3_ref[:] += _mxu(g_et, h2.astype(dtype), transpose_b=True)
+    gb3_ref[:] += jnp.sum(g_et.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _fwd_core_save_t(window, block_e, interpret, cd, out_dtype,
+                     d, xt, eat, wl, shapes, srcloc, dstloc, inwin,
+                     block_slab, relu_edge=False):
+    """Forward kernel with saved activations; returns
+    (eout_t, agg_t, gdst_t, gsrc_t, h1_t, h2_t)."""
+    n_blocks = d["e_pad"] // block_e
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
+    kernel = functools.partial(
+        _fwd_kernel_save_t, w=window, dtype=cd, relu_edge=relu_edge
+    )
+    edge_out = lambda rows: pl.BlockSpec((rows, block_e), lambda b, bs: (0, b))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=_common_specs_t(window, d["fe8"], d["fx8"], block_e, shapes),
+        out_specs=[
+            edge_out(d["fo8"]),
+            pl.BlockSpec((d["fo8"], window), lambda b, bs: (0, bs[b])),
+            edge_out(d["fx8"]),
+            edge_out(d["fx8"]),
+            edge_out(d["h8"]),
+            edge_out(d["h8"]),
+        ],
+    )
+    ep = d["e_pad"]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d["fo8"], ep), out_dtype),
+            jax.ShapeDtypeStruct((d["fo8"], d["s_slabs"] * window), jnp.float32),
+            jax.ShapeDtypeStruct((d["fx8"], ep), cd),
+            jax.ShapeDtypeStruct((d["fx8"], ep), cd),
+            jax.ShapeDtypeStruct((d["h8"], ep), cd),
+            jax.ShapeDtypeStruct((d["h8"], ep), cd),
+        ],
+        interpret=interpret,
+    )(
+        block_slab.astype(jnp.int32),
+        eat, sl2, dl2, inw2, xt, xt, xt,
+        wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
+        wl["w2"], wl["b2"], wl["w3"], wl["b3"],
+    )
+
+
+def _bwd_core_saved_t(window, block_e, interpret, cd,
+                      d, eat, acts, wl, shapes, srcloc, dstloc, inwin,
+                      block_slab, geout_t, gagg_t, relu_edge=False):
+    """Backward from saved activations (no x-window streams)."""
+    n_blocks = d["e_pad"] // block_e
+    s_slabs, w = d["s_slabs"], window
+    sl2 = _rows8(srcloc.reshape(-1, block_e))
+    dl2 = _rows8(dstloc.reshape(-1, block_e))
+    inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
+    gdst_t, gsrc_t, h1_t, h2_t = acts
+    kernel = functools.partial(
+        _bwd_kernel_saved_t, w=window, dtype=cd, relu_edge=relu_edge
+    )
+    const2 = lambda b, bs: (0, 0)
+    edge_in = lambda rows: pl.BlockSpec((rows, block_e), lambda b, bs: (0, b))
+    idx_tile = lambda b, bs: (b // 8, 0)
+    in_specs = [
+        pl.BlockSpec((d["fe8"], block_e), lambda b, bs: (0, b)),  # eat
+        pl.BlockSpec((8, block_e), idx_tile),  # srcloc
+        pl.BlockSpec((8, block_e), idx_tile),  # dstloc
+        pl.BlockSpec((8, block_e), idx_tile),  # inwin
+        edge_in(d["fx8"]),  # gdst
+        edge_in(d["fx8"]),  # gsrc
+        edge_in(d["h8"]),  # h1
+        edge_in(d["h8"]),  # h2
+        pl.BlockSpec(shapes["w1d"], const2),
+        pl.BlockSpec(shapes["w1s"], const2),
+        pl.BlockSpec(shapes["w1e"], const2),
+        pl.BlockSpec(shapes["b1"], const2),
+        pl.BlockSpec(shapes["w2"], const2),
+        pl.BlockSpec(shapes["b2"], const2),
+        pl.BlockSpec(shapes["w3"], const2),
+        pl.BlockSpec(shapes["b3"], const2),
+        pl.BlockSpec((d["fo8"], block_e), lambda b, bs: (0, b)),  # g_eout^T
+        pl.BlockSpec((d["fo8"], w), lambda b, bs: (0, bs[b])),  # g_agg^T
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((d["fe8"], block_e), lambda b, bs: (0, b)),
+            pl.BlockSpec((d["fx8"], w), lambda b, bs: (0, bs[b])),
+            pl.BlockSpec((1, d["fx8"], 3 * w), lambda b, bs: (bs[b], 0, 0)),
+            pl.BlockSpec(shapes["w1d"], const2),
+            pl.BlockSpec(shapes["w1s"], const2),
+            pl.BlockSpec(shapes["w1e"], const2),
+            pl.BlockSpec(shapes["b1"], const2),
+            pl.BlockSpec(shapes["w2"], const2),
+            pl.BlockSpec(shapes["b2"], const2),
+            pl.BlockSpec(shapes["w3"], const2),
+            pl.BlockSpec(shapes["b3"], const2),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d["fe8"], d["e_pad"]), jnp.float32),
+            jax.ShapeDtypeStruct((d["fx8"], s_slabs * w), jnp.float32),
+            jax.ShapeDtypeStruct((s_slabs, d["fx8"], 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1d"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1s"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w1e"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b1"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w2"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b2"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["w3"], jnp.float32),
+            jax.ShapeDtypeStruct(shapes["b3"], jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        block_slab.astype(jnp.int32),
+        eat, sl2, dl2, inw2,
+        gdst_t, gsrc_t, h1_t, h2_t,
+        wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
+        wl["w2"], wl["b2"], wl["w3"], wl["b3"],
+        geout_t, gagg_t,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transposed-IO layer op: the cross-layer-stack building block.
 #
@@ -491,13 +732,14 @@ fused_relational_flat_t.defvjp(_fwd_impl_t, _bwd_impl_t)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def fused_relational_layer_tt(
     window: int,
     block_e: int,
     compute_dtype,
     interpret: bool | None,
     relu_edge: bool,
+    save_acts: bool,
     x: jax.Array,
     eat: jax.Array,
     srcloc: jax.Array,
@@ -512,9 +754,14 @@ def fused_relational_layer_tt(
     be zero; a previous layer's ``eout_t`` qualifies). Returns
     ``(eout_t [pad8(Fo), E_pad] of x.dtype — padded rows exactly zero,
     agg [N, Fo])``. ``Fe`` is recovered from ``weights['w1e']``.
+
+    ``save_acts=True`` stores the gathered endpoint features and hidden
+    activations in the forward so the backward skips the gather one-hot
+    matmuls and MLP recompute entirely (bitwise-identical gradients — the
+    saved streams are the same post-cast values the recompute produces).
     """
     out, _ = _fwd_impl_tt(
-        window, block_e, compute_dtype, interpret, relu_edge,
+        window, block_e, compute_dtype, interpret, relu_edge, save_acts,
         x, eat, srcloc, dstloc, inwin, block_slab, weights,
     )
     return out
@@ -528,25 +775,35 @@ def _prep_tt(window, block_e, x, eat, weights, cd):
 
 
 def _fwd_impl_tt(window, block_e, compute_dtype, interpret, relu_edge,
-                 x, eat, srcloc, dstloc, inwin, block_slab, weights):
+                 save_acts, x, eat, srcloc, dstloc, inwin, block_slab,
+                 weights):
     interpret = _resolve_interpret(interpret)
     cd = jnp.dtype(compute_dtype)
     d, xt, wl, shapes = _prep_tt(window, block_e, x, eat, weights, cd)
-    eout_t, agg_t = _fwd_core_t(
-        window, block_e, interpret, cd, x.dtype,
-        d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin, block_slab,
-        relu_edge=relu_edge,
-    )
+    if save_acts:
+        eout_t, agg_t, *acts = _fwd_core_save_t(
+            window, block_e, interpret, cd, x.dtype,
+            d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin,
+            block_slab, relu_edge=relu_edge,
+        )
+        acts = tuple(acts)
+    else:
+        eout_t, agg_t = _fwd_core_t(
+            window, block_e, interpret, cd, x.dtype,
+            d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin,
+            block_slab, relu_edge=relu_edge,
+        )
+        acts = None
     agg = agg_t[: d["fo"], : d["n"]].T.astype(x.dtype)
     return (
         (eout_t, agg),
-        (x, eat, srcloc, dstloc, inwin, block_slab, weights),
+        (x, eat, srcloc, dstloc, inwin, block_slab, weights, acts),
     )
 
 
 def _bwd_impl_tt(window, block_e, compute_dtype, interpret, relu_edge,
-                 res, cts):
-    x, eat, srcloc, dstloc, inwin, block_slab, weights = res
+                 save_acts, res, cts):
+    x, eat, srcloc, dstloc, inwin, block_slab, weights, acts = res
     g_eout_t, g_agg = cts
     interpret = _resolve_interpret(interpret)
     cd = jnp.dtype(compute_dtype)
@@ -556,11 +813,18 @@ def _bwd_impl_tt(window, block_e, compute_dtype, interpret, relu_edge,
         g_agg.astype(cd).T,
         ((0, d["fo8"] - d["fo"]), (0, s_slabs * w - d["n"])),
     )
-    outs = _bwd_core_t(
-        window, block_e, interpret, cd,
-        d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin, block_slab,
-        g_eout_t.astype(cd), gagg_t, relu_edge=relu_edge,
-    )
+    if save_acts:
+        outs = _bwd_core_saved_t(
+            window, block_e, interpret, cd,
+            d, eat.astype(cd), acts, wl, shapes, srcloc, dstloc, inwin,
+            block_slab, g_eout_t.astype(cd), gagg_t, relu_edge=relu_edge,
+        )
+    else:
+        outs = _bwd_core_t(
+            window, block_e, interpret, cd,
+            d, xt, eat.astype(cd), wl, shapes, srcloc, dstloc, inwin,
+            block_slab, g_eout_t.astype(cd), gagg_t, relu_edge=relu_edge,
+        )
     g_ea_t, gxd_t, gxs_parts = outs[:3]
     n, fx = d["n"], d["fx"]
     gx_src = _combine_gx_src(gxs_parts, d, w)

@@ -440,12 +440,13 @@ def exp_stackfix():
 
     for cd in ("bfloat16",):
         for relu in (False, True):
-            tag = f"relu{int(relu)}_{cd}"
+          for save in (False, True):
+            tag = f"relu{int(relu)}_save{int(save)}_{cd}"
             try:
-                def fb(x_, eat_, ws_, relu=relu, cd=cd):
+                def fb(x_, eat_, ws_, relu=relu, cd=cd, save=save):
                     def lf(x__, eat__, ws__):
                         et, agg = fused_relational_layer_tt(
-                            w2, eb2, cd, None, relu, x__, eat__,
+                            w2, eb2, cd, None, relu, save, x__, eat__,
                             m2["sl"], m2["dl"], m2["inw"], m2["bs"], ws__,
                         )
                         return (

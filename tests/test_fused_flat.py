@@ -199,9 +199,11 @@ def _pad8(f):
     return f + (-f) % 8
 
 
-def test_layer_tt_matches_flat_t():
+@pytest.mark.parametrize("save_acts", [False, True])
+def test_layer_tt_matches_flat_t(save_acts):
     """The transposed-IO stack building block == the natural-IO op, for
-    plain and relu_edge inputs, forward and full gradients."""
+    plain and relu_edge inputs, forward and full gradients, with and
+    without saved-activation backward."""
     from gnn_tracking_tpu.ops.pallas.fused_relational_t import (
         fused_relational_layer_tt,
     )
@@ -215,7 +217,7 @@ def test_layer_tt_matches_flat_t():
         W, EB, "float32", None, x, ea, *meta, ws
     )
     et_t, agg_t = fused_relational_layer_tt(
-        W, EB, "float32", None, False, x, eat, *meta, ws
+        W, EB, "float32", None, False, save_acts, x, eat, *meta, ws
     )
     np.testing.assert_allclose(
         np.asarray(et_t[:fo].T), np.asarray(et_ref), rtol=1e-5, atol=1e-5
@@ -228,7 +230,7 @@ def test_layer_tt_matches_flat_t():
 
     # relu_edge: in-kernel activation == pre-activated natural input
     et_a, agg_a = fused_relational_layer_tt(
-        W, EB, "float32", None, True, x, eat, *meta, ws
+        W, EB, "float32", None, True, save_acts, x, eat, *meta, ws
     )
     et_b, agg_b = fused_relational_flat_t(
         W, EB, "float32", None, x, jnp.maximum(ea, 0), *meta, ws
@@ -242,7 +244,7 @@ def test_layer_tt_matches_flat_t():
 
     def loss_tt(x_, eat_, ws_):
         et, agg = fused_relational_layer_tt(
-            W, EB, "float32", None, True, x_, eat_, *meta, ws_
+            W, EB, "float32", None, True, save_acts, x_, eat_, *meta, ws_
         )
         return jnp.sum(jnp.sin(et)) + jnp.sum(jnp.cos(agg))
 
