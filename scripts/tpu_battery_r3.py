@@ -544,12 +544,118 @@ def exp_ivfglue():
             report(f"ivfglue_micro_{name}", error=describe(ex)[:300])
 
 
+def exp_tcstep():
+    """VERDICT #7: roofline decomposition of the full GraphTCN/condensation
+    train step (110 ms, 9.08 ev/s in BENCH_r02) and the rg-condensation
+    loss (717 ms at k=64, ROADMAP #5): L_hc marginals, loss-only fwd+bwd,
+    radius-graph share, and the fused-stack arm for both stacks."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG, CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.ops.knn import radius_graph
+    from gnn_tracking_tpu.training.module import TCModule
+    from gnn_tracking_tpu.ops.pallas.slab_layout import (
+        apply_flat_slab_layout, default_spec, flat_blocks_cap,
+    )
+
+    rng = np.random.default_rng(6)
+    n_parts = 2048
+    src, dst = local_graph(rng, N, E, 128 if SMOKE else 1024)
+    pid = rng.integers(0, n_parts, size=N)
+    base = EventGraph.from_arrays(
+        x=rng.normal(size=(N, 14)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        edge_attr=rng.normal(size=(E, 4)).astype(np.float32),
+        y=((pid[src] == pid[dst]) & (pid[src] > 0)).astype(np.float32),
+        particle_id=pid,
+        pt=(2 * rng.random(n_parts))[pid].astype(np.float32),
+        eta=(8 * (rng.random(n_parts) - 0.5))[pid].astype(np.float32),
+        reconstructable=np.ones(N, np.float32),
+    )
+
+    def tc_step(tag, l_hc, impl, g):
+        module = TCModule(
+            model=GraphTCN(
+                h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM,
+                L_ec=L_FULL, L_hc=l_hc,
+                sorted_edges=(impl == "xla"), segment_impl=impl,
+                fused_window=1024, fused_block=512,
+            ),
+            loss_fct=CondensationLossTiger(
+                max_n_objects=n_parts, object_block_size=256
+            ),
+            precision="bf16",
+        )
+        module.setup_params(g)
+        l0 = float(sync(module.training_step(g)["total"]))
+        t = timeit(lambda: module.training_step(g)["total"], iters=ITERS)
+        report(f"tcstep_{tag}", ms=t * 1e3, events_per_s=1.0 / t, loss=l0)
+
+    variants = [
+        ("xla_Lhc3", 3, "xla", base.sort_edges_by_target()),
+        ("xla_Lhc1", 1, "xla", base.sort_edges_by_target()),
+        ("xla_Lhc0", 0, "xla", base.sort_edges_by_target()),
+    ]
+    spec = default_spec(N, E, window=1024, block_e=512)
+    gflat = apply_flat_slab_layout(base, spec, blocks_cap=flat_blocks_cap(N, E, spec))
+    variants += [("stack_Lhc3", 3, "fused_stack_t", gflat)]
+    for tag, l_hc, impl, g in variants:
+        try:
+            tc_step(tag, l_hc, impl, g)
+        except Exception as ex:
+            report(f"tcstep_{tag}", error=describe(ex)[:400])
+
+    # loss-only fwd+bwd on a fixed latent (isolates the oc loss from the model)
+    h0 = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
+    beta0 = jnp.asarray(rng.random(N).astype(np.float32))
+    largs = dict(
+        particle_id=base.particle_id,
+        reconstructable=base.reconstructable,
+        pt=base.pt, eta=base.eta,
+    )
+
+    def loss_probe(tag, fct):
+        def f(h, b):
+            out = fct(beta=b, x=h, **largs)
+            return sum(
+                v * out.weight_dct[k] for k, v in out.loss_dct.items()
+            )
+
+        try:
+            _timed(f"tcstep_loss_{tag}_fwd", f, h0, beta0)
+            _timed(
+                f"tcstep_loss_{tag}_fb",
+                lambda h, b: jax.grad(f, argnums=(0, 1))(h, b), h0, beta0,
+            )
+        except Exception as ex:
+            report(f"tcstep_loss_{tag}", error=describe(ex)[:400])
+
+    loss_probe("tiger", CondensationLossTiger(
+        max_n_objects=n_parts, object_block_size=256))
+    for cap in (32, 64):
+        loss_probe(f"rg_k{cap}", CondensationLossRG(max_num_neighbors=cap))
+
+    # radius-graph share of the rg loss
+    for cap in (32, 64):
+        try:
+            _timed(
+                f"tcstep_rg_graph_k{cap}",
+                lambda h, cap=cap: radius_graph(
+                    h, 1.0, max_num_neighbors=cap, loop=False
+                )[0],
+                h0,
+            )
+        except Exception as ex:
+            report(f"tcstep_rg_graph_k{cap}", error=describe(ex)[:300])
+
+
 EXPS = {
     "anatomy": exp_anatomy,
     "lsweep": exp_lsweep,
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,
     "stackfix": exp_stackfix,
+    "tcstep": exp_tcstep,
     "ivfglue": exp_ivfglue,
 }
 
