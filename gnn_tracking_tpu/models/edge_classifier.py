@@ -41,6 +41,8 @@ class ECForGraphTCN(nn.Module):
     fused_dtype: str = "bfloat16"
     #: fused_stack_t: save activations in fwd, skip backward recompute
     fused_save_acts: bool = True
+    #: fused_stack_t: in-kernel inter-layer edge relu (see ResIN)
+    fused_kernel_relu: bool = False
     #: split the relational MLP's first linear into node-level projections
     split_relational: bool = False
     #: rematerialize interaction layers in the backward pass (memory saver)
@@ -93,6 +95,7 @@ class ECForGraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             fused_save_acts=self.fused_save_acts,
+            fused_kernel_relu=self.fused_kernel_relu,
             remat=self.remat,
             halo_edge_split=self.halo_edge_split,
             name="ec_resin",

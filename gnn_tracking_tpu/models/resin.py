@@ -133,6 +133,12 @@ class ResIN(nn.Module):
     fused_dtype: str = "bfloat16"
     #: fused_stack_t: save activations in fwd, skip backward recompute
     fused_save_acts: bool = True
+    #: fused_stack_t: run the inter-layer edge relu INSIDE the kernel
+    #: (zero HBM cost) instead of as an XLA elementwise pass on the
+    #: transposed stream (~0.1 ms per boundary). Off by default: the
+    #: in-kernel-relu backward crashes the axon remote-compile helper
+    #: (r3 battery stackfix); the math is identical either way.
+    fused_kernel_relu: bool = False
     #: static boundary from ``partition_event(halo_edges_last=True)``
     #: (``ShardedGraph.e_split``): under an exchange hook, edges before it
     #: provably never read halo rows, so each layer computes their messages
@@ -221,9 +227,12 @@ class ResIN(nn.Module):
             mode so it never touches HBM."""
             xi = nn.relu(x_in) if relu_in else x_in
             if stack:
+                kernel_relu = relu_in and self.fused_kernel_relu
+                if relu_in and not kernel_relu:
+                    e_in = nn.relu(e_in)  # elementwise, layout-free
                 return layer(
                     ex(xi), edge_index, e_in, edge_mask, extras,
-                    relu_edge=relu_in, **kw,
+                    relu_edge=kernel_relu, **kw,
                 )
             ei = nn.relu(e_in) if relu_in else e_in
             return layer(ex(xi), edge_index, ei, edge_mask, extras, **kw)

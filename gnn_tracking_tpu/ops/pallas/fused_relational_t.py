@@ -476,14 +476,15 @@ def _fwd_kernel_save_t(
     ea_ref, sl_ref, dl_ref, inw_ref,
     x0_ref, x1_ref, x2_ref,
     w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-    eout_ref, agg_ref, gdst_ref, gsrc_ref, h1_ref, h2_ref,
+    eout_ref, agg_ref, gdst_ref, gsrc_ref,
     *, w: int, dtype, relu_edge: bool = False,
 ):
     """Forward kernel that additionally SAVES the gathered endpoint
-    features and hidden activations (battery #12 'ecdiet': storing [E, H]
-    activations beats recomputing them in the backward on this workload —
-    the gather one-hot matmuls + MLP recompute are ~40% of the backward
-    kernel's MXU passes, while the saved streams cost ~0.5 ms of HBM)."""
+    features (two small ``[Fx8, E]`` streams). The backward then skips the
+    gather one-hot matmuls — ~64 of its ~204 MXU tile-passes — and only
+    recomputes the cheap MLP chain. (A variant that also saved h1/h2
+    crashed the axon remote-compile helper; the gathers are where the
+    recompute cost lives anyway.)"""
     eb = ea_ref.shape[1]
     b = pl.program_id(0)
     sl = _tile_row(sl_ref, b)
@@ -500,11 +501,9 @@ def _fwd_kernel_save_t(
         w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
         w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
     )
-    h1, h2, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
+    _, _, et, _, _ = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
     gdst_ref[:] = gdst.astype(gdst_ref.dtype)
     gsrc_ref[:] = gsrc.astype(gsrc_ref.dtype)
-    h1_ref[:] = h1.astype(h1_ref.dtype)
-    h2_ref[:] = h2.astype(h2_ref.dtype)
     et = et * inw
     eout_ref[:] = et.astype(eout_ref.dtype)
 
@@ -518,17 +517,15 @@ def _fwd_kernel_save_t(
 def _bwd_kernel_saved_t(
     bs_ref,
     ea_ref, sl_ref, dl_ref, inw_ref,
-    gdst_ref2, gsrc_ref2, h1_ref2, h2_ref2,
+    gdst_ref2, gsrc_ref2,
     w1d_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     geout_ref, gagg_ref,
     gea_ref, gxd_ref, gxs_ref,
     gw1d_ref, gw1s_ref, gw1e_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
     *, w: int, dtype, relu_edge: bool = False,
 ):
-    """Backward using the saved activations: no gathers, no MLP recompute.
-    Relu masks come from the saved post-activation signs (h > 0 iff the
-    pre-activation was > 0, the same measure-zero convention as the
-    recompute path)."""
+    """Backward from the saved gathered endpoints: no gather one-hot
+    matmuls; the (cheap) MLP chain is recomputed from gdst/gsrc/ea."""
     eb = ea_ref.shape[1]
     b = pl.program_id(0)
     sl = _tile_row(sl_ref, b)
@@ -537,12 +534,13 @@ def _bwd_kernel_saved_t(
 
     ea_raw = ea_ref[:]
     ea = jnp.maximum(ea_raw, 0) if relu_edge else ea_raw
-    gdst = gdst_ref2[:]
-    gsrc = gsrc_ref2[:]
-    h1 = h1_ref2[:]
-    h2 = h2_ref2[:]
-    m1 = h1 > 0
-    m2 = h2 > 0
+    gdst = gdst_ref2[:].astype(jnp.float32)
+    gsrc = gsrc_ref2[:].astype(jnp.float32)
+    ws = (
+        w1d_ref[:], w1s_ref[:], w1e_ref[:], b1_ref[:],
+        w2_ref[:], b2_ref[:], w3_ref[:], b3_ref[:],
+    )
+    h1, h2, _, m1, m2 = _mlp_fwd_t(gdst, gsrc, ea, ws, dtype)
     oh_dl = _onehot_t(dl, w, eb, dtype)
 
     g_et = geout_ref[:].astype(jnp.float32)
@@ -587,8 +585,8 @@ def _bwd_kernel_saved_t(
 def _fwd_core_save_t(window, block_e, interpret, cd, out_dtype,
                      d, xt, eat, wl, shapes, srcloc, dstloc, inwin,
                      block_slab, relu_edge=False):
-    """Forward kernel with saved activations; returns
-    (eout_t, agg_t, gdst_t, gsrc_t, h1_t, h2_t)."""
+    """Forward kernel with saved gathered endpoints; returns
+    (eout_t, agg_t, gdst_t, gsrc_t)."""
     n_blocks = d["e_pad"] // block_e
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
@@ -606,8 +604,6 @@ def _fwd_core_save_t(window, block_e, interpret, cd, out_dtype,
             pl.BlockSpec((d["fo8"], window), lambda b, bs: (0, bs[b])),
             edge_out(d["fx8"]),
             edge_out(d["fx8"]),
-            edge_out(d["h8"]),
-            edge_out(d["h8"]),
         ],
     )
     ep = d["e_pad"]
@@ -619,8 +615,6 @@ def _fwd_core_save_t(window, block_e, interpret, cd, out_dtype,
             jax.ShapeDtypeStruct((d["fo8"], d["s_slabs"] * window), jnp.float32),
             jax.ShapeDtypeStruct((d["fx8"], ep), cd),
             jax.ShapeDtypeStruct((d["fx8"], ep), cd),
-            jax.ShapeDtypeStruct((d["h8"], ep), cd),
-            jax.ShapeDtypeStruct((d["h8"], ep), cd),
         ],
         interpret=interpret,
     )(
@@ -634,13 +628,13 @@ def _fwd_core_save_t(window, block_e, interpret, cd, out_dtype,
 def _bwd_core_saved_t(window, block_e, interpret, cd,
                       d, eat, acts, wl, shapes, srcloc, dstloc, inwin,
                       block_slab, geout_t, gagg_t, relu_edge=False):
-    """Backward from saved activations (no x-window streams)."""
+    """Backward from saved gathered endpoints (no x-window streams)."""
     n_blocks = d["e_pad"] // block_e
     s_slabs, w = d["s_slabs"], window
     sl2 = _rows8(srcloc.reshape(-1, block_e))
     dl2 = _rows8(dstloc.reshape(-1, block_e))
     inw2 = _rows8(inwin.astype(jnp.float32).reshape(-1, block_e))
-    gdst_t, gsrc_t, h1_t, h2_t = acts
+    gdst_t, gsrc_t = acts
     kernel = functools.partial(
         _bwd_kernel_saved_t, w=window, dtype=cd, relu_edge=relu_edge
     )
@@ -654,8 +648,6 @@ def _bwd_core_saved_t(window, block_e, interpret, cd,
         pl.BlockSpec((8, block_e), idx_tile),  # inwin
         edge_in(d["fx8"]),  # gdst
         edge_in(d["fx8"]),  # gsrc
-        edge_in(d["h8"]),  # h1
-        edge_in(d["h8"]),  # h2
         pl.BlockSpec(shapes["w1d"], const2),
         pl.BlockSpec(shapes["w1s"], const2),
         pl.BlockSpec(shapes["w1e"], const2),
@@ -705,7 +697,7 @@ def _bwd_core_saved_t(window, block_e, interpret, cd,
     )(
         block_slab.astype(jnp.int32),
         eat, sl2, dl2, inw2,
-        gdst_t, gsrc_t, h1_t, h2_t,
+        gdst_t, gsrc_t,
         wl["w1d"], wl["w1s"], wl["w1e"], wl["b1"],
         wl["w2"], wl["b2"], wl["w3"], wl["b3"],
         geout_t, gagg_t,

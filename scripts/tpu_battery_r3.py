@@ -438,9 +438,11 @@ def exp_stackfix():
     fe8 = fe + (-fe) % 8
     eat = jnp.pad(ea2.T, ((0, fe8 - fe), (0, 0)))
 
+    # order matters: a crashed compile helper can poison subsequent
+    # compiles for a window, so probe the arm we most need (the new
+    # gdst/gsrc-only save backward) FIRST on a fresh helper
     for cd in ("bfloat16",):
-        for relu in (False, True):
-          for save in (False, True):
+        for relu, save in ((False, True), (True, False), (False, False), (True, True)):
             tag = f"relu{int(relu)}_save{int(save)}_{cd}"
             try:
                 def fb(x_, eat_, ws_, relu=relu, cd=cd, save=save):
