@@ -39,8 +39,9 @@ class ECForGraphTCN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
-    #: fused_stack_t: save activations in fwd, skip backward recompute
-    fused_save_acts: bool = True
+    #: fused_stack_t: save gathered endpoints in fwd (see ResIN); off by
+    #: default — measured slower on hardware
+    fused_save_acts: bool = False
     #: fused_stack_t: in-kernel inter-layer edge relu (see ResIN)
     fused_kernel_relu: bool = False
     #: split the relational MLP's first linear into node-level projections

@@ -68,10 +68,12 @@ class InteractionNetwork(nn.Module):
     fused_block: int = 512
     #: kernel compute dtype for segment_impl="fused"
     fused_dtype: str = "bfloat16"
-    #: fused_stack_t only: save gathered operands + hidden activations in
-    #: the forward kernel so the backward skips the recompute (identical
-    #: gradients; ~40% fewer backward MXU passes for ~0.5 ms of HBM)
-    fused_save_acts: bool = True
+    #: fused_stack_t only: save the gathered endpoint streams in the
+    #: forward kernel so the backward skips the gather recompute
+    #: (identical gradients). Measured SLOWER on hardware (r3 battery:
+    #: 15.9 vs 11.0 ms fwd+bwd — the backward is pipeline-bound, not
+    #: MXU-bound), so off by default; kept for future hardware.
+    fused_save_acts: bool = False
     #: compute the relational MLP's first linear as three split matmuls —
     #: the node-side projections run at NODE level ([N,F]@[F,H] instead of
     #: [E,2F]@[2F,H]) and are gathered per edge, skipping the [E, 3F] concat.

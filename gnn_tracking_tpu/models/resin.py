@@ -131,8 +131,10 @@ class ResIN(nn.Module):
     fused_window: int = 1024
     fused_block: int = 512
     fused_dtype: str = "bfloat16"
-    #: fused_stack_t: save activations in fwd, skip backward recompute
-    fused_save_acts: bool = True
+    #: fused_stack_t: save gathered endpoints in fwd, skip the backward
+    #: gather recompute — measured slower on hardware (see
+    #: InteractionNetwork.fused_save_acts); off by default
+    fused_save_acts: bool = False
     #: fused_stack_t: run the inter-layer edge relu INSIDE the kernel
     #: (zero HBM cost) instead of as an XLA elementwise pass on the
     #: transposed stream (~0.1 ms per boundary). Off by default: the
