@@ -264,7 +264,8 @@ def exp_tbound():
     fx = fe = IDIM
     h, fo = HDIM, IDIM
     configs = [(128, 128)] if SMOKE else [
-        (512, 512), (256, 512), (512, 1024), (256, 1024), (1024, 512),
+        (512, 512), (512, 1024), (1024, 512), (1024, 1024),
+        (512, 2048), (1024, 2048),
     ]
     for w2, eb2 in configs:
         try:
@@ -412,6 +413,7 @@ def exp_stackstep():
         else [
             ("stack_w1024_eb512", "fused_stack_t", 1024, 512, False),
             ("stack_w1024_eb1024", "fused_stack_t", 1024, 1024, False),
+            ("stack_w1024_eb2048", "fused_stack_t", 1024, 2048, False),
         ]
     )
     for tag, impl, w, eb, sorted_edges in cfgs:
