@@ -44,6 +44,39 @@ _HIGH = jax.lax.Precision.HIGHEST
 _FAR = 1e30
 
 
+def _merge_sorted_pairs(da, ia, db, ib, k_out):
+    """Merge two row-wise ASCENDING-sorted (dist, idx) lists into the
+    k_out smallest, two-pointer style (k_out unrolled steps of
+    take_along_axis + compare). Replaces ``top_k(-concat(...))`` whose
+    variadic sort costs ~89 ms at [262k, 32] on hardware (r3 battery
+    ivfglue micro) — this runs in O(N * k_out) elementwise work.
+    Stable: ties prefer the ``a`` side."""
+    n = da.shape[0]
+    ai = jnp.zeros((n, 1), jnp.int32)
+    bi = jnp.zeros((n, 1), jnp.int32)
+    out_d, out_i = [], []
+    for _ in range(k_out):
+        av = jnp.take_along_axis(da, jnp.minimum(ai, da.shape[1] - 1), axis=1)
+        bv = jnp.take_along_axis(db, jnp.minimum(bi, db.shape[1] - 1), axis=1)
+        av = jnp.where(ai >= da.shape[1], jnp.inf, av)
+        bv = jnp.where(bi >= db.shape[1], jnp.inf, bv)
+        take_a = av <= bv
+        out_d.append(jnp.where(take_a, av, bv))
+        out_i.append(
+            jnp.where(
+                take_a,
+                jnp.take_along_axis(ia, jnp.minimum(ai, ia.shape[1] - 1), axis=1),
+                jnp.take_along_axis(ib, jnp.minimum(bi, ib.shape[1] - 1), axis=1),
+            )
+        )
+        ai = ai + take_a.astype(jnp.int32)
+        bi = bi + (~take_a).astype(jnp.int32)
+    return (
+        jnp.concatenate(out_d, axis=1),
+        jnp.concatenate(out_i, axis=1),
+    )
+
+
 def _pdist2(q, c, precision=_HIGH):
     """Squared distances [Q, C] with f32/HIGHEST matmul (exactness path)."""
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
@@ -359,33 +392,57 @@ def ivf_knn(
 
     # extra-set pass (original indexing, blockwise, only if spill exists):
     # every query merges the spill points' top-k with its bucket result so
-    # candidate coverage stays complete
-    def extra_pass(carry):
-        dists, idx = carry
-        xq = jnp.pad(xf, ((0, (-n) % block_n), (0, 0)), constant_values=_FAR)
-        qi = jnp.pad(
-            jnp.arange(n, dtype=jnp.int32), (0, (-n) % block_n),
-            constant_values=-1,
-        )
+    # candidate coverage stays complete. The pass runs on a SIZE LADDER:
+    # its cost is ~linear in the static extra-set width, and the runtime
+    # residual count is usually tiny next to extra_cap (r3 battery ivfglue:
+    # the fixed-8192 pass cost ~535 ms of the 850 ms total at 262k), so a
+    # runtime cond picks the smallest rung that holds every residual.
+    def _extra_with(cap):
+        x_r = x_resid[:cap]
+        ids_r = resid_ids[:cap]
+        valid_r = resid_valid[:cap]
 
-        def one(args):
-            q, qid = args
-            de = _pdist2(q, x_resid)  # [B, extra_cap]
-            ebad = ~resid_valid[None, :]
-            if not loop:
-                ebad = ebad | (resid_ids[None, :] == qid[:, None])
-            neg_e, pos_e = jax.lax.top_k(-jnp.where(ebad, jnp.inf, de), kw)
-            return -neg_e, resid_ids[pos_e]
+        def run(carry):
+            dists, idx = carry
+            xq = jnp.pad(
+                xf, ((0, (-n) % block_n), (0, 0)), constant_values=_FAR
+            )
+            qi = jnp.pad(
+                jnp.arange(n, dtype=jnp.int32), (0, (-n) % block_n),
+                constant_values=-1,
+            )
 
-        de, ie = jax.lax.map(
-            one, (xq.reshape(-1, block_n, d), qi.reshape(-1, block_n))
-        )
-        de = de.reshape(-1, kw)[:n]
-        ie = ie.reshape(-1, kw)[:n]
-        dall = jnp.concatenate([dists, de], axis=1)
-        iall = jnp.concatenate([idx, ie], axis=1)
-        neg, pos = jax.lax.top_k(-dall, kw)
-        return -neg, jnp.take_along_axis(iall, pos, axis=1)
+            def one(args):
+                q, qid = args
+                de = _pdist2(q, x_r)  # [B, cap]
+                ebad = ~valid_r[None, :]
+                if not loop:
+                    ebad = ebad | (ids_r[None, :] == qid[:, None])
+                neg_e, pos_e = jax.lax.top_k(
+                    -jnp.where(ebad, jnp.inf, de), kw
+                )
+                return -neg_e, ids_r[pos_e]
+
+            de, ie = jax.lax.map(
+                one, (xq.reshape(-1, block_n, d), qi.reshape(-1, block_n))
+            )
+            de = de.reshape(-1, kw)[:n]
+            ie = ie.reshape(-1, kw)[:n]
+            # both lists are ascending-sorted and id-disjoint (the extra
+            # set is the residual, absent from every candidate slab) —
+            # two-pointer merge instead of an 89 ms [N, 2kw] top_k
+            return _merge_sorted_pairs(dists, idx, de, ie, kw)
+
+        return run
+
+    extra_rungs = [c for c in (256, 2048) if c < extra_cap] + [extra_cap]
+    extra_pass = _extra_with(extra_rungs[-1])
+    for c in reversed(extra_rungs[:-1]):
+        extra_pass = (
+            lambda small, big, c=c: lambda carry: jax.lax.cond(
+                n_resid <= c, small, big, carry
+            )
+        )(_extra_with(c), extra_pass)
 
     def spill_probe(carry):
         """Probe pass for the spilled queries themselves.
@@ -439,12 +496,9 @@ def ivf_knn(
         dp = dp.reshape(-1, kw)[:extra_cap]
         ip = ip.reshape(-1, kw)[:extra_cap]
         # rows at spill_ids hold only extra_pass (residual-set) results,
-        # disjoint from the candidate slabs dp scanned -> no duplicates
-        dall = jnp.concatenate([dists[spill_ids], dp], axis=1)
-        iall = jnp.concatenate([idx[spill_ids], ip], axis=1)
-        neg, pos = jax.lax.top_k(-dall, kw)
-        dm = -neg
-        im = jnp.take_along_axis(iall, pos, axis=1)
+        # disjoint from the candidate slabs dp scanned -> no duplicates;
+        # both sides sorted ascending -> two-pointer merge
+        dm, im = _merge_sorted_pairs(dists[spill_ids], idx[spill_ids], dp, ip, kw)
         keep = spill_valid[:, None]
         dists = dists.at[spill_ids].set(
             jnp.where(keep, dm, dists[spill_ids])

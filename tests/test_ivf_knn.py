@@ -212,3 +212,39 @@ def test_matches_knn_graph_convention():
     np.testing.assert_allclose(
         np.sort(np.asarray(got), 1), d_ref, rtol=1e-4, atol=1e-5
     )
+
+
+def test_merge_sorted_pairs_matches_topk():
+    """Two-pointer sorted merge == top_k over the concatenation (the op it
+    replaced on the hardware-hot path), including inf padding and ragged
+    pointer exhaustion."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gnn_tracking_tpu.ops.ivf_knn import _merge_sorted_pairs
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n, ka, kb, ko = 64, 16, 16, 16
+        da = np.sort(rng.random((n, ka)), axis=1)
+        db = np.sort(rng.random((n, kb)), axis=1)
+        # inject inf tails (missing neighbors)
+        da[rng.random((n, ka)) < 0.2] = np.inf
+        db[rng.random((n, kb)) < 0.2] = np.inf
+        da = np.sort(da, axis=1)
+        db = np.sort(db, axis=1)
+        ia = rng.integers(0, 1000, size=(n, ka))
+        ib = rng.integers(1000, 2000, size=(n, kb))
+        dm, im = _merge_sorted_pairs(
+            jnp.asarray(da), jnp.asarray(ia), jnp.asarray(db), jnp.asarray(ib), ko
+        )
+        ref_d = np.sort(np.concatenate([da, db], axis=1), axis=1)[:, :ko]
+        np.testing.assert_array_equal(np.asarray(dm), ref_d)
+        # indices: every finite merged entry's distance must match the id's
+        # source distance
+        src = np.concatenate([da, db], axis=1)
+        src_ids = np.concatenate([ia, ib], axis=1)
+        for r in range(0, n, 17):
+            for c in range(ko):
+                if np.isfinite(dm[r, c]):
+                    j = np.where(src_ids[r] == np.asarray(im)[r, c])[0]
+                    assert np.any(np.isclose(src[r, j], np.asarray(dm)[r, c]))
