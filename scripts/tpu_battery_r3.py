@@ -653,6 +653,61 @@ def exp_tcstep():
             report(f"tcstep_rg_graph_k{cap}", error=describe(ex)[:300])
 
 
+def exp_serving():
+    """VERDICT #6 validation: the overhauled bench serving pipeline
+    (pid-structured condensed latent, stage split) on hardware ahead of
+    the round-end bench run."""
+    import bench
+
+    try:
+        out = bench.extra_serving()
+        report("serving", **{k: round(float(v), 3) for k, v in out.items()})
+    except Exception as ex:
+        report("serving", error=describe(ex)[:400])
+
+
+def exp_ivfnew():
+    """Post-ladder ivf e2e re-measure (extra-pass rungs + sorted merges):
+    target <=400 ms exact at 262k clustered."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    x = jnp.asarray(
+        centers[rng.integers(0, n // 64, size=n)]
+        + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    )
+    iters = 2 if SMOKE else 8
+    for name, kwv in [("full", {}), ("nofb", {"fallback": False})]:
+        try:
+            d_, i_, unc = sync(ivf_knn(x, k=8, **kwv))
+            t = timeit(lambda kwv=kwv: ivf_knn(x, k=8, **kwv)[0], iters=iters)
+            report(f"ivfnew_{name}", ms=t * 1e3, n_uncert=int(unc))
+        except Exception as ex:
+            report(f"ivfnew_{name}", error=describe(ex)[:300])
+    # exactness spot check vs float64 host oracle on a query subset
+    try:
+        d_i, i_i, unc = sync(ivf_knn(x, k=8))
+        xs = np.asarray(x, np.float64)
+        qs = np.linspace(0, n - 1, 512).astype(int)
+        bad = 0
+        for q in qs:
+            dd = ((xs[q] - xs) ** 2).sum(1)
+            dd[q] = np.inf
+            ref = set(np.argsort(dd)[:8].tolist())
+            got = set(np.asarray(i_i[q]).tolist())
+            if ref != got:
+                # distance-spectrum comparison tolerates near-ties
+                rd = np.sort(dd[np.fromiter(ref, int)])
+                gd = np.sort(dd[np.fromiter(got, int)])
+                if not np.allclose(rd, gd, rtol=1e-4, atol=1e-7):
+                    bad += 1
+        report("ivfnew_exact", n_uncert=int(unc), bad_of_512=bad)
+    except Exception as ex:
+        report("ivfnew_exact", error=describe(ex)[:300])
+
+
 EXPS = {
     "anatomy": exp_anatomy,
     "lsweep": exp_lsweep,
@@ -660,6 +715,8 @@ EXPS = {
     "stackstep": exp_stackstep,
     "stackfix": exp_stackfix,
     "tcstep": exp_tcstep,
+    "serving": exp_serving,
+    "ivfnew": exp_ivfnew,
     "ivfglue": exp_ivfglue,
 }
 
