@@ -548,6 +548,98 @@ def exp_ivfglue():
             report(f"ivfglue_micro_{name}", error=describe(ex)[:300])
 
 
+def exp_membw():
+    """Honest achievable-bandwidth roofline (VERDICT #1 closure, arm B).
+
+    The 819 GB/s HBM figure assumes pure streaming; the EC step is
+    gather/scatter-dominated (battery #21 anatomy), and those patterns have
+    a LOWER hardware ceiling. Measure, at bench scale with the real edge
+    index distribution: (1) streaming triad, (2) sorted/unsorted row
+    gather, (3) sorted/unsorted segment-sum scatter — each as a scan of R
+    repeats inside one jit so per-call dispatch noise vanishes. The step's
+    achieved GB/s is then compared against the ceiling of its dominant
+    pattern instead of the streaming number."""
+    from gnn_tracking_tpu.ops.segment import masked_segment_sum, sorted_take
+
+    g = _bench_graph()
+    dst = g.edge_index[1]
+    rng = np.random.default_rng(7)
+    dt = jnp.bfloat16
+    R = 2 if SMOKE else 16
+    H = 128
+    x = jnp.asarray(rng.normal(size=(N, H)), dt)
+    ed = jnp.asarray(rng.normal(size=(E, H)), dt)
+    unsorted_idx = jnp.asarray(rng.integers(0, N, size=(R, E)), jnp.int32)
+    sorted_idx = jnp.sort(unsorted_idx, axis=1)
+    dst_idx = jnp.broadcast_to(dst, (R, E))
+    scales = jnp.asarray(rng.normal(size=(R, 1, 1)), dt)
+
+    def bw(tag, fn, *args, nominal_bytes):
+        compiled = jax.jit(fn).lower(*args).compile()
+        _, xla_by = _cost(compiled)
+        sync(compiled(*args))
+        t = timeit(lambda: compiled(*args), iters=ITERS)
+        report(
+            tag, ms=t * 1e3,
+            gb_s=nominal_bytes / t / 1e9,
+            xla_gb_s=xla_by / t / 1e9,
+            xla_bytes_gb=xla_by / 1e9,
+        )
+
+    # 1) streaming triad: acc = acc * c + v over [E, H] bf16, R steps
+    def triad(acc, v):
+        def body(a, c):
+            return a * c + v, None
+        return jax.lax.scan(body, acc, scales)[0]
+
+    bw("membw_stream_triad", triad, ed, ed * 0 + 1,
+       nominal_bytes=R * 3 * E * H * 2)
+
+    # 2) row gather into an [E, H] accumulator (source table 8.4 MB —
+    #    VMEM-resident for a perfect kernel, so the ceiling is write-bound)
+    def gath(acc, x_, idx):
+        def body(a, i):
+            return a + jnp.take(x_, i, axis=0), None
+        return jax.lax.scan(body, acc, idx)[0]
+
+    def gath_sorted(acc, x_, idx):
+        def body(a, i):
+            return a + sorted_take(x_, i), None
+        return jax.lax.scan(body, acc, idx)[0]
+
+    # nominal: acc read+write + gathered rows produced (E*H*2 each)
+    nb = R * 3 * E * H * 2
+    bw("membw_gather_unsorted", gath, jnp.zeros_like(ed), x, unsorted_idx,
+       nominal_bytes=nb)
+    bw("membw_gather_sorted", gath, jnp.zeros_like(ed), x, sorted_idx,
+       nominal_bytes=nb)
+    bw("membw_gather_sorted_hint", gath_sorted, jnp.zeros_like(ed), x,
+       sorted_idx, nominal_bytes=nb)
+
+    # 3) segment-sum scatter: [E, H] edges -> [N, H] nodes, R steps
+    def scat(acc, e_, idx, hint):
+        def body(a, i):
+            return a + masked_segment_sum(
+                e_, i, N, None, indices_are_sorted=hint
+            ), None
+        return jax.lax.scan(body, acc, idx)[0]
+
+    accn = jnp.zeros((N, H), dt)
+    # nominal: edge reads dominate (E*H*2) + acc read/write (N*H*2*2)
+    nbs = R * (E * H * 2 + 2 * N * H * 2)
+    bw("membw_scatter_sorted",
+       lambda a, e_, i: scat(a, e_, i, True), accn, ed, dst_idx,
+       nominal_bytes=nbs)
+    bw("membw_scatter_unsorted",
+       lambda a, e_, i: scat(a, e_, i, False), accn, ed, unsorted_idx,
+       nominal_bytes=nbs)
+
+    # 4) control: the same gather at f32 (is the ceiling dtype-limited?)
+    bw("membw_gather_sorted_f32",
+       gath, jnp.zeros((E, H), jnp.float32), x.astype(jnp.float32),
+       sorted_idx, nominal_bytes=2 * nb)
+
+
 def exp_tcstep():
     """VERDICT #7: roofline decomposition of the full GraphTCN/condensation
     train step (110 ms, 9.08 ev/s in BENCH_r02) and the rg-condensation
@@ -714,6 +806,7 @@ EXPS = {
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,
     "stackfix": exp_stackfix,
+    "membw": exp_membw,
     "tcstep": exp_tcstep,
     "serving": exp_serving,
     "ivfnew": exp_ivfnew,

@@ -130,11 +130,15 @@ def main():
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count="
+            flags += (
+                f" --xla_force_host_platform_device_count="
                 f"{args.n_data * args.n_graph}"
-            ).strip()
+            )
+        if "collective_call_terminate_timeout" not in flags:
+            # virtual devices share physical cores: a loaded machine can
+            # stagger threads past the 40 s default rendezvous kill
+            flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        os.environ["XLA_FLAGS"] = flags.strip()
 
     import jax
 

@@ -45,7 +45,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def build_data(trackml_dir: Path, workdir: Path):
+def build_data(trackml_dir: Path, workdir: Path, n_sectors: int = 1):
     from gnn_tracking_tpu.graph_construction.graph_builder import GraphBuilder
     from gnn_tracking_tpu.preprocessing.point_cloud_builder import PointCloudBuilder
     from gnn_tracking_tpu.utils.timing import timing
@@ -57,7 +57,7 @@ def build_data(trackml_dir: Path, workdir: Path):
             indir=trackml_dir,
             outdir=pc_dir,
             detector_config=trackml_dir / "detectors.csv.gz",
-            n_sectors=1,
+            n_sectors=n_sectors,
             pixel_only=True,
             add_true_edges=True,
             collect_data=False,
@@ -69,7 +69,31 @@ def build_data(trackml_dir: Path, workdir: Path):
     return pc_dir, graph_dir, stats
 
 
-def stage_ec(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
+def split_sectors(
+    src_dir: Path, workdir: Path, tag: str, holdout: int, n_sectors: int
+) -> tuple[Path, Path]:
+    """Symlink-split per-sector files into train/val dirs: the LAST
+    ``holdout`` sector indices are held out (azimuthal sectors are
+    statistically exchangeable, so any fixed split is unbiased). This is
+    the single-event analog of the reference's event-level train/val
+    directories (reference ``utils/loading.py`` TrackingDataModule)."""
+    train_dir = workdir / f"{tag}_train"
+    val_dir = workdir / f"{tag}_val"
+    for d in (train_dir, val_dir):
+        d.mkdir(parents=True, exist_ok=True)
+        for f in d.glob("*.npz"):
+            f.unlink()
+    val_sectors = set(range(n_sectors - holdout, n_sectors))
+    for f in sorted(src_dir.glob("*.npz")):
+        s = int(f.stem.rsplit("_s", 1)[1])
+        dst = (val_dir if s in val_sectors else train_dir) / f.name
+        dst.symlink_to(f.resolve())
+    return train_dir, val_dir
+
+
+def stage_ec(
+    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None
+) -> dict[str, float]:
     from gnn_tracking_tpu.losses.ec import EdgeWeightFocalLoss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
     from gnn_tracking_tpu.training.module import ECModule
@@ -78,7 +102,7 @@ def stage_ec(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
 
     dm = TrackingDataModule(
         train={"dirs": [graph_dir], "batch_size": 1},
-        val={"dirs": [graph_dir]},
+        val={"dirs": [val_dir or graph_dir]},
         padding=PaddingConfig(
             node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
         ),
@@ -103,7 +127,10 @@ def stage_ec(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
     }
 
 
-def stage_ml(pc_dir: Path, workdir: Path, epochs: int, k: int = 8) -> dict[str, float]:
+def stage_ml(
+    pc_dir: Path, workdir: Path, epochs: int, k: int = 8,
+    val_dir: Path | None = None,
+) -> dict[str, float]:
     import jax
 
     from gnn_tracking_tpu.losses.metric_learning import (
@@ -121,7 +148,7 @@ def stage_ml(pc_dir: Path, workdir: Path, epochs: int, k: int = 8) -> dict[str, 
 
     dm = TrackingDataModule(
         train={"dirs": [pc_dir], "batch_size": 1},
-        val={"dirs": [pc_dir]},
+        val={"dirs": [val_dir or pc_dir]},
         padding=PaddingConfig(
             node_bucket=1024, edge_bucket=4096, true_edge_bucket=65536
         ),
@@ -141,7 +168,9 @@ def stage_ml(pc_dir: Path, workdir: Path, epochs: int, k: int = 8) -> dict[str, 
     trainer.fit(module, dm)
 
     # learned-embedding kNN graph: efficiency/purity vs truth edges
-    g = next(iter(dm.train_dataloader()))
+    # (on the held-out sector when a val split is active)
+    loader = dm.val_dataloader() if val_dir else dm.train_dataloader()
+    g = next(iter(loader))
     out = module.forward(g)
     h = out["H"]
     ei, mask, _ = knn_graph(h, k, node_mask=g.node_mask)
@@ -170,7 +199,9 @@ def stage_ml(pc_dir: Path, workdir: Path, epochs: int, k: int = 8) -> dict[str, 
     }
 
 
-def stage_tc(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
+def stage_tc(
+    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None
+) -> dict[str, float]:
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
     from gnn_tracking_tpu.postprocessing.dbscanscanner import DBSCANHyperParamScanner
@@ -180,7 +211,7 @@ def stage_tc(graph_dir: Path, workdir: Path, epochs: int) -> dict[str, float]:
 
     dm = TrackingDataModule(
         train={"dirs": [graph_dir], "batch_size": 1},
-        val={"dirs": [graph_dir]},
+        val={"dirs": [val_dir or graph_dir]},
         padding=PaddingConfig(
             node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
         ),
@@ -244,21 +275,53 @@ def main() -> None:
         action="store_true",
         help="run on the TPU (default: force the CPU backend in-process)",
     )
+    parser.add_argument(
+        "--n-sectors", type=int, default=1,
+        help="azimuthal sectors to split the event into (>1 enables --holdout)",
+    )
+    parser.add_argument(
+        "--holdout", type=int, default=0,
+        help="number of sectors held out for validation: all reported "
+        "metrics then come from sectors the model never trained on",
+    )
     args = parser.parse_args()
+    if args.holdout and args.holdout >= args.n_sectors:
+        parser.error("--holdout must be < --n-sectors")
 
-    pc_dir, graph_dir, gstats = build_data(args.trackml_dir, args.workdir)
+    pc_dir, graph_dir, gstats = build_data(
+        args.trackml_dir, args.workdir, n_sectors=args.n_sectors
+    )
     results: dict[str, float] = {
         "graph." + k: float(v) for k, v in gstats.items() if np.isscalar(v)
     }
+    pc_val = g_val = None
+    if args.holdout:
+        pc_dir, pc_val = split_sectors(
+            pc_dir, args.workdir, "pc", args.holdout, args.n_sectors
+        )
+        graph_dir, g_val = split_sectors(
+            graph_dir, args.workdir, "graphs", args.holdout, args.n_sectors
+        )
     stages = {s.strip().upper() for s in args.stages.split(",")}
     if "A" in stages:
-        results.update(stage_ec(graph_dir, args.workdir, args.epochs_ec))
+        results.update(
+            stage_ec(graph_dir, args.workdir, args.epochs_ec, val_dir=g_val)
+        )
     if "B" in stages:
-        results.update(stage_ml(pc_dir, args.workdir, args.epochs_ml))
+        results.update(
+            stage_ml(pc_dir, args.workdir, args.epochs_ml, val_dir=pc_val)
+        )
     if "C" in stages:
-        results.update(stage_tc(graph_dir, args.workdir, args.epochs_tc))
+        results.update(
+            stage_tc(graph_dir, args.workdir, args.epochs_tc, val_dir=g_val)
+        )
 
-    print("\n=== TrackML physics loop (single bundled event, train-side) ===")
+    side = (
+        f"held-out sectors ({args.holdout}/{args.n_sectors})"
+        if args.holdout
+        else "train-side"
+    )
+    print(f"\n=== TrackML physics loop (single bundled event, {side}) ===")
     for k in sorted(results):
         print(f"  {k:<40} {results[k]:.4f}")
     if args.json:
