@@ -548,6 +548,56 @@ def exp_ivfglue():
             report(f"ivfglue_micro_{name}", error=describe(ex)[:300])
 
 
+def exp_topk():
+    """pairwise_topk (Pallas running merge) vs _hier_block_topk (per-chunk
+    XLA TopK + merge TopK) at bench scale — the rg-loss/serving hot spot
+    (round-3 battery: rg_graph 232 ms at N=32k/k=32, byte floor 0.26 ms).
+    Run with GNN_TRACKING_KNN_SMALL_IMPL=hier so the downstream rg-loss and
+    serving arms in the same process pick up the new impl."""
+    from gnn_tracking_tpu.ops.knn import _hier_block_topk
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
+
+    rng = np.random.default_rng(9)
+    n = 2048 if SMOKE else 32768
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    iters = 2 if SMOKE else 10
+    ref = {}
+    for k in (8, 32, 64, 256):
+        if k > n:
+            continue
+        try:
+            d_h, i_h = sync(_hier_block_topk(
+                x, k, node_mask=None, batch=None, loop=False
+            ))
+            t = timeit(
+                lambda k=k: _hier_block_topk(
+                    x, k, node_mask=None, batch=None, loop=False
+                )[0],
+                iters=iters,
+            )
+            report(f"topk_hier_k{k}", ms=t * 1e3)
+            ref[k] = (np.asarray(d_h), np.asarray(i_h))
+        except Exception as ex:
+            report(f"topk_hier_k{k}", error=describe(ex)[:300])
+        try:
+            d_p, i_p = sync(pairwise_topk(x, k=k, loop=False))
+            t = timeit(lambda k=k: pairwise_topk(x, k=k, loop=False)[0],
+                       iters=iters)
+            report(f"topk_pallas_k{k}", ms=t * 1e3)
+            if k in ref:
+                dh, ih = ref[k]
+                same = sum(
+                    set(a.tolist()) == set(b.tolist())
+                    for a, b in zip(np.asarray(i_p), ih)
+                )
+                report(
+                    f"topk_match_k{k}", same_rows=int(same), n=n,
+                    max_dd=float(np.max(np.abs(np.asarray(d_p) - dh))),
+                )
+        except Exception as ex:
+            report(f"topk_pallas_k{k}", error=describe(ex)[:300])
+
+
 def exp_membw():
     """Honest achievable-bandwidth roofline (VERDICT #1 closure, arm B).
 
@@ -806,6 +856,7 @@ EXPS = {
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,
     "stackfix": exp_stackfix,
+    "topk": exp_topk,
     "membw": exp_membw,
     "tcstep": exp_tcstep,
     "serving": exp_serving,

@@ -217,3 +217,66 @@ def test_take_sorted_by_matches_plain_gather_and_grad():
     g_s = jax.grad(lambda x: jnp.sum(jnp.cos(take_sorted_by(x, idx, perm, idx_sorted))))(x)
     g_p = jax.grad(lambda x: jnp.sum(jnp.cos(x[idx])))(x)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_p), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n,k,chunk", [(100, 4, 64), (300, 8, 128), (500, 40, 128), (130, 3, 256)]
+)
+def test_hier_topk_matches_blocked(n, k, chunk):
+    """_hier_block_topk (per-chunk TopK + merge TopK) must agree with the
+    reference blocked path, including when k exceeds the chunk count and
+    when n is not a chunk multiple."""
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk, _hier_block_topk
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    d_ref, i_ref = _blocked_neighbor_topk(
+        x, k, node_mask=None, batch=None, loop=False, block_size=64
+    )
+    d_h, i_h = _hier_block_topk(
+        x, k, node_mask=None, batch=None, loop=False, block_q=64, chunk=chunk
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_h), np.asarray(d_ref), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(np.asarray(i_h), np.asarray(i_ref)):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_hier_topk_masked_batched_loop():
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk, _hier_block_topk
+
+    rng = np.random.default_rng(1)
+    n = 170
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n) < 140)
+    batch = jnp.asarray((np.arange(n) % 3).astype(np.int32))
+    for loop in (False, True):
+        d_ref, i_ref = _blocked_neighbor_topk(
+            x, 5, node_mask=mask, batch=batch, loop=loop, block_size=64
+        )
+        d_h, i_h = _hier_block_topk(
+            x, 5, node_mask=mask, batch=batch, loop=loop, block_q=64, chunk=64
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_h), np.asarray(d_ref), rtol=1e-4, atol=1e-4
+        )
+        fin = np.isfinite(np.asarray(d_ref))
+        ih, ir = np.asarray(i_h), np.asarray(i_ref)
+        for r in range(n):
+            assert set(ih[r][fin[r]].tolist()) == set(ir[r][fin[r]].tolist())
+
+
+def test_hier_topk_few_valid_neighbors():
+    """Rows with fewer than k valid neighbors must pad with +inf."""
+    from gnn_tracking_tpu.ops.knn import _hier_block_topk
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+    mask = jnp.asarray(np.arange(40) < 4)
+    d_h, _ = _hier_block_topk(
+        x, 8, node_mask=mask, batch=None, loop=False, block_q=32, chunk=32
+    )
+    d0 = np.asarray(d_h)[0]
+    assert np.isfinite(d0).sum() == 3  # 4 valid minus self
+    assert np.all(np.isinf(d0[3:]))
