@@ -128,10 +128,10 @@ def stage_ec(
 
 
 def stage_ml(
-    pc_dir: Path, workdir: Path, epochs: int, k: int = 8,
+    pc_dir: Path, workdir: Path, epochs: int, ks: tuple[int, ...] = (8, 12, 16),
     val_dir: Path | None = None,
 ) -> dict[str, float]:
-    import jax
+    import optax
 
     from gnn_tracking_tpu.losses.metric_learning import (
         GraphConstructionHingeEmbeddingLoss,
@@ -155,14 +155,26 @@ def stage_ml(
     )
     g_probe = load_graph(sorted(Path(pc_dir).glob("*.npz"))[0])
     in_dim = g_probe.x.shape[1]
+    # Recipe (mlb_scan sweep, BENCH_NOTES round 3): the round-2 defaults
+    # (pt_thld=0.9, out_dim=8, 120 epochs) plateaued at eff 0.47 @ k=8.
+    # The three levers that matter, in order: (1) pt_thld=0.0 — train the
+    # attraction on ALL true edges, not just the pt>0.9 population
+    # (reference metric_learning.py trains pt-filtered; on a sparse event
+    # that starves the loss); (2) training length — epochs are the dominant
+    # lever, 120 -> 4800 takes eff@12 from 0.59 to 0.91; (3) out_dim=16 +
+    # cosine decay (+0.015). lw_repulsive=0.5 stabilizes late training.
     module = MLModule(
         model=GraphConstructionFCNN(
-            in_dim=in_dim, hidden_dim=128, out_dim=8, depth=4
+            in_dim=in_dim, hidden_dim=128, out_dim=16, depth=4
         ),
         loss_fct=GraphConstructionHingeEmbeddingLoss(
-            r_emb=1.0, max_num_neighbors=64, p_attr=1.0, p_rep=1.0
+            r_emb=1.0, max_num_neighbors=64, p_attr=1.0, p_rep=1.0,
+            lw_repulsive=0.5, pt_thld=0.0,
         ),
         lr=2e-3,
+        optimizer=optax.adam(
+            optax.cosine_decay_schedule(2e-3, decay_steps=epochs, alpha=0.01)
+        ),
     )
     trainer = Trainer(max_epochs=epochs, log_dir=workdir / "runs_ml")
     trainer.fit(module, dm)
@@ -173,11 +185,7 @@ def stage_ml(
     g = next(iter(loader))
     out = module.forward(g)
     h = out["H"]
-    ei, mask, _ = knn_graph(h, k, node_mask=g.node_mask)
-    src, dst = np.asarray(ei[0]), np.asarray(ei[1])
-    mask = np.asarray(mask)
     pid = np.asarray(g.particle_id)
-    true_pair = (pid[src] == pid[dst]) & (pid[src] > 0) & mask
     # efficiency: fraction of truth edges (by construction, segment-level
     # truth pairs) captured; purity: fraction of built edges that are true
     te = np.asarray(g.true_edge_index)
@@ -186,17 +194,28 @@ def stage_ml(
         (int(a), int(b))
         for a, b in zip(*np.sort(te[:, tem], axis=0))
     }
-    built = {
-        (int(min(a, b)), int(max(a, b)))
-        for a, b, m in zip(src, dst, mask)
-        if m
-    }
-    found = sum((p in built) for p in te_set)
-    return {
-        "ml.edge_purity": float(true_pair.sum() / max(mask.sum(), 1)),
-        "ml.true_edge_efficiency": float(found / max(len(te_set), 1)),
-        "ml.n_built_edges": float(mask.sum()),
-    }
+    results: dict[str, float] = {}
+    for k in ks:
+        ei, mask, _ = knn_graph(h, k, node_mask=g.node_mask)
+        src, dst = np.asarray(ei[0]), np.asarray(ei[1])
+        mask = np.asarray(mask)
+        true_pair = (pid[src] == pid[dst]) & (pid[src] > 0) & mask
+        built = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b, m in zip(src, dst, mask)
+            if m
+        }
+        found = sum((p in built) for p in te_set)
+        results.update({
+            f"ml.edge_purity_k{k}": float(true_pair.sum() / max(mask.sum(), 1)),
+            f"ml.true_edge_efficiency_k{k}": float(found / max(len(te_set), 1)),
+        })
+    # headline (BASELINE/VERDICT criterion): k=12
+    results["ml.true_edge_efficiency"] = results.get(
+        "ml.true_edge_efficiency_k12", float("nan")
+    )
+    results["ml.edge_purity"] = results.get("ml.edge_purity_k12", float("nan"))
+    return results
 
 
 def stage_tc(
@@ -264,7 +283,7 @@ def main() -> None:
         default=Path(__file__).parent.parent / "tests" / "test_data" / "trackml",
     )
     parser.add_argument("--epochs-ec", type=int, default=80)
-    parser.add_argument("--epochs-ml", type=int, default=120)
+    parser.add_argument("--epochs-ml", type=int, default=4800)
     parser.add_argument("--epochs-tc", type=int, default=800)
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument(
