@@ -30,12 +30,19 @@ import jax.numpy as jnp
 _BIG = jnp.inf
 
 #: in-jit small-N (<=8 MB) neighbor-selection implementation: "hier"
-#: (hierarchical XLA TopK) or "pallas" (streaming running-merge kernel).
-#: Env override for A/B batteries; see _hier_block_topk for the measured
-#: tradeoff.
+#: (hierarchical XLA TopK — measured 60x SLOWER than the Pallas kernel on
+#: v5e, battery topk 2026-08-20: XLA TopK at 4.2-6.0 s vs 76-448 ms; kept
+#: only as an A/B arm), "pallas" (streaming running-merge kernel), or
+#: "filter" (survivor-filtered kernel, ops/pallas/pairwise_topk.py).
+#: Env override for A/B batteries; read at import time — in-process flips
+#: only affect traces created afterwards.
 _SMALL_TOPK_IMPL = os.environ.get("GNN_TRACKING_KNN_SMALL_IMPL", "pallas")
-if _SMALL_TOPK_IMPL not in ("hier", "pallas"):
-    msg = f"GNN_TRACKING_KNN_SMALL_IMPL must be 'hier' or 'pallas', got {_SMALL_TOPK_IMPL!r}"
+_SMALL_TOPK_CHOICES = ("hier", "pallas", "filter")
+if _SMALL_TOPK_IMPL not in _SMALL_TOPK_CHOICES:
+    msg = (
+        "GNN_TRACKING_KNN_SMALL_IMPL must be one of "
+        f"{_SMALL_TOPK_CHOICES}, got {_SMALL_TOPK_IMPL!r}"
+    )
     raise ValueError(msg)
 
 
@@ -150,6 +157,14 @@ def _blocked_neighbor_topk(
             if _SMALL_TOPK_IMPL == "hier":
                 return _hier_block_topk(
                     xs, k, node_mask=node_mask, batch=batch, loop=loop
+                )
+            if _SMALL_TOPK_IMPL == "filter":
+                from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+                    pairwise_topk_filter,
+                )
+
+                return pairwise_topk_filter(
+                    xs, k=k, node_mask=node_mask, batch=batch, loop=loop
                 )
             from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk
 

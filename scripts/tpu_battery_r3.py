@@ -850,8 +850,115 @@ def exp_ivfnew():
         report("ivfnew_exact", error=describe(ex)[:300])
 
 
+def exp_topk2():
+    """Survivor-filtered Pallas kernel (pairwise_topk_filter) vs the k-round
+    running-merge kernel at bench scale, plus exactness cross-check. The
+    battery-#23 numbers to beat: pallas k8 76 ms / k32 240 / k64 448."""
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+        pairwise_topk,
+        pairwise_topk_filter,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 2048 if SMOKE else 32768
+    iters = 2 if SMOKE else 10
+    # random cloud AND a clustered (condensed-latent-like) cloud: the filter
+    # kernel's iteration count is data-dependent
+    clouds = {"rand": rng.normal(size=(n, 8)).astype(np.float32)}
+    centers = rng.normal(size=(n // 16, 8)).astype(np.float32) * 10
+    clouds["clust"] = (
+        centers[rng.integers(0, n // 16, size=n)]
+        + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    ).astype(np.float32)
+    for tag, xh in clouds.items():
+        x = jnp.asarray(xh)
+        for k in (8, 32, 64):
+            try:
+                d_f, i_f = sync(pairwise_topk_filter(x, k=k, loop=False))
+                t = timeit(
+                    lambda k=k: pairwise_topk_filter(x, k=k, loop=False)[0],
+                    iters=iters,
+                )
+                report(f"topk2_filter_{tag}_k{k}", ms=t * 1e3)
+                d_p, i_p = sync(pairwise_topk(x, k=k, loop=False))
+                same = sum(
+                    set(a.tolist()) == set(b.tolist())
+                    for a, b in zip(np.asarray(i_f), np.asarray(i_p))
+                )
+                report(
+                    f"topk2_match_{tag}_k{k}", same_rows=int(same), n=n,
+                    max_dd=float(
+                        np.max(
+                            np.abs(
+                                np.sort(np.asarray(d_p), axis=1)
+                                - np.asarray(d_f)
+                            )
+                        )
+                    ),
+                )
+            except Exception as ex:
+                report(f"topk2_filter_{tag}_k{k}", error=describe(ex)[:400])
+
+
+def exp_membw2():
+    """Honest gather-bandwidth measurement, take 2. Battery #23's membw used
+    a lax.scan of R gathers whose carried [E, H] accumulator forces an HBM
+    round-trip per iteration AND may serialize against the gather — the
+    measured 3.5 GB/s is the scan artifact, not the gather ceiling (in-model
+    gathers run ~10 GB/s per anatomy). Here: ONE gather per jit (output
+    donated to nothing, iters dispatches), an unrolled x4 variant, and the
+    same for segment-sum."""
+    from gnn_tracking_tpu.ops.segment import masked_segment_sum, sorted_take
+
+    g = _bench_graph()
+    dst = g.edge_index[1]
+    rng = np.random.default_rng(7)
+    H = 128
+    x = jnp.asarray(rng.normal(size=(N, H)), jnp.bfloat16)
+    ed = jnp.asarray(rng.normal(size=(E, H)), jnp.bfloat16)
+    uns = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    srt = jnp.sort(uns)
+
+    def one(tag, fn, *args, nominal_bytes):
+        compiled = jax.jit(fn).lower(*args).compile()
+        _, xla_by = _cost(compiled)
+        sync(compiled(*args))
+        t = timeit(lambda: compiled(*args), iters=ITERS)
+        report(tag, ms=t * 1e3, gb_s=nominal_bytes / t / 1e9,
+               xla_gb_s=xla_by / t / 1e9)
+
+    nb1 = E * H * 2 * 2  # rows out + acc-free: read gathered + write out
+    one("membw2_gather_unsorted", lambda i: jnp.take(x, i, axis=0), uns,
+        nominal_bytes=nb1)
+    one("membw2_gather_sorted", lambda i: jnp.take(x, i, axis=0), srt,
+        nominal_bytes=nb1)
+    one("membw2_gather_sorted_hint", lambda i: sorted_take(x, i), srt,
+        nominal_bytes=nb1)
+    one("membw2_gather_h32",
+        lambda i: jnp.take(x[:, :32], i, axis=0), srt,
+        nominal_bytes=E * 32 * 2 * 2)
+
+    def unroll4(i):
+        o = jnp.take(x, i, axis=0)
+        for s in (1, 2, 3):
+            o = o + jnp.take(x, i + s, axis=0)
+        return o
+
+    one("membw2_gather_x4", unroll4,
+        jnp.minimum(srt, N - 4), nominal_bytes=4 * E * H * 2 + E * H * 2)
+
+    one("membw2_segsum_sorted",
+        lambda e_: masked_segment_sum(e_, dst, N, None,
+                                      indices_are_sorted=True),
+        ed, nominal_bytes=E * H * 2 + N * H * 2)
+    one("membw2_copy_control", lambda e_: e_ * 2.0 + 1.0, ed,
+        nominal_bytes=2 * E * H * 2)
+
+
 EXPS = {
     "anatomy": exp_anatomy,
+    "topk2": exp_topk2,
+    "membw2": exp_membw2,
     "lsweep": exp_lsweep,
     "tbound": exp_tbound,
     "stackstep": exp_stackstep,

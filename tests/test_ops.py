@@ -280,3 +280,73 @@ def test_hier_topk_few_valid_neighbors():
     d0 = np.asarray(d_h)[0]
     assert np.isfinite(d0).sum() == 3  # 4 valid minus self
     assert np.all(np.isinf(d0[3:]))
+
+
+@pytest.mark.parametrize("n,k", [(300, 8), (513, 16)])
+def test_filter_topk_matches_blocked(n, k):
+    """pairwise_topk_filter (survivor-filtered kernel, interpret mode) must
+    agree with the reference blocked path; its distances come back sorted
+    ascending."""
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    d_ref, i_ref = _blocked_neighbor_topk(
+        x, k, node_mask=None, batch=None, loop=False, block_size=64
+    )
+    d_f, i_f = pairwise_topk_filter(
+        x, k=k, block_q=64, block_c=128, interpret=True
+    )
+    df = np.asarray(d_f)
+    assert np.all(np.diff(df, axis=1) >= 0)  # sorted ascending
+    np.testing.assert_allclose(
+        df, np.sort(np.asarray(d_ref), axis=1), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(np.asarray(i_f), np.asarray(i_ref)):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_filter_topk_masked_batched_loop():
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    rng = np.random.default_rng(4)
+    n = 170
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n) < 140)
+    batch = jnp.asarray((np.arange(n) % 3).astype(np.int32))
+    for loop in (False, True):
+        d_ref, i_ref = _blocked_neighbor_topk(
+            x, 5, node_mask=mask, batch=batch, loop=loop, block_size=64
+        )
+        d_f, i_f = pairwise_topk_filter(
+            x, k=5, node_mask=mask, batch=batch, loop=loop,
+            block_q=64, block_c=64, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_f), np.sort(np.asarray(d_ref), axis=1),
+            rtol=1e-4, atol=1e-4,
+        )
+        fin = np.isfinite(np.asarray(d_f))
+        i_f_, i_r_ = np.asarray(i_f), np.asarray(i_ref)
+        for r in range(n):
+            assert set(i_f_[r][fin[r]].tolist()) == set(
+                i_r_[r][np.isfinite(np.asarray(d_ref)[r])].tolist()
+            )
+
+
+def test_filter_topk_few_valid_neighbors():
+    """Rows with fewer than k valid neighbors must pad with +inf (and the
+    tile-0 peel must not loop forever on all-inf rows)."""
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+    mask = jnp.asarray(np.arange(40) < 4)
+    d_f, _ = pairwise_topk_filter(
+        x, k=8, node_mask=mask, block_q=32, block_c=32, interpret=True
+    )
+    d0 = np.asarray(d_f)[0]
+    assert np.isfinite(d0).sum() == 3  # 4 valid minus self
+    assert np.all(np.isinf(d0[3:]))
