@@ -249,9 +249,8 @@ def pairwise_topk_streaming(
 
 def _pairwise_topk_filter_kernel(
     x_ref,  # [N, D] all points (VMEM)
-    cbatch_ref,  # [N, 1] candidate batch ids (VMEM)
+    cbatch_ref,  # [N, 1] candidate batch ids (VMEM; -2 = masked node)
     q_ref,  # [B, D] query block (VMEM)
-    qvalid_ref,  # [B, 1] query validity (VMEM)
     qbatch_ref,  # [B, 1] query batch ids (VMEM)
     dists_ref,  # [B, k] output distances (ascending)
     idx_ref,  # [B, k] output indices
@@ -384,9 +383,11 @@ def _pairwise_topk_filter_kernel(
         return best_d, best_i
 
     best_d, best_i = jax.lax.fori_loop(1, n_blocks, tile_body, (best_d, best_i))
-    qvalid = qvalid_ref[:] > 0
-    dists_ref[:] = jnp.where(qvalid, best_d, jnp.inf)
-    idx_ref[:] = jnp.where(qvalid, best_i, 0)
+    # Masked QUERIES still report their top-k among valid candidates
+    # (matching _blocked_neighbor_topk, which zero-substitutes masked coords;
+    # knn_graph drops masked-query edges at the edge level).
+    dists_ref[:] = best_d
+    idx_ref[:] = best_i
 
 
 @functools.partial(
@@ -404,22 +405,24 @@ def pairwise_topk_filter(
     loop: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Survivor-filtered variant of :func:`pairwise_topk` (same contract;
-    distances come back sorted ascending). See
-    :func:`_pairwise_topk_filter_kernel` for the algorithm and the
+    """Survivor-filtered variant of :func:`pairwise_topk` (distances come
+    back sorted ascending). Matches ``_blocked_neighbor_topk`` exactly,
+    including for masked queries (coords zero-substituted, neighbors still
+    reported); masked CANDIDATES are excluded via a -2 sentinel batch id.
+    See :func:`_pairwise_topk_filter_kernel` for the algorithm and the
     average/worst-case tradeoff."""
     n, d = x.shape
     if node_mask is None:
         node_mask = jnp.ones((n,), dtype=bool)
     if batch is None:
         batch = jnp.zeros((n,), dtype=jnp.int32)
-    x = jnp.where(node_mask[:, None], x, jnp.inf).astype(jnp.float32)
-    x = jnp.where(jnp.isfinite(x), x, 1e30)
+    x = jnp.where(node_mask[:, None], x, 0.0).astype(jnp.float32)
 
     n_pad = -(-n // block_q) * block_q
     n_pad_c = -(-n_pad // block_c) * block_c
     x_p = jnp.pad(x, ((0, n_pad_c - n), (0, 0)), constant_values=1e30)
-    qvalid = jnp.pad(node_mask.astype(jnp.float32), (0, n_pad_c - n))[:, None]
+    cbatch = jnp.where(node_mask, batch.astype(jnp.int32), -2)
+    cbatch_p = jnp.pad(cbatch, (0, n_pad_c - n), constant_values=-1)[:, None]
     batch_p = jnp.pad(
         batch.astype(jnp.int32), (0, n_pad_c - n), constant_values=-1
     )[:, None]
@@ -440,7 +443,6 @@ def pairwise_topk_filter(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, d), lambda i: (i, 0)),
             pl.BlockSpec((block_q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block_q, 1), lambda i: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((block_q, k), lambda i: (i, 0)),
@@ -451,7 +453,7 @@ def pairwise_topk_filter(
             jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
         ],
         interpret=interpret,
-    )(x_p, batch_p, x_p[:n_pad], qvalid[:n_pad], batch_p[:n_pad])
+    )(x_p, cbatch_p, x_p[:n_pad], batch_p[:n_pad])
     return dists[:n], idx[:n]
 
 
