@@ -33,15 +33,28 @@ _BIG = jnp.inf
 #: (hierarchical XLA TopK — measured 60x SLOWER than the Pallas kernel on
 #: v5e, battery topk 2026-08-20: XLA TopK at 4.2-6.0 s vs 76-448 ms; kept
 #: only as an A/B arm), "pallas" (streaming running-merge kernel), or
-#: "filter" (survivor-filtered kernel, ops/pallas/pairwise_topk.py).
+#: "filter" (survivor-filtered kernel — battery #24: EXACT on 32768/32768
+#: rows and 1.6x/2.6x/3.2x faster than "pallas" at k=8/32/64; default).
 #: Env override for A/B batteries; read at import time — in-process flips
 #: only affect traces created afterwards.
-_SMALL_TOPK_IMPL = os.environ.get("GNN_TRACKING_KNN_SMALL_IMPL", "pallas")
+_SMALL_TOPK_IMPL = os.environ.get("GNN_TRACKING_KNN_SMALL_IMPL", "filter")
 _SMALL_TOPK_CHOICES = ("hier", "pallas", "filter")
 if _SMALL_TOPK_IMPL not in _SMALL_TOPK_CHOICES:
     msg = (
         "GNN_TRACKING_KNN_SMALL_IMPL must be one of "
         f"{_SMALL_TOPK_CHOICES}, got {_SMALL_TOPK_IMPL!r}"
+    )
+    raise ValueError(msg)
+
+#: in-jit small-N radius-graph implementation: "filter" (fixed-τ survivor
+#: filter — the threshold is the query radius, so no top-k peel is needed
+#: and only in-radius candidates are ever extracted) or "topk" (select the
+#: cap nearest, then mask by radius — the pre-round-3 path).
+_RADIUS_IMPL = os.environ.get("GNN_TRACKING_RADIUS_IMPL", "filter")
+if _RADIUS_IMPL not in ("filter", "topk"):
+    msg = (
+        "GNN_TRACKING_RADIUS_IMPL must be one of ('filter', 'topk'), "
+        f"got {_RADIUS_IMPL!r}"
     )
     raise ValueError(msg)
 
@@ -242,10 +255,20 @@ def knn_graph(
     ``dists`` are Euclidean (not squared) distances. Invalid entries (masked
     query node or fewer than k valid neighbors) are masked.
     """
-    n = x.shape[0]
     dists_sq, idx = _blocked_neighbor_topk(
         x, k, node_mask=node_mask, batch=batch, loop=loop, block_size=block_size
     )
+    return _edges_from_neighbor_topk(x, dists_sq, idx, node_mask)
+
+
+def _edges_from_neighbor_topk(
+    x: jax.Array,
+    dists_sq: jax.Array,
+    idx: jax.Array,
+    node_mask: jax.Array | None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Assemble (edge_index, mask, dists) from per-node neighbor top-k."""
+    n, k = idx.shape
     query = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
     valid = jnp.isfinite(dists_sq)
     if node_mask is not None:
@@ -392,11 +415,42 @@ def radius_graph(
     Note: where torch_cluster truncates by an arbitrary order when the cap is
     hit, we keep the *nearest* neighbors (strictly better for the losses that
     consume this).
+
+    On TPU (small-N regime, concrete ``r``) this dispatches to the fixed-τ
+    survivor-filter kernel: the extraction threshold starts at ``r²`` so
+    only in-radius candidates are ever extracted — measured far cheaper
+    than running full top-k and masking (round-3: serving radius build and
+    the rg-condensation loss are ~80-90% neighbor selection).
     """
-    k = min(max_num_neighbors, x.shape[0])
-    edge_index, mask, dists = knn_graph(
-        x, k, node_mask=node_mask, batch=batch, loop=loop, block_size=block_size
-    )
+    n = x.shape[0]
+    k = min(max_num_neighbors, n)
+    r_concrete: float | None
+    try:
+        r_concrete = float(r)
+    except TypeError:  # traced radius: τ must be trace-time static
+        r_concrete = None
+    if (
+        _RADIUS_IMPL == "filter"
+        and r_concrete is not None
+        and jax.default_backend() == "tpu"
+        and n * x.shape[1] * 4 <= 8 * 1024 * 1024
+    ):
+        from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
+            pairwise_topk_filter,
+        )
+
+        dists_sq, idx = pairwise_topk_filter(
+            jax.lax.stop_gradient(x), k=k, node_mask=node_mask, batch=batch,
+            loop=loop, radius2=r_concrete * r_concrete,
+        )
+        edge_index, mask, dists = _edges_from_neighbor_topk(
+            x, dists_sq, idx, node_mask
+        )
+    else:
+        edge_index, mask, dists = knn_graph(
+            x, k, node_mask=node_mask, batch=batch, loop=loop,
+            block_size=block_size,
+        )
     r_arr = jnp.asarray(r, dtype=dists.dtype)
     mask = mask & (dists <= r_arr)
     return edge_index, mask, dists

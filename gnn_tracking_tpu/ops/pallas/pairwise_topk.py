@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -259,6 +260,7 @@ def _pairwise_topk_filter_kernel(
     block_c: int,
     n_total: int,
     loop: bool,
+    radius2: float | None = None,
 ):
     """Survivor-filtered running top-k (round-3 battery: the k-round merge
     of ``_pairwise_topk_kernel`` pays ~6·k VPU passes over EVERY candidate
@@ -273,7 +275,17 @@ def _pairwise_topk_filter_kernel(
     worst case (points pre-sorted so every candidate improves, e.g. a
     monotone sweep toward each query) degrades to one extraction per
     candidate — callers with adversarially ordered inputs should keep the
-    flat kernel."""
+    flat kernel.
+
+    ``radius2`` mode (fixed-radius graphs, SURVEY §2.9 radius_graph /
+    rg-condensation): the threshold τ does not need to be ESTABLISHED from
+    the data — it starts at the query radius, so the tile-0 peel is skipped
+    entirely and only in-radius candidates are ever extracted (for a
+    condensed latent that is ~cap·n_within/N per tile, far below the top-k
+    record-value rate). The running set is initialized to the sentinel
+    ``nextafter(radius2)`` with index -1: a strict ``d < τ`` compare then
+    implements the INCLUSIVE ``d² <= r²`` contract of ``radius_graph``
+    exactly, and sentinel slots are mapped to (+inf, 0) on write-out."""
     b = q_ref.shape[0]
     q = q_ref[:]
     q_norm = jnp.sum(q * q, axis=1, keepdims=True)  # [B, 1]
@@ -302,31 +314,39 @@ def _pairwise_topk_filter_kernel(
         invalid = invalid | (qbatch != cand_batch)
         return jnp.where(invalid, jnp.inf, d), start
 
-    # --- tile 0 peel: k-round select builds the initial SORTED top-k ---
-    d0, start0 = tile_dists(0)
+    if radius2 is not None:
+        # Fixed-τ radius mode: no peel, sentinel-initialized running set.
+        sentinel = float(np.nextafter(np.float32(radius2), np.float32(np.inf)))
+        best_d = jnp.full((b, k), sentinel, dtype=jnp.float32)
+        best_i = jnp.full((b, k), -1, dtype=jnp.int32)
+        first_tile = 0
+    else:
+        # --- tile 0 peel: k-round select builds the initial SORTED top-k ---
+        d0, start0 = tile_dists(0)
 
-    def select0(j, carry):
-        d_c, best_d, best_i = carry
-        row_min = jnp.min(d_c, axis=1, keepdims=True)  # [B, 1]
-        first_min = jnp.min(
-            jnp.where(d_c == row_min, pos, block_c), axis=1, keepdims=True
+        def select0(j, carry):
+            d_c, best_d, best_i = carry
+            row_min = jnp.min(d_c, axis=1, keepdims=True)  # [B, 1]
+            first_min = jnp.min(
+                jnp.where(d_c == row_min, pos, block_c), axis=1, keepdims=True
+            )
+            write = out_pos == j
+            best_d = jnp.where(write, row_min, best_d)
+            best_i = jnp.where(write, start0 + first_min, best_i)
+            d_c = jnp.where(pos == first_min, jnp.inf, d_c)
+            return d_c, best_d, best_i
+
+        _, best_d, best_i = jax.lax.fori_loop(
+            0,
+            k,
+            select0,
+            (
+                d0,
+                jnp.full((b, k), jnp.inf, dtype=jnp.float32),
+                jnp.zeros((b, k), dtype=jnp.int32),
+            ),
         )
-        write = out_pos == j
-        best_d = jnp.where(write, row_min, best_d)
-        best_i = jnp.where(write, start0 + first_min, best_i)
-        d_c = jnp.where(pos == first_min, jnp.inf, d_c)
-        return d_c, best_d, best_i
-
-    _, best_d, best_i = jax.lax.fori_loop(
-        0,
-        k,
-        select0,
-        (
-            d0,
-            jnp.full((b, k), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((b, k), dtype=jnp.int32),
-        ),
-    )
+        first_tile = 1
 
     # --- remaining tiles: filter against τ, extract survivors only ---
     def tile_body(c_idx, carry):
@@ -382,7 +402,13 @@ def _pairwise_topk_filter_kernel(
         )
         return best_d, best_i
 
-    best_d, best_i = jax.lax.fori_loop(1, n_blocks, tile_body, (best_d, best_i))
+    best_d, best_i = jax.lax.fori_loop(
+        first_tile, n_blocks, tile_body, (best_d, best_i)
+    )
+    if radius2 is not None:
+        unfilled = best_i < 0
+        best_d = jnp.where(unfilled, jnp.inf, best_d)
+        best_i = jnp.where(unfilled, 0, best_i)
     # Masked QUERIES still report their top-k among valid candidates
     # (matching _blocked_neighbor_topk, which zero-substitutes masked coords;
     # knn_graph drops masked-query edges at the edge level).
@@ -392,7 +418,7 @@ def _pairwise_topk_filter_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_c", "loop", "interpret"),
+    static_argnames=("k", "block_q", "block_c", "loop", "interpret", "radius2"),
 )
 def pairwise_topk_filter(
     x: jax.Array,
@@ -404,6 +430,7 @@ def pairwise_topk_filter(
     block_c: int = 512,
     loop: bool = False,
     interpret: bool = False,
+    radius2: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Survivor-filtered variant of :func:`pairwise_topk` (distances come
     back sorted ascending). Matches ``_blocked_neighbor_topk`` exactly,
@@ -434,6 +461,7 @@ def pairwise_topk_filter(
         block_c=block_c,
         n_total=n,
         loop=loop,
+        radius2=radius2,
     )
     dists, idx = pl.pallas_call(
         kernel,

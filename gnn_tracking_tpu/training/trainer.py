@@ -146,6 +146,7 @@ class Trainer:
         monitor_mode: str = "max",
         val_every_n_epochs: int = 1,
         async_checkpoints: bool = False,
+        train_transform=None,
     ):
         """
         Args:
@@ -156,6 +157,10 @@ class Trainer:
             val_every_n_epochs: Run validation every N epochs.
             async_checkpoints: Write checkpoints in the background (epoch-end
                 saves overlap the next epoch's compute).
+            train_transform: Optional ``(batch, step) -> batch`` applied to
+                every TRAIN batch (never validation) — e.g.
+                :class:`~gnn_tracking_tpu.utils.augmentation.PhiRotation`.
+                Shape-preserving transforms only (no recompiles).
         """
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -168,6 +173,11 @@ class Trainer:
         self.monitor_mode = monitor_mode
         self.val_every_n_epochs = val_every_n_epochs
         self.async_checkpoints = async_checkpoints
+        if isinstance(train_transform, dict) and "class_path" in train_transform:
+            from gnn_tracking_tpu.training.config import obj_from_config
+
+            train_transform = obj_from_config(train_transform)
+        self.train_transform = train_transform
         self._best_monitor: float | None = None
         self._checkpointer: Checkpointer | None = None
         self._run_logger = None
@@ -227,6 +237,8 @@ class Trainer:
             n_steps = 0
             for batch in train_loader:
                 module.setup_params(batch)
+                if self.train_transform is not None:
+                    batch = self.train_transform(batch, module.step)
                 metrics = safe_step(batch)
                 if metrics is None:  # skipped OOM batch
                     continue

@@ -1,0 +1,77 @@
+"""Physics-exact data augmentation for training.
+
+Tracking is azimuthally symmetric: rotating every hit by a common angle δ
+around the beam axis produces an equally valid event, so a model trained on
+a φ wedge (one azimuthal sector) must be exposed to rotated copies to
+generalize to unseen wedges. The reference trains on many full events and
+never needs this; the single-bundled-event loop here (and any
+sector-partitioned training) does — round-3 held-out drill: the TC stage
+memorized the 3 train sectors' φ range and scored double_majority = 0 on
+the held-out sector.
+
+The rotation acts on node features only (reference feature layout
+``preprocessing/point_cloud_builder.py`` DEFAULT_FEATURES):
+* ``phi`` (col 1, stored as φ/π): shifted by δ and re-wrapped;
+* ``u``/``v`` (cols 4/5, conformal x/(x²+y²), y/(x²+y²), common scale):
+  rotated as a 2-vector;
+* ``gphi`` (col 13, global cell-direction azimuth): shifted and re-wrapped;
+* everything else (r, z, η, local-frame cell features) is invariant.
+Edge attributes are φ-DIFFERENCES (dr, dφ, dz, dR — reference
+``graph_builder.py``) and stay untouched, as do all truth arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: (column, kind) map of the φ-dependent DEFAULT_FEATURES entries
+PHI_COLUMN = 1
+UV_COLUMNS = (4, 5)
+GPHI_COLUMN = 13
+PHI_SCALE = float(np.pi)  # phi is stored as φ/π by the graph builder
+
+
+def _wrap(angle: jax.Array) -> jax.Array:
+    """Wrap to [-π, π)."""
+    return jnp.mod(angle + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+@jax.jit
+def rotate_phi(x: jax.Array, delta: jax.Array) -> jax.Array:
+    """Rotate the φ-dependent node-feature columns of ``x`` by ``delta``."""
+    n_cols = x.shape[1]
+    phi = _wrap(x[:, PHI_COLUMN] * PHI_SCALE + delta) / PHI_SCALE
+    x = x.at[:, PHI_COLUMN].set(phi.astype(x.dtype))
+    if n_cols > max(UV_COLUMNS):
+        c, s = jnp.cos(delta), jnp.sin(delta)
+        u, v = x[:, UV_COLUMNS[0]], x[:, UV_COLUMNS[1]]
+        x = x.at[:, UV_COLUMNS[0]].set((c * u - s * v).astype(x.dtype))
+        x = x.at[:, UV_COLUMNS[1]].set((s * u + c * v).astype(x.dtype))
+    if n_cols > GPHI_COLUMN:
+        gphi = _wrap(x[:, GPHI_COLUMN] + delta)
+        x = x.at[:, GPHI_COLUMN].set(gphi.astype(x.dtype))
+    return x
+
+
+@dataclasses.dataclass
+class PhiRotation:
+    """Trainer ``train_transform``: random global φ rotation per step.
+
+    Deterministic in (seed, step) so resumed runs replay the same
+    augmentation stream. Rotates ``batch.x`` only — edge attributes and
+    truth are rotation-invariant by construction (see module docstring).
+    """
+
+    seed: int = 0
+
+    def __call__(self, batch, step: int):
+        delta = float(
+            np.random.default_rng((self.seed << 20) + int(step)).uniform(
+                -np.pi, np.pi
+            )
+        )
+        return batch.replace(x=rotate_phi(batch.x, jnp.float32(delta)))

@@ -955,8 +955,206 @@ def exp_membw2():
         nominal_bytes=2 * E * H * 2)
 
 
+def exp_membw3():
+    """Honest gather bandwidth, take 3. Battery #24's membw2 was
+    TRANSFER-bound, not HBM-bound: on the axon-tunneled chip every jit
+    output ships to host at ~0.45 GB/s (copy control: 67 MB out / 138 ms;
+    gather_h32: 16.8 MB / 38 ms; segsum: 8.4 MB / 19 ms — all ≈
+    output_bytes/0.45e9). Here every op is SINK-SCALARIZED (…sum() inside
+    the jit, f32 scalar out) so the measurement sees only device time.
+    A trivial-scalar arm calibrates per-dispatch overhead."""
+    from gnn_tracking_tpu.ops.segment import masked_segment_sum, sorted_take
+
+    g = _bench_graph()
+    dst = g.edge_index[1]
+    rng = np.random.default_rng(7)
+    H = 128
+    x = jnp.asarray(rng.normal(size=(N, H)), jnp.bfloat16)
+    ed = jnp.asarray(rng.normal(size=(E, H)), jnp.bfloat16)
+    uns = jnp.asarray(rng.integers(0, N, size=(E,)), jnp.int32)
+    srt = jnp.sort(uns)
+    tiny = jnp.ones((8,), jnp.float32)
+
+    def one(tag, fn, *args, nominal_bytes):
+        compiled = jax.jit(fn).lower(*args).compile()
+        sync(compiled(*args))
+        t = timeit(lambda: compiled(*args), iters=ITERS)
+        report(tag, ms=t * 1e3, gb_s=nominal_bytes / t / 1e9)
+
+    one("membw3_dispatch_floor", lambda a: (a * 2.0).sum(), tiny,
+        nominal_bytes=32)
+    one("membw3_copy_control",
+        lambda e_: (e_ * 2.0 + 1.0).astype(jnp.float32).sum(), ed,
+        nominal_bytes=E * H * 2)
+    one("membw3_gather_unsorted",
+        lambda i: jnp.take(x, i, axis=0).astype(jnp.float32).sum(), uns,
+        nominal_bytes=E * H * 2)
+    one("membw3_gather_sorted",
+        lambda i: jnp.take(x, i, axis=0).astype(jnp.float32).sum(), srt,
+        nominal_bytes=E * H * 2)
+    one("membw3_gather_sorted_hint",
+        lambda i: sorted_take(x, i).astype(jnp.float32).sum(), srt,
+        nominal_bytes=E * H * 2)
+    one("membw3_gather_h32",
+        lambda i: jnp.take(x[:, :32], i, axis=0).astype(jnp.float32).sum(),
+        srt, nominal_bytes=E * 32 * 2)
+
+    def unroll4(i):
+        o = jnp.take(x, i, axis=0)
+        for s in (1, 2, 3):
+            o = o + jnp.take(x, i + s, axis=0)
+        return o.astype(jnp.float32).sum()
+
+    one("membw3_gather_x4", unroll4, jnp.minimum(srt, N - 4),
+        nominal_bytes=4 * E * H * 2)
+    one("membw3_segsum_sorted",
+        lambda e_: masked_segment_sum(
+            e_, dst, N, None, indices_are_sorted=True
+        ).astype(jnp.float32).sum(),
+        ed, nominal_bytes=E * H * 2 + N * H * 2)
+
+
+def exp_radius():
+    """Fixed-τ radius mode of the filter kernel vs k-then-mask, on a
+    condensed (serving-like) latent, sink-scalarized; plus the
+    radius_graph e2e (new default dispatch) and the rg-condensation loss
+    whose graph build was ~90% of 472 ms in battery #23."""
+    from gnn_tracking_tpu.losses.oc import CondensationLossRG
+    from gnn_tracking_tpu.ops.knn import radius_graph
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    rng = np.random.default_rng(9)
+    n_tracks = 2048
+    pid = rng.integers(0, n_tracks, size=N)
+    centers = rng.normal(size=(n_tracks, 8)).astype(np.float32)
+    h = jnp.asarray(
+        centers[pid] + 0.02 * rng.normal(size=(N, 8)).astype(np.float32)
+    )
+    eps = 0.3
+    for k in (32, 64):
+        d_t, i_t = sync(pairwise_topk_filter(h, k=k, loop=False))
+        d_r, i_r = sync(
+            pairwise_topk_filter(h, k=k, loop=False, radius2=eps * eps)
+        )
+        # exactness: radius-mode must equal topk-then-mask
+        dt = np.sort(np.asarray(d_t), axis=1)
+        keep = dt <= eps * eps
+        dtm = np.where(keep, dt, np.inf)
+        drm = np.asarray(d_r)
+        ok = bool(
+            np.allclose(
+                np.where(np.isinf(drm), 1e30, drm),
+                np.where(np.isinf(dtm), 1e30, dtm),
+                rtol=1e-3, atol=1e-5,
+            )
+        )
+        t_topk = timeit(
+            lambda k=k: pairwise_topk_filter(h, k=k, loop=False)[0].sum(),
+            iters=ITERS,
+        )
+        t_rad = timeit(
+            lambda k=k: pairwise_topk_filter(
+                h, k=k, loop=False, radius2=eps * eps
+            )[0].sum(),
+            iters=ITERS,
+        )
+        report(
+            f"radius_k{k}", topk_ms=t_topk * 1e3, radius_ms=t_rad * 1e3,
+            exact_match=ok,
+        )
+        t_e2e = timeit(
+            lambda k=k: radius_graph(
+                h, eps, max_num_neighbors=k, loop=False
+            )[2].sum(),
+            iters=ITERS,
+        )
+        report(f"radius_graph_e2e_k{k}", ms=t_e2e * 1e3)
+
+    # rg condensation loss fwd+bwd (graph build inside, new radius default)
+    beta0 = jnp.asarray(rng.random(N).astype(np.float32))
+    largs = dict(
+        particle_id=jnp.asarray(pid.astype(np.int32)),
+        reconstructable=jnp.ones((N,), jnp.float32),
+        pt=jnp.asarray((2 * rng.random(N)).astype(np.float32)),
+        eta=jnp.asarray((8 * (rng.random(N) - 0.5)).astype(np.float32)),
+    )
+    for cap in (32, 64):
+        fct = CondensationLossRG(max_num_neighbors=cap)
+
+        def f(hh, bb):
+            out = fct(beta=bb, x=hh, **largs)
+            return sum(v * out.weight_dct[k] for k, v in out.loss_dct.items())
+
+        try:
+            _timed(f"radius_rgloss_k{cap}_fwd", f, h, beta0)
+            _timed(
+                f"radius_rgloss_k{cap}_fb",
+                lambda hh, bb: jax.grad(f, argnums=(0, 1))(hh, bb), h, beta0,
+            )
+        except Exception as ex:
+            report(f"radius_rgloss_k{cap}", error=describe(ex)[:400])
+
+
+def exp_ivfcfg():
+    """Find an exact sub-400 ms 262k kNN config: battery #24 ivfglue showed
+    the spill passes cost ~550 ms and nospill_cand96 runs 187 ms (uncertified).
+    Grid: spill off × cand_cap × {certify, fallback} on, sink-scalarized,
+    with host-oracle exactness on the winner."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    x = jnp.asarray(
+        centers[rng.integers(0, n // 64, size=n)]
+        + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    )
+    iters = 2 if SMOKE else 6
+    arms = [
+        ("default", {}),
+        ("ns_c96", {"spill_passes": False, "cand_cap": 96}),
+        ("ns_c144", {"spill_passes": False}),
+        ("ns_c96_nofb", {"spill_passes": False, "cand_cap": 96,
+                         "fallback": False}),
+        ("probe_c96", {"spill_passes": "probe", "cand_cap": 96}),
+    ]
+    best = None
+    for name, kwv in arms:
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, **kwv))
+            t = timeit(
+                lambda kwv=kwv: ivf_knn(x, k=8, **kwv)[0].sum(), iters=iters
+            )
+            report(f"ivfcfg_{name}", ms=t * 1e3, n_uncert=int(unc))
+            if int(unc) == 0 and (best is None or t < best[1]):
+                best = (name, t, kwv)
+        except Exception as ex:
+            report(f"ivfcfg_{name}", error=describe(ex)[:300])
+    if best is not None:
+        name, t, kwv = best
+        d_i, i_i, unc = sync(ivf_knn(x, k=8, **kwv))
+        xs = np.asarray(x, np.float64)
+        qs = np.linspace(0, n - 1, 512).astype(int)
+        bad = 0
+        for q in qs:
+            dd = ((xs[q] - xs) ** 2).sum(1)
+            dd[q] = np.inf
+            ref = set(np.argsort(dd)[:8].tolist())
+            got = set(np.asarray(i_i[q]).tolist())
+            if ref != got:
+                rd = np.sort(dd[np.fromiter(ref, int)])
+                gd = np.sort(dd[np.fromiter(got, int)])
+                if not np.allclose(rd, gd, rtol=1e-4, atol=1e-7):
+                    bad += 1
+        report("ivfcfg_best", arm=name, ms=t * 1e3, bad_of_512=bad,
+               n_uncert=int(unc))
+
+
 EXPS = {
     "anatomy": exp_anatomy,
+    "membw3": exp_membw3,
+    "radius": exp_radius,
+    "ivfcfg": exp_ivfcfg,
     "topk2": exp_topk2,
     "membw2": exp_membw2,
     "lsweep": exp_lsweep,

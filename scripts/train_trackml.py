@@ -117,7 +117,12 @@ def stage_ec(
         loss_fct=EdgeWeightFocalLoss(alpha=0.25, gamma=2.0),
         lr=2e-3,
     )
-    trainer = Trainer(max_epochs=epochs, log_dir=workdir / "runs_ec")
+    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+
+    trainer = Trainer(
+        max_epochs=epochs, log_dir=workdir / "runs_ec",
+        train_transform=PhiRotation(seed=1),
+    )
     metrics = trainer.fit(module, dm)
     return {
         "ec.roc_auc": metrics.get("roc_auc", float("nan")),
@@ -176,7 +181,12 @@ def stage_ml(
             optax.cosine_decay_schedule(2e-3, decay_steps=epochs, alpha=0.01)
         ),
     )
-    trainer = Trainer(max_epochs=epochs, log_dir=workdir / "runs_ml")
+    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+
+    trainer = Trainer(
+        max_epochs=epochs, log_dir=workdir / "runs_ml",
+        train_transform=PhiRotation(seed=2),
+    )
     trainer.fit(module, dm)
 
     # learned-embedding kNN graph: efficiency/purity vs truth edges
@@ -259,7 +269,12 @@ def stage_tc(
             optax.clip_by_global_norm(1.0), optax.adam(2e-3)
         ),
     )
-    trainer = Trainer(max_epochs=epochs, log_dir=workdir / "runs_tc")
+    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+
+    trainer = Trainer(
+        max_epochs=epochs, log_dir=workdir / "runs_tc",
+        train_transform=PhiRotation(seed=3),
+    )
     metrics = trainer.fit(module, dm)
     out = {}
     for key in (

@@ -350,3 +350,84 @@ def test_filter_topk_few_valid_neighbors():
     d0 = np.asarray(d_f)[0]
     assert np.isfinite(d0).sum() == 3  # 4 valid minus self
     assert np.all(np.isinf(d0[3:]))
+
+
+def test_radius_filter_matches_topk_mask():
+    """radius2 mode of the filter kernel == top-k then mask d² <= r²
+    (the radius_graph contract: nearest `cap` within radius, ascending,
+    +inf padded)."""
+    from gnn_tracking_tpu.ops.knn import _blocked_neighbor_topk
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    rng = np.random.default_rng(6)
+    n, k = 300, 8
+    # clustered cloud: some rows have >k in-radius neighbors (cap binds),
+    # some have none
+    centers = rng.normal(size=(12, 4)).astype(np.float32) * 6
+    x = jnp.asarray(
+        centers[rng.integers(0, 12, size=n)]
+        + 0.3 * rng.normal(size=(n, 4)).astype(np.float32)
+    )
+    mask = jnp.asarray(np.arange(n) < 260)
+    batch = jnp.asarray((np.arange(n) % 2).astype(np.int32))
+    for r in (0.5, 1.2):
+        for loop in (False, True):
+            d_ref, i_ref = _blocked_neighbor_topk(
+                x, k, node_mask=mask, batch=batch, loop=loop, block_size=64
+            )
+            dr = np.sort(np.asarray(d_ref), axis=1)
+            ir = np.take_along_axis(
+                np.asarray(i_ref), np.argsort(np.asarray(d_ref), axis=1), 1
+            )
+            keep = dr <= r * r
+            dr = np.where(keep, dr, np.inf)
+            d_f, i_f = pairwise_topk_filter(
+                x, k=k, node_mask=mask, batch=batch, loop=loop,
+                block_q=64, block_c=64, interpret=True, radius2=r * r,
+            )
+            df = np.asarray(d_f)
+            assert np.all(np.diff(np.where(np.isinf(df), 1e30, df), axis=1) >= 0)
+            # f32 norm-expansion accumulation differs between kernel and
+            # oracle by ~1e-4 relative; entries within that band of r² may
+            # legitimately flip inclusion (boundary ties)
+            fin_f, fin_r = np.isfinite(df), np.isfinite(dr)
+            tie = np.abs(np.where(fin_f, df, np.where(fin_r, dr, r * r)) - r * r) <= 1e-3 * r * r
+            both = fin_f & fin_r
+            np.testing.assert_allclose(df[both], dr[both], rtol=1e-3, atol=1e-4)
+            assert np.all((fin_f == fin_r) | tie)
+            for row in range(n):
+                got = set(np.asarray(i_f)[row][fin_f[row]].tolist())
+                want = set(ir[row][keep[row]].tolist())
+                if got != want:
+                    # only boundary ties may differ
+                    assert tie[row].any(), (row, got, want)
+
+
+def test_radius_filter_inclusive_boundary():
+    """d² == r² exactly must be INCLUDED (radius_graph masks dists <= r)."""
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    # integer grid: node 0 at origin, neighbors at exact distances 1, 2
+    x = np.zeros((32, 2), np.float32)
+    x[1] = [1.0, 0.0]
+    x[2] = [0.0, 2.0]
+    x[3:] = 100.0 + np.arange(29)[:, None]
+    d_f, i_f = pairwise_topk_filter(
+        jnp.asarray(x), k=4, block_q=32, block_c=32, interpret=True,
+        radius2=1.0,
+    )
+    d0, i0 = np.asarray(d_f)[0], np.asarray(i_f)[0]
+    assert d0[0] == 1.0 and i0[0] == 1  # exactly on the boundary: kept
+    assert np.all(np.isinf(d0[1:]))
+
+
+def test_radius_graph_filter_dispatch_cpu_oracle():
+    """radius_graph keeps oracle semantics on the XLA path (the filter
+    dispatch is TPU-only; this pins the contract the kernel must match)."""
+    from gnn_tracking_tpu.ops.knn import radius_graph
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(96, 3)).astype(np.float32))
+    ei, m, d = radius_graph(x, 0.8, max_num_neighbors=6)
+    dn = np.asarray(d)[np.asarray(m)]
+    assert np.all(dn <= 0.8) and dn.size > 0
