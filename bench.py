@@ -524,14 +524,18 @@ def main():
         "ec_mfu": round(3 * ec_useful_flops_fwd() / (step_ms / 1e3) / V5E_BF16_FLOPS, 5),
     })
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
-        for name, fn in (
-            ("knn", extra_knn),
-            ("dbscan", extra_dbscan),
-            ("graphtcn", extra_graphtcn),
-            ("serving", extra_serving),
-            ("etl", extra_etl),
+        # serving/etl first (round-3 regression: they ran last against a flat
+        # budget reserve and were silently dropped — VERDICT r3 #4). Each
+        # extra is gated by ITS OWN worst-case estimate (compile + run, s),
+        # so one slow section only drops sections that genuinely don't fit.
+        for name, fn, est_s in (
+            ("serving", extra_serving, 150),
+            ("etl", extra_etl, 30),
+            ("knn", extra_knn, 180),
+            ("dbscan", extra_dbscan, 60),
+            ("graphtcn", extra_graphtcn, 150),
         ):
-            if time.perf_counter() - t_start > budget - 300:
+            if time.perf_counter() - t_start > budget - 60 - est_s:
                 extra[name + "_skipped"] = "time budget"
                 continue
             try:

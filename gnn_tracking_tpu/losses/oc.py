@@ -204,7 +204,15 @@ def condensation_loss(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_n_objects", "max_num_neighbors", "noise_threshold"),
+    static_argnames=(
+        "max_n_objects",
+        "max_num_neighbors",
+        "noise_threshold",
+        # static so the survivor-filter radius kernel (fixed trace-time τ)
+        # is reachable from inside this jit — ops/knn.py radius_graph
+        # dispatch; a traced radius would silently fall back to full top-k
+        "radius_threshold",
+    ),
 )
 def radius_graph_condensation_loss(
     *,

@@ -397,7 +397,47 @@ def knn_with_max_radius(
     return edge_index, mask
 
 
-@functools.partial(jax.jit, static_argnames=("max_num_neighbors", "loop", "block_size"))
+#: trace-time counter of filter-path radius_graph dispatches (diagnostics /
+#: tests: increments once per trace that takes the survivor-filter branch).
+_RADIUS_FILTER_DISPATCHES = 0
+
+
+def _radius_uses_filter(n: int, d: int, r_concrete: float | None) -> bool:
+    """Dispatch predicate for the survivor-filter radius path (pure, so it
+    can be unit-tested with a monkeypatched backend)."""
+    return (
+        _RADIUS_IMPL == "filter"
+        and r_concrete is not None
+        and jax.default_backend() == "tpu"
+        and n * d * 4 <= 8 * 1024 * 1024
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "radius2", "loop")
+)
+def _radius_graph_filter(
+    x: jax.Array,
+    *,
+    k: int,
+    radius2: float,
+    node_mask: jax.Array | None,
+    batch: jax.Array | None,
+    loop: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    from gnn_tracking_tpu.ops.pallas.pairwise_topk import pairwise_topk_filter
+
+    # Kernel membership is decided with f32 norm-expansion distances; inflate
+    # the extraction threshold slightly so kernel rounding can only
+    # over-include — the exact ``dists <= r`` mask below trims, never the
+    # kernel (boundary-exactness contract vs the topk backend).
+    dists_sq, idx = pairwise_topk_filter(
+        jax.lax.stop_gradient(x), k=k, node_mask=node_mask, batch=batch,
+        loop=loop, radius2=radius2 * (1.0 + 1e-3),
+    )
+    return _edges_from_neighbor_topk(x, dists_sq, idx, node_mask)
+
+
 def radius_graph(
     x: jax.Array,
     r: float,
@@ -421,30 +461,26 @@ def radius_graph(
     only in-radius candidates are ever extracted — measured far cheaper
     than running full top-k and masking (round-3: serving radius build and
     the rg-condensation loss are ~80-90% neighbor selection).
+
+    NOT itself jitted: ``r`` must stay a concrete Python float at dispatch
+    time (under a caller's jit it still is, as long as the caller passes a
+    Python float / marks it static — a traced ``r`` falls back to the topk
+    path). Both branches are jitted internally, so eager callers still get
+    compiled execution.
     """
     n = x.shape[0]
     k = min(max_num_neighbors, n)
     r_concrete: float | None
     try:
         r_concrete = float(r)
-    except TypeError:  # traced radius: τ must be trace-time static
-        r_concrete = None
-    if (
-        _RADIUS_IMPL == "filter"
-        and r_concrete is not None
-        and jax.default_backend() == "tpu"
-        and n * x.shape[1] * 4 <= 8 * 1024 * 1024
-    ):
-        from gnn_tracking_tpu.ops.pallas.pairwise_topk import (
-            pairwise_topk_filter,
-        )
-
-        dists_sq, idx = pairwise_topk_filter(
-            jax.lax.stop_gradient(x), k=k, node_mask=node_mask, batch=batch,
-            loop=loop, radius2=r_concrete * r_concrete,
-        )
-        edge_index, mask, dists = _edges_from_neighbor_topk(
-            x, dists_sq, idx, node_mask
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        r_concrete = None  # traced radius: τ must be trace-time static
+    if _radius_uses_filter(n, x.shape[1], r_concrete):
+        global _RADIUS_FILTER_DISPATCHES
+        _RADIUS_FILTER_DISPATCHES += 1
+        edge_index, mask, dists = _radius_graph_filter(
+            x, k=k, radius2=r_concrete * r_concrete, node_mask=node_mask,
+            batch=batch, loop=loop,
         )
     else:
         edge_index, mask, dists = knn_graph(

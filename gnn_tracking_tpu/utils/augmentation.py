@@ -69,8 +69,10 @@ class PhiRotation:
     seed: int = 0
 
     def __call__(self, batch, step: int):
+        # SeedSequence entropy list keys the stream by (seed, step) without
+        # overlap — a packed integer key collides across seeds at high step.
         delta = float(
-            np.random.default_rng((self.seed << 20) + int(step)).uniform(
+            np.random.default_rng([self.seed, int(step)]).uniform(
                 -np.pi, np.pi
             )
         )

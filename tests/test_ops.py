@@ -431,3 +431,84 @@ def test_radius_graph_filter_dispatch_cpu_oracle():
     ei, m, d = radius_graph(x, 0.8, max_num_neighbors=6)
     dn = np.asarray(d)[np.asarray(m)]
     assert np.all(dn <= 0.8) and dn.size > 0
+
+
+def test_radius_graph_filter_dispatch_taken(monkeypatch):
+    """The survivor-filter branch must actually be reachable: a concrete
+    Python-float radius dispatches to ``_radius_graph_filter`` (round-3
+    regression: the wrapper was itself jitted, so ``float(r)`` always raised
+    and the filter path was dead code — ADVICE r3 #1)."""
+    from gnn_tracking_tpu.ops import knn as knn_mod
+
+    calls = []
+
+    def fake_filter(x, *, k, radius2, node_mask, batch, loop):
+        calls.append(radius2)
+        ei, m, d = knn_mod.knn_graph(
+            x, k, node_mask=node_mask, batch=batch, loop=loop
+        )
+        return ei, m, d
+
+    monkeypatch.setattr(
+        knn_mod, "_radius_uses_filter", lambda n, d, rc: rc is not None
+    )
+    monkeypatch.setattr(knn_mod, "_radius_graph_filter", fake_filter)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+
+    # eager call with Python float -> filter path taken
+    before = knn_mod._RADIUS_FILTER_DISPATCHES
+    ei, m, d = knn_mod.radius_graph(x, 0.9, max_num_neighbors=8)
+    assert len(calls) == 1 and abs(calls[0] - 0.81) < 1e-12
+    assert knn_mod._RADIUS_FILTER_DISPATCHES == before + 1
+    dn = np.asarray(d)[np.asarray(m)]
+    assert np.all(dn <= 0.9)
+
+    # traced radius (no static marking) -> must fall back, not crash
+    import jax
+
+    @jax.jit
+    def traced_r(x, r):
+        return knn_mod.radius_graph(x, r, max_num_neighbors=8)
+
+    traced_r(x, jnp.float32(0.9))
+    assert len(calls) == 1  # unchanged: fallback path used
+
+
+def test_rg_condensation_loss_reaches_filter_path(monkeypatch):
+    """radius_threshold is static in radius_graph_condensation_loss, so the
+    filter kernel is reachable from inside that jit."""
+    from gnn_tracking_tpu.losses.oc import radius_graph_condensation_loss
+    from gnn_tracking_tpu.ops import knn as knn_mod
+
+    calls = []
+
+    def fake_filter(x, *, k, radius2, node_mask, batch, loop):
+        calls.append(radius2)
+        return knn_mod.knn_graph(
+            x, k, node_mask=node_mask, batch=batch, loop=loop
+        )
+
+    monkeypatch.setattr(
+        knn_mod, "_radius_uses_filter", lambda n, d, rc: rc is not None
+    )
+    monkeypatch.setattr(knn_mod, "_radius_graph_filter", fake_filter)
+
+    rng = np.random.default_rng(5)
+    n = 40
+    beta = jnp.asarray(rng.uniform(0.01, 0.9, size=n).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+    pid = jnp.asarray(rng.integers(0, 5, size=n).astype(np.int32))
+    losses, _ = radius_graph_condensation_loss(
+        beta=beta,
+        x=x,
+        object_id=pid,
+        object_mask=pid > 0,
+        q_min=0.01,
+        radius_threshold=1.0,
+        max_num_neighbors=16,
+        max_n_objects=8,
+    )
+    assert len(calls) == 1
+    assert all(np.isfinite(float(v)) for v in losses.values())
