@@ -1,0 +1,235 @@
+"""Multi-event generalization drill at small scale (VERDICT r3 #8).
+
+The bundled TrackML event is the only real data in the image, so round-3
+physics numbers were single-event fits. This script de-saturates them:
+derive N genuinely distinct events from the bundled event via
+
+* a fixed per-event azimuthal rotation (physics-exact — tracking is
+  φ-symmetric; ``utils/augmentation.rotate_phi``), and
+* per-event random hit dropout (keep_frac of hits survive), which changes
+  the graph TOPOLOGY (edges incident to dropped hits disappear,
+  short tracks fall below the 3-hit reconstructability threshold);
+
+train on events ``0..N-2``, validate on event ``N-1`` (unseen rotation AND
+unseen dropout pattern), and report the same headline metrics as the
+reference acceptance surface: EC ROC-AUC (reference ``training/ec.py:55-84``)
+and trk.double_majority_pt0.9 via the DBSCAN scanner (reference
+``postprocessing/dbscanscanner.py:74-188``, ``training/tc.py:86-105``).
+This is the single-file analog of the reference's multi-file datamodule
+semantics (``utils/loading.py:116-248``).
+
+Usage::
+
+    python scripts/train_multievent.py --workdir /tmp/multievent \
+        [--n-events 8] [--keep-frac 0.9] [--epochs-tc 800] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; claiming the chip from a
+# long CPU-bound training loop wedges it for other clients, so force the
+# platform in-process before any JAX import unless --tpu is passed.
+if "--tpu" not in __import__("sys").argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def derive_event(g, seed: int, n_events: int, keep_frac: float):
+    """Event variant ``seed``: φ-rotation by 2π·seed/N + jittered angle,
+    plus hit dropout with per-event RNG. Masks (node/edge/true-edge) carry
+    the dropout; ``reconstructable`` is recomputed for tracks that fall
+    under 3 surviving hits (reference ``point_cloud_builder.py:400-411``
+    layer-count semantics, approximated by hit count on the subsampled
+    event)."""
+    import jax.numpy as jnp
+
+    from gnn_tracking_tpu.utils.augmentation import rotate_phi
+
+    rng = np.random.default_rng([97, seed])
+    delta = 2.0 * np.pi * seed / n_events + rng.uniform(-0.2, 0.2)
+
+    node_mask = np.asarray(g.node_mask)
+    keep = rng.random(node_mask.shape[0]) < keep_frac
+    keep &= node_mask
+
+    pid = np.asarray(g.particle_id)
+    # surviving-hit count per particle -> reconstructability update
+    kept_pids, counts = np.unique(pid[keep & (pid > 0)], return_counts=True)
+    enough = np.zeros(int(pid.max()) + 2, dtype=bool)
+    enough[kept_pids[counts >= 3]] = True
+    reco = np.asarray(g.reconstructable).astype(bool) & enough[
+        np.clip(pid, 0, enough.shape[0] - 1)
+    ]
+
+    src, dst = np.asarray(g.edge_index)
+    edge_mask = np.asarray(g.edge_mask) & keep[src] & keep[dst]
+    ta, tb = np.asarray(g.true_edge_index)
+    true_edge_mask = np.asarray(g.true_edge_mask) & keep[ta] & keep[tb]
+
+    return g.replace(
+        x=rotate_phi(g.x, jnp.float32(delta)),
+        node_mask=jnp.asarray(keep),
+        edge_mask=jnp.asarray(edge_mask),
+        true_edge_mask=jnp.asarray(true_edge_mask),
+        reconstructable=jnp.asarray(reco.astype(np.float32)),
+    )
+
+
+def make_event_dirs(
+    graph_path: Path, workdir: Path, n_events: int, keep_frac: float
+) -> tuple[Path, Path]:
+    from gnn_tracking_tpu.utils.loading import load_graph, save_graph
+
+    g = load_graph(graph_path)
+    train_dir = workdir / "events_train"
+    val_dir = workdir / "events_val"
+    for d in (train_dir, val_dir):
+        d.mkdir(parents=True, exist_ok=True)
+        for f in d.glob("*.npz"):
+            f.unlink()
+    for i in range(n_events):
+        gi = derive_event(g, i, n_events, keep_frac)
+        dst = (val_dir if i == n_events - 1 else train_dir) / f"event{i:03d}.npz"
+        save_graph(gi, dst)
+    return train_dir, val_dir
+
+
+def stage_ec(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
+    from gnn_tracking_tpu.losses.ec import EdgeWeightFocalLoss
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+    from gnn_tracking_tpu.training.module import ECModule
+    from gnn_tracking_tpu.training.trainer import Trainer
+    from gnn_tracking_tpu.utils.loading import PaddingConfig, TrackingDataModule
+
+    dm = TrackingDataModule(
+        train={"dirs": [train_dir], "batch_size": 1},
+        val={"dirs": [val_dir]},
+        padding=PaddingConfig(
+            node_bucket=4096, edge_bucket=16384, true_edge_bucket=16384
+        ),
+    )
+    module = ECModule(
+        model=ECForGraphTCN(
+            interaction_node_dim=32, interaction_edge_dim=32,
+            hidden_dim=64, L_ec=4,
+        ),
+        loss_fct=EdgeWeightFocalLoss(alpha=0.25, gamma=2.0),
+        lr=2e-3,
+    )
+    metrics = Trainer(max_epochs=epochs, log_dir=workdir / "runs_ec").fit(
+        module, dm
+    )
+    return {
+        "ec.roc_auc": metrics.get("roc_auc", float("nan")),
+        "ec.max_mcc": metrics.get("max_mcc", float("nan")),
+        "ec.roc_auc_pt0.9": metrics.get("roc_auc_pt0.9", float("nan")),
+    }
+
+
+def stage_tc(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
+    import optax
+
+    from gnn_tracking_tpu.losses.oc import CondensationLossTiger
+    from gnn_tracking_tpu.models.track_condensation_networks import (
+        PerfectECGraphTCN,
+    )
+    from gnn_tracking_tpu.postprocessing.dbscanscanner import (
+        DBSCANHyperParamScanner,
+    )
+    from gnn_tracking_tpu.training.module import TCModule
+    from gnn_tracking_tpu.training.trainer import Trainer
+    from gnn_tracking_tpu.utils.loading import PaddingConfig, TrackingDataModule
+
+    dm = TrackingDataModule(
+        train={"dirs": [train_dir], "batch_size": 1},
+        val={"dirs": [val_dir]},
+        padding=PaddingConfig(
+            node_bucket=4096, edge_bucket=16384, true_edge_bucket=16384
+        ),
+    )
+    # stage-C recipe from scripts/train_trackml.py (sweep 2026-08-17)
+    module = TCModule(
+        model=PerfectECGraphTCN(
+            h_dim=16, e_dim=16, h_outdim=4, hidden_dim=48, L_hc=3
+        ),
+        loss_fct=CondensationLossTiger(
+            q_min=0.5, lw_noise=1.0, lw_coward=0.5, max_n_objects=512
+        ),
+        cluster_scanner=DBSCANHyperParamScanner(
+            eps_range=(0.01, 0.5), n_trials=12, keep_best=4, seed=0
+        ),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(2e-3)
+        ),
+    )
+    metrics = Trainer(max_epochs=epochs, log_dir=workdir / "runs_tc").fit(
+        module, dm
+    )
+    return {
+        "tc." + k: metrics[k]
+        for k in (
+            "trk.double_majority_pt0.9",
+            "trk.lhc_pt0.9",
+            "trk.perfect_pt0.9",
+            "trk.fake_double_majority_pt0.9",
+        )
+        if k in metrics
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--workdir", type=Path, default=Path("/tmp/multievent"))
+    parser.add_argument(
+        "--trackml-dir",
+        type=Path,
+        default=Path(__file__).parent.parent / "tests" / "test_data" / "trackml",
+    )
+    parser.add_argument("--n-events", type=int, default=8)
+    parser.add_argument("--keep-frac", type=float, default=0.9)
+    parser.add_argument("--epochs-ec", type=int, default=40)
+    parser.add_argument("--epochs-tc", type=int, default=300)
+    parser.add_argument("--stages", default="A,C")
+    parser.add_argument("--json", type=Path, default=None)
+    parser.add_argument("--tpu", action="store_true")
+    args = parser.parse_args()
+
+    from train_trackml import build_data
+
+    _, graph_dir, _ = build_data(args.trackml_dir, args.workdir, n_sectors=1)
+    graph_path = sorted(Path(graph_dir).glob("*.npz"))[0]
+    train_dir, val_dir = make_event_dirs(
+        graph_path, args.workdir, args.n_events, args.keep_frac
+    )
+    results: dict[str, float] = {}
+    stages = {s.strip().upper() for s in args.stages.split(",")}
+    if "A" in stages:
+        results.update(stage_ec(train_dir, val_dir, args.workdir, args.epochs_ec))
+    if "C" in stages:
+        results.update(stage_tc(train_dir, val_dir, args.workdir, args.epochs_tc))
+
+    print(
+        f"\n=== Multi-event generalization ({args.n_events - 1} train events, "
+        f"1 unseen val event, keep_frac={args.keep_frac}) ==="
+    )
+    for k in sorted(results):
+        print(f"  {k:<40} {results[k]:.4f}")
+    if args.json:
+        args.json.write_text(json.dumps(results, indent=2))
+        print(f"written: {args.json}")
+
+
+if __name__ == "__main__":
+    main()
