@@ -347,17 +347,19 @@ def extra_serving() -> dict[str, float]:
             )
             return out
 
+    # sorted_edges + bf16: the serving perf knobs (battery #24: forward was
+    # 251 of 456 ms unsorted/f32; the sorted bf16 training forward is ~24 ms)
     model = _CondensedGraphTCN(
         tcn=GraphTCN(
             h_dim=INTERACTION_DIM, e_dim=INTERACTION_DIM, h_outdim=8,
-            hidden_dim=HIDDEN_DIM, L_ec=L_EC, L_hc=3,
+            hidden_dim=HIDDEN_DIM, L_ec=L_EC, L_hc=3, sorted_edges=True,
         )
     )
     params = model.init(jax.random.PRNGKey(0), g)["params"]
     eps, min_samples, cap = 0.3, 1, 64
     pred = TrackingPredictor(
         BoundModel(model, params), eps=eps, min_samples=min_samples,
-        max_num_neighbors=cap,
+        max_num_neighbors=cap, sort_edges=True, precision="bf16",
     )
 
     def _time(f, iters=5):
@@ -369,9 +371,19 @@ def extra_serving() -> dict[str, float]:
         return (time.perf_counter() - t0) / iters, out
 
     # stage split (each stage jitted separately; sums can exceed the fused
-    # end-to-end time, which XLA overlaps)
-    fwd = jax.jit(lambda v, g_: model.apply(v, g_)["H"])
-    t_fwd, h = _time(lambda: fwd({"params": params}, g))
+    # end-to-end time, which XLA overlaps) — same sorted/bf16 config as the
+    # predictor above
+    def _cast(v):
+        return (
+            v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32
+            else v
+        )
+
+    g_b = jax.tree.map(_cast, g.sort_edges_by_target())
+    params_b = jax.tree.map(_cast, {"params": params})
+    fwd = jax.jit(lambda v, g_: model.apply(v, g_)["H"].astype(jnp.float32))
+    t_fwd, h = _time(lambda: fwd(params_b, g_b))
     rg = jax.jit(
         lambda h_: radius_graph(h_, eps, max_num_neighbors=cap, loop=False)
     )

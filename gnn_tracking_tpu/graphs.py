@@ -191,10 +191,16 @@ class EventGraph:
         )
 
     # ------------------------------------------------------------------
-    def sort_edges_by_target(self) -> "EventGraph":
+    def sort_edges_by_target(self, *, with_unsort: bool = False) -> "EventGraph":
         """Reorder edges so ``edge_index[1]`` is non-decreasing (valid edges
         first). Enables the ``sorted_edges`` fast scatter path in the models.
-        Host-friendly (uses a sort, jittable too)."""
+        Host-friendly (uses a sort, jittable too).
+
+        With ``with_unsort=True`` the inverse permutation is stashed in
+        ``extras["edge_unsort"]``: per-edge outputs computed on the sorted
+        graph map back to the original edge order via ``out[edge_unsort]``
+        (used by the serving predictor, which must report ``W`` in the
+        caller's edge order)."""
         key = jnp.where(self.edge_mask, self.edge_index[1], self.num_nodes)
         order = jnp.argsort(key, stable=True)
         ei = self.edge_index[:, order]
@@ -218,6 +224,8 @@ class EventGraph:
         src_perm = jnp.argsort(src, stable=True).astype(jnp.int32)
         extras["src_perm"] = src_perm
         extras["src_sorted"] = src[src_perm].astype(jnp.int32)
+        if with_unsort:
+            extras["edge_unsort"] = jnp.argsort(order).astype(jnp.int32)
         return self.replace(
             edge_index=ei,
             edge_attr=self.edge_attr[order],

@@ -276,6 +276,10 @@ class GraphTCN(nn.Module):
     #: static local/halo edge boundary for compute/comm overlap under an
     #: exchange hook (``ShardedGraph.e_split``); 0 = off
     halo_edge_split: int = 0
+    #: rematerialize each IN layer's activations in the backward pass —
+    #: trades ~1 extra forward of FLOPs for O(L) less activation HBM;
+    #: required for full-detector events (~2M edges) on a 16 GB chip
+    remat: bool = False
 
     @nn.compact
     def __call__(self, data: EventGraph, exchange=None) -> dict[str, jax.Array | None]:
@@ -292,6 +296,7 @@ class GraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             halo_edge_split=self.halo_edge_split,
+            remat=self.remat,
             name="ec",
         )
         hc_in = ResIN(
@@ -308,6 +313,7 @@ class GraphTCN(nn.Module):
             fused_block=self.fused_block,
             fused_dtype=self.fused_dtype,
             halo_edge_split=self.halo_edge_split,
+            remat=self.remat,
             name="hc_in",
         )
         return ModularGraphTCN(

@@ -95,8 +95,15 @@ class DataGraphTCNTrainer:
         max_n_objects: int = 1024,
         loss_weights: dict[str, float] | None = None,
         optimizer: optax.GradientTransformation | None = None,
+        precision: str = "f32",
     ):
         assert mesh.axis_names == ("data", "graph"), mesh.axis_names
+        if precision not in ("f32", "bf16"):
+            msg = f"precision must be 'f32' or 'bf16', got {precision!r}"
+            raise ValueError(msg)
+        #: "bf16": model forward/backward in bfloat16 (params kept f32,
+        #: cast at apply time — standard mixed precision; losses in f32)
+        self.precision = precision
         self.mesh = mesh
         inner = model if model is not None else GraphTCN()
         self.model = ShardedTCN(model=inner, axis_name="graph")
@@ -179,8 +186,21 @@ class DataGraphTCNTrainer:
             def body(params, sg_blk, cd_blk):
                 sg_l = self._slice_local(sg_blk)
                 cd_l = self._slice_cd(cd_blk)
+                if self.precision == "bf16":
+
+                    def _cast(v):
+                        if hasattr(v, "dtype") and v.dtype == jnp.float32:
+                            return v.astype(jnp.bfloat16)
+                        return v
+
+                    params = jax.tree.map(_cast, params)
+                    sg_l = jax.tree.map(_cast, sg_l)
                 out = self.model.apply({"params": params}, sg_l, n_local)
-                h, beta, w = out["H"], out["B"], out["W"]
+                h, beta, w = (
+                    out["H"].astype(jnp.float32),
+                    out["B"].astype(jnp.float32),
+                    out["W"].astype(jnp.float32),
+                )
                 losses = sharded_condensation_loss(
                     beta,
                     h,

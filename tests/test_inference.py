@@ -203,3 +203,39 @@ def test_inference_cli_end_to_end(tmp_path):
         a = np.load(f)["labels"]
         b = np.load(outdir_b / f.name)["labels"]
         np.testing.assert_array_equal(a, b)
+
+
+def test_predict_sorted_edges_matches_default():
+    """sort_edges=True must keep labels identical and report per-edge W in
+    the ORIGINAL edge order (serving perf knob, battery #24 follow-up)."""
+    g = make_graph(3)
+    base = TrackingPredictor(_tc_bound(g), eps=0.5, min_samples=1)
+    srt = TrackingPredictor(
+        _tc_bound(g), eps=0.5, min_samples=1, sort_edges=True
+    )
+    out_b, out_s = base.predict(g), srt.predict(g)
+    np.testing.assert_array_equal(out_b["labels"], out_s["labels"])
+    if "w" in out_b:
+        np.testing.assert_allclose(out_b["w"], out_s["w"], rtol=1e-5, atol=1e-6)
+
+    # EC-only flavor: W order must survive the sort/unsort round trip
+    model = ECForGraphTCN(
+        interaction_node_dim=4, interaction_edge_dim=4, L_ec=1, hidden_dim=8
+    )
+    params = model.init(jax.random.PRNGKey(1), g)["params"]
+    bm = BoundModel(model, params)
+    w_b = TrackingPredictor(bm, ec_threshold=0.5).predict(g)["w"]
+    w_s = TrackingPredictor(bm, ec_threshold=0.5, sort_edges=True).predict(g)["w"]
+    np.testing.assert_allclose(w_b, w_s, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_bf16_precision_close_to_f32():
+    g = make_graph(4)
+    bm = _tc_bound(g)
+    out_f32 = TrackingPredictor(bm, eps=0.5).predict(g)
+    out_bf16 = TrackingPredictor(bm, eps=0.5, precision="bf16").predict(g)
+    assert out_bf16["labels"].shape == out_f32["labels"].shape
+    assert np.isfinite(out_bf16["beta"]).all()
+    # bf16 beta tracks f32 beta to ~1e-2 (mantissa-8 truncation through
+    # a shallow net)
+    np.testing.assert_allclose(out_bf16["beta"], out_f32["beta"], atol=0.05)
