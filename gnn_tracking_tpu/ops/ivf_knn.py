@@ -121,7 +121,7 @@ def _principal_order(x, valid):
         "k", "loop", "n_cells", "cell_cap", "n_probe", "extra_cap",
         "fallback_cap", "lloyd_iters", "block_n", "group_cells",
         "certify", "fallback", "spill_passes", "probe_impl", "cand_cap",
-        "fast_assign", "bucket_impl",
+        "fast_assign", "bucket_impl", "return_stats",
     ),
 )
 def ivf_knn(
@@ -145,6 +145,7 @@ def ivf_knn(
     cand_cap: int | None = None,
     fast_assign: bool = True,
     bucket_impl: str = "gather",
+    return_stats: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact kNN via certified IVF probing.
 
@@ -323,6 +324,13 @@ def ivf_knn(
     # residual; spilled QUERIES beyond the cap simply stay +inf and fail
     # ``found_all`` -> fallback
     spill_lost = jnp.maximum(n_resid - extra_cap, 0)
+    # diagnostics for config tuning (battery use): returned as a 4th value
+    # when ``return_stats`` (static) is set
+    stats = {
+        "n_spill": n_spill, "n_resid": n_resid, "spill_lost": spill_lost,
+        "n_cells": jnp.int32(n_cells), "cell_cap": jnp.int32(cell_cap),
+        "cand_cap": jnp.int32(cand_cap),
+    }
 
     # --- 3. probe ----------------------------------------------------------
     cdist = _pdist2(centroids, centroids)
@@ -444,8 +452,8 @@ def ivf_knn(
             )
         )(_extra_with(c), extra_pass)
 
-    def spill_probe(carry):
-        """Probe pass for the spilled queries themselves.
+    def _spill_probe_with(cap):
+        """Probe pass for the spilled queries themselves, at rung ``cap``.
 
         A spilled (over-cap) point is not in any bucket, so the grouped
         probe never ran for it — before this pass its only candidates were
@@ -453,58 +461,77 @@ def ivf_knn(
         had scanned its ``nbr[assign]`` neighborhood (round-2 battery #8:
         1% of queries certified-but-wrong at 262k). Scan those cells'
         buckets here so the triangle bound's premise holds for every query.
+
+        Like ``_extra_with``, the pass runs on a size ladder: its cost is
+        linear in the static query width, and the runtime spill count is
+        usually far below ``extra_cap`` (battery #24 ivfglue: the spill
+        passes were ~550 of 795 ms at the full width).
         """
-        dists, idx = carry
-        own_cell = assign[spill_ids]
-        cand_cells = nbr[own_cell]  # [X, T]
-        shift_x = centroids[own_cell]  # [X, d] local frame (see probe)
-        bq = min(1024, extra_cap)
-        pad_x = (-extra_cap) % bq
+        ids_c = spill_ids[:cap]
+        x_c = x_spill[:cap]
+        valid_c = spill_valid[:cap]
 
-        def one(args):
-            q, qid, cc, qvalid, sh = args  # [B,d],[B],[B,T],[B],[B,d]
-            b = q.shape[0]
-            q = q - sh
-            cx = xc3[cc].reshape(b, n_probe * cand_cap, d) - sh[:, None, :]
-            cid = ic2[cc].reshape(b, n_probe * cand_cap)
-            cv = vc2[cc].reshape(b, n_probe * cand_cap)
-            qn = jnp.sum(q * q, axis=-1)[:, None]
-            cn = jnp.sum(cx * cx, axis=-1)
-            dd = qn + cn - 2.0 * jnp.einsum(
-                "bd,bjd->bj", q, cx, precision=_HIGH
-            )
-            dd = jnp.maximum(dd, 0.0)
-            bad = ~cv | ~qvalid[:, None]
-            if not loop:
-                bad |= cid == qid[:, None]
-            neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
-            return -neg, jnp.take_along_axis(cid, pos, axis=1)
+        def run(carry):
+            dists, idx = carry
+            own_cell = assign[ids_c]
+            cand_cells = nbr[own_cell]  # [X, T]
+            shift_x = centroids[own_cell]  # [X, d] local frame (see probe)
+            bq = min(1024, cap)
+            pad_x = (-cap) % bq
 
-        dp, ip = jax.lax.map(
-            one,
-            (
-                jnp.pad(x_spill, ((0, pad_x), (0, 0)), constant_values=_FAR)
-                .reshape(-1, bq, d),
-                jnp.pad(spill_ids, (0, pad_x)).reshape(-1, bq),
-                jnp.pad(cand_cells, ((0, pad_x), (0, 0))).reshape(
-                    -1, bq, n_probe
+            def one(args):
+                q, qid, cc, qvalid, sh = args  # [B,d],[B],[B,T],[B],[B,d]
+                b = q.shape[0]
+                q = q - sh
+                cx = xc3[cc].reshape(b, n_probe * cand_cap, d) - sh[:, None, :]
+                cid = ic2[cc].reshape(b, n_probe * cand_cap)
+                cv = vc2[cc].reshape(b, n_probe * cand_cap)
+                qn = jnp.sum(q * q, axis=-1)[:, None]
+                cn = jnp.sum(cx * cx, axis=-1)
+                dd = qn + cn - 2.0 * jnp.einsum(
+                    "bd,bjd->bj", q, cx, precision=_HIGH
+                )
+                dd = jnp.maximum(dd, 0.0)
+                bad = ~cv | ~qvalid[:, None]
+                if not loop:
+                    bad |= cid == qid[:, None]
+                neg, pos = jax.lax.top_k(-jnp.where(bad, jnp.inf, dd), kw)
+                return -neg, jnp.take_along_axis(cid, pos, axis=1)
+
+            dp, ip = jax.lax.map(
+                one,
+                (
+                    jnp.pad(x_c, ((0, pad_x), (0, 0)), constant_values=_FAR)
+                    .reshape(-1, bq, d),
+                    jnp.pad(ids_c, (0, pad_x)).reshape(-1, bq),
+                    jnp.pad(cand_cells, ((0, pad_x), (0, 0))).reshape(
+                        -1, bq, n_probe
+                    ),
+                    jnp.pad(valid_c, (0, pad_x)).reshape(-1, bq),
+                    jnp.pad(shift_x, ((0, pad_x), (0, 0))).reshape(-1, bq, d),
                 ),
-                jnp.pad(spill_valid, (0, pad_x)).reshape(-1, bq),
-                jnp.pad(shift_x, ((0, pad_x), (0, 0))).reshape(-1, bq, d),
-            ),
-        )
-        dp = dp.reshape(-1, kw)[:extra_cap]
-        ip = ip.reshape(-1, kw)[:extra_cap]
-        # rows at spill_ids hold only extra_pass (residual-set) results,
-        # disjoint from the candidate slabs dp scanned -> no duplicates;
-        # both sides sorted ascending -> two-pointer merge
-        dm, im = _merge_sorted_pairs(dists[spill_ids], idx[spill_ids], dp, ip, kw)
-        keep = spill_valid[:, None]
-        dists = dists.at[spill_ids].set(
-            jnp.where(keep, dm, dists[spill_ids])
-        )
-        idx = idx.at[spill_ids].set(jnp.where(keep, im, idx[spill_ids]))
-        return dists, idx
+            )
+            dp = dp.reshape(-1, kw)[:cap]
+            ip = ip.reshape(-1, kw)[:cap]
+            # rows at ids_c hold only extra_pass (residual-set) results,
+            # disjoint from the candidate slabs dp scanned -> no duplicates;
+            # both sides sorted ascending -> two-pointer merge
+            dm, im = _merge_sorted_pairs(dists[ids_c], idx[ids_c], dp, ip, kw)
+            keep = valid_c[:, None]
+            dists = dists.at[ids_c].set(jnp.where(keep, dm, dists[ids_c]))
+            idx = idx.at[ids_c].set(jnp.where(keep, im, idx[ids_c]))
+            return dists, idx
+
+        return run
+
+    spill_rungs = [c for c in (256, 2048) if c < extra_cap] + [extra_cap]
+    spill_probe = _spill_probe_with(spill_rungs[-1])
+    for c in reversed(spill_rungs[:-1]):
+        spill_probe = (
+            lambda small, big, c=c: lambda carry: jax.lax.cond(
+                n_spill <= c, small, big, carry
+            )
+        )(_spill_probe_with(c), spill_probe)
 
     if spill_passes in (True, "extra"):
         # all-queries extra-set scan: needed only when the candidate table
@@ -592,9 +619,14 @@ def ivf_knn(
     else:
         dists, idx = full_rerank((dists, idx))
 
+    def _ret(dists, idx, unc):
+        if return_stats:
+            return dists, idx, unc, stats
+        return dists, idx, unc
+
     if not certify:
         # timing/diagnostic mode: skip certification + fallback entirely
-        return dists, idx, jnp.array(-1, jnp.int32)
+        return _ret(dists, idx, jnp.array(-1, jnp.int32))
 
     # --- 4. certification --------------------------------------------------
     kth = jnp.sqrt(
@@ -638,7 +670,7 @@ def ivf_knn(
 
     if not fallback:
         # stage-attribution mode: report the violator count directly
-        return dists, idx, jnp.sum(~certified)
+        return _ret(dists, idx, jnp.sum(~certified))
 
     def run_fallback(cap):
         """One brute-force rung at width ``cap``: fixes up to ``cap``
@@ -686,4 +718,4 @@ def ivf_knn(
             jnp.sum(~carry[2]) > 0, run_fallback(cap), lambda c: c, carry
         )
     dists, idx, certified = carry
-    return dists, idx, jnp.sum(~certified)
+    return _ret(dists, idx, jnp.sum(~certified))

@@ -1150,8 +1150,67 @@ def exp_ivfcfg():
                n_uncert=int(unc))
 
 
+def exp_ivfcfg2():
+    """262k kNN after the spill-probe ladder (round-4): bucketing stats
+    (n_spill/n_resid — do the expensive passes even trigger at bench
+    scale?), the laddered default, and SOUND config arms (spill passes
+    stay ON; battery #25 smoke showed spill_passes=False returns
+    certified-but-wrong rows). Target: <=400 ms certified-exact."""
+    from gnn_tracking_tpu.ops.ivf_knn import ivf_knn
+
+    rng = np.random.default_rng(4)
+    n = 4096 if SMOKE else 262144
+    centers = rng.normal(size=(n // 64, 8)).astype(np.float32)
+    x = jnp.asarray(
+        centers[rng.integers(0, n // 64, size=n)]
+        + 0.05 * rng.normal(size=(n, 8)).astype(np.float32)
+    )
+    iters = 2 if SMOKE else 6
+    d_s, i_s, unc_s, st = sync(ivf_knn(x, k=8, return_stats=True))
+    report("ivfcfg2_stats", **{k: int(v) for k, v in st.items()},
+           n_uncert=int(unc_s))
+    arms = [
+        ("ladder_default", {}),
+        ("cand192", {"cand_cap": 192}),
+        ("cand256", {"cand_cap": 256}),
+        ("cells24", {"n_cells": max(8, min(8192, n // 24))}),
+        ("probe12", {"n_probe": 12}),
+    ]
+    best = None
+    for name, kwv in arms:
+        try:
+            _, _, unc = sync(ivf_knn(x, k=8, **kwv))
+            t = timeit(
+                lambda kwv=kwv: ivf_knn(x, k=8, **kwv)[0].sum(), iters=iters
+            )
+            report(f"ivfcfg2_{name}", ms=t * 1e3, n_uncert=int(unc))
+            if int(unc) == 0 and (best is None or t < best[1]):
+                best = (name, t, kwv)
+        except Exception as ex:
+            report(f"ivfcfg2_{name}", error=describe(ex)[:300])
+    if best is not None:
+        name, t, kwv = best
+        d_i, i_i, unc = sync(ivf_knn(x, k=8, **kwv))
+        xs = np.asarray(x, np.float64)
+        qs = np.linspace(0, n - 1, 512).astype(int)
+        bad = 0
+        for q in qs:
+            dd = ((xs[q] - xs) ** 2).sum(1)
+            dd[q] = np.inf
+            ref = set(np.argsort(dd)[:8].tolist())
+            got = set(np.asarray(i_i[q]).tolist())
+            if ref != got:
+                rd = np.sort(dd[np.fromiter(ref, int)])
+                gd = np.sort(dd[np.fromiter(got, int)])
+                if not np.allclose(rd, gd, rtol=1e-4, atol=1e-7):
+                    bad += 1
+        report("ivfcfg2_best", arm=name, ms=t * 1e3, bad_of_512=bad,
+               n_uncert=int(unc))
+
+
 EXPS = {
     "anatomy": exp_anatomy,
+    "ivfcfg2": exp_ivfcfg2,
     "membw3": exp_membw3,
     "radius": exp_radius,
     "ivfcfg": exp_ivfcfg,
