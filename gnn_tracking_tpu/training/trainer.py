@@ -179,6 +179,10 @@ class Trainer:
             train_transform = obj_from_config(train_transform)
         self.train_transform = train_transform
         self._best_monitor: float | None = None
+        #: full validation dict of the best-monitor epoch (model selection,
+        #: reference: Lightning ModelCheckpoint(monitor=...) + its
+        #: best_model_score)
+        self.best_metrics: dict[str, float] = {}
         self._checkpointer: Checkpointer | None = None
         self._run_logger = None
         self.metrics_history: list[dict[str, float]] = []
@@ -269,6 +273,7 @@ class Trainer:
                     )
                     if better:
                         self._best_monitor = value
+                        self.best_metrics = dict(last_val)
                         self.checkpointer.save(module, config=config, tag="best")
                         logger.info(
                             "New best %s=%.5f (checkpoint_best)", self.monitor, value
@@ -286,7 +291,13 @@ class Trainer:
                 break
         if self._checkpointer is not None:
             self._checkpointer.wait()
-        return last_val
+        out = dict(last_val)
+        if self.monitor is not None and self._best_monitor is not None:
+            # expose the selected-model metric alongside the last-epoch
+            # values (callers report both: last = unbiased trajectory end,
+            # best = what checkpoint_best serves)
+            out[f"best_{self.monitor}"] = self._best_monitor
+        return out
 
     def validate(self, module, datamodule=None, loader=None) -> dict[str, float]:
         if loader is None:

@@ -77,3 +77,66 @@ class PhiRotation:
             )
         )
         return batch.replace(x=rotate_phi(batch.x, jnp.float32(delta)))
+
+@jax.jit
+def drop_hits(batch, keep: jax.Array):
+    """Mask-level hit dropout: ``keep`` [N] bool is ANDed into the node
+    mask, and edges / true edges incident to a dropped hit are masked out.
+    Pure masking — shapes are untouched, so no recompiles (SURVEY §7:
+    dynamic shapes become masks)."""
+    node_mask = batch.node_mask & keep
+    src, dst = batch.edge_index[0], batch.edge_index[1]
+    edge_mask = batch.edge_mask & node_mask[src] & node_mask[dst]
+    ta, tb = batch.true_edge_index[0], batch.true_edge_index[1]
+    true_edge_mask = batch.true_edge_mask & node_mask[ta] & node_mask[tb]
+    return batch.replace(
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        true_edge_mask=true_edge_mask,
+    )
+
+
+@dataclasses.dataclass
+class HitDropout:
+    """Trainer ``train_transform``: drop each hit independently with
+    probability ``p`` per step (deterministic in (seed, step)).
+
+    Changes the graph TOPOLOGY every step (edges incident to dropped hits
+    vanish), which regularizes models that would otherwise memorize
+    individual hits of a small dataset — the detector analog of feature
+    dropout. Physics note: real events genuinely differ in hit efficiency,
+    so subsampled events are valid events (cf. the reference's
+    ``PerfectEdgeClassification(tpr<1)`` noise injection,
+    ``models/edge_classifier.py:124-163``).
+    """
+
+    p: float = 0.1
+    seed: int = 0
+
+    def __call__(self, batch, step: int):
+        n = batch.node_mask.shape[0]
+        keep_np = np.random.default_rng([self.seed + 1_000_003, int(step)]).random(n) >= self.p
+        return drop_hits(batch, jnp.asarray(keep_np))
+
+
+@dataclasses.dataclass
+class Compose:
+    """Chain train transforms left to right."""
+
+    transforms: list
+
+    def __post_init__(self):
+        # accept {class_path, init_args} specs from YAML configs
+        resolved = []
+        for t in self.transforms:
+            if isinstance(t, dict) and "class_path" in t:
+                from gnn_tracking_tpu.training.config import obj_from_config
+
+                t = obj_from_config(t)
+            resolved.append(t)
+        self.transforms = resolved
+
+    def __call__(self, batch, step: int):
+        for t in self.transforms:
+            batch = t(batch, step)
+        return batch

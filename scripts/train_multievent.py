@@ -174,9 +174,10 @@ def stage_tc(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
             optax.clip_by_global_norm(1.0), optax.adam(2e-3)
         ),
     )
-    metrics = Trainer(max_epochs=epochs, log_dir=workdir / "runs_tc").fit(
-        module, dm
-    )
+    metrics = Trainer(
+        max_epochs=epochs, log_dir=workdir / "runs_tc",
+        monitor="trk.double_majority_pt0.9",
+    ).fit(module, dm)
     return {
         "tc." + k: metrics[k]
         for k in (
@@ -184,6 +185,7 @@ def stage_tc(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
             "trk.lhc_pt0.9",
             "trk.perfect_pt0.9",
             "trk.fake_double_majority_pt0.9",
+            "best_trk.double_majority_pt0.9",
         )
         if k in metrics
     }

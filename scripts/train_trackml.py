@@ -274,6 +274,7 @@ def stage_tc(
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
         train_transform=PhiRotation(seed=3),
+        monitor="trk.double_majority_pt0.9",
     )
     metrics = trainer.fit(module, dm)
     out = {}
@@ -283,9 +284,14 @@ def stage_tc(
         "trk.perfect_pt0.9",
         "trk.double_majority_pt1.5",
         "trk.fake_double_majority_pt0.9",
+        "best_trk.double_majority_pt0.9",
     ):
         if key in metrics:
             out["tc." + key] = metrics[key]
+    # best-epoch companion metrics (the model checkpoint_best serves)
+    for key, val in trainer.best_metrics.items():
+        if key.startswith("trk.") and "double_majority" in key:
+            out["tc.best_epoch." + key] = val
     return out
 
 

@@ -110,3 +110,38 @@ def test_run_logger(tmp_path):
     assert [h["loss"] for h in hist] == [0.5, 0.25]
     assert (tmp_path / "run_meta.json").exists()
     assert (tmp_path / "metrics.csv").read_text().count("\n") == 3
+
+
+def test_hit_dropout_masks_consistent():
+    """HitDropout: dropped hits disappear from node/edge/true-edge masks;
+    shapes unchanged; deterministic in (seed, step)."""
+    import numpy as np
+
+    from gnn_tracking_tpu.utils.augmentation import Compose, HitDropout, PhiRotation
+
+    from .test_training import make_graph
+
+    g = make_graph(0)
+    tr = HitDropout(p=0.3, seed=5)
+    g2 = tr(g, step=7)
+    assert g2.x.shape == g.x.shape
+    nm, em = np.asarray(g2.node_mask), np.asarray(g2.edge_mask)
+    src, dst = np.asarray(g2.edge_index)
+    # no surviving edge touches a dropped node
+    assert not (em & (~nm[src] | ~nm[dst])).any()
+    tm = np.asarray(g2.true_edge_mask)
+    ta, tb = np.asarray(g2.true_edge_index)
+    assert not (tm & (~nm[ta] | ~nm[tb])).any()
+    # some hits actually dropped, some survive
+    assert 0 < nm.sum() < np.asarray(g.node_mask).sum()
+    # deterministic
+    g3 = HitDropout(p=0.3, seed=5)(g, step=7)
+    np.testing.assert_array_equal(nm, np.asarray(g3.node_mask))
+    # different step -> different pattern (overwhelmingly likely)
+    g4 = tr(g, step=8)
+    assert (np.asarray(g4.node_mask) != nm).any()
+
+    # compose with rotation: both applied
+    g5 = Compose([PhiRotation(seed=1), HitDropout(p=0.3, seed=5)])(g, step=7)
+    np.testing.assert_array_equal(np.asarray(g5.node_mask), nm)
+    assert (np.asarray(g5.x) != np.asarray(g.x)).any()
