@@ -229,7 +229,8 @@ def stage_ml(
 
 
 def stage_tc(
-    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None
+    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
+    *, h_outdim: int = 4, hidden_dim: int = 48, dropout: float = 0.0,
 ) -> dict[str, float]:
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
@@ -257,7 +258,8 @@ def stage_tc(
     # bundled event; the earlier pure-potential recipe collapsed to 0.016.
     module = TCModule(
         model=PerfectECGraphTCN(
-            h_dim=16, e_dim=16, h_outdim=4, hidden_dim=48, L_hc=3
+            h_dim=16, e_dim=16, h_outdim=h_outdim, hidden_dim=hidden_dim,
+            L_hc=3,
         ),
         loss_fct=CondensationLossTiger(
             q_min=0.5, lw_noise=1.0, lw_coward=0.5, max_n_objects=512
@@ -269,11 +271,18 @@ def stage_tc(
             optax.clip_by_global_norm(1.0), optax.adam(2e-3)
         ),
     )
-    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+    from gnn_tracking_tpu.utils.augmentation import (
+        Compose,
+        HitDropout,
+        PhiRotation,
+    )
 
+    transform = PhiRotation(seed=3)
+    if dropout > 0:
+        transform = Compose([transform, HitDropout(p=dropout, seed=3)])
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
-        train_transform=PhiRotation(seed=3),
+        train_transform=transform,
         monitor="trk.double_majority_pt0.9",
     )
     metrics = trainer.fit(module, dm)
@@ -315,6 +324,13 @@ def main() -> None:
         action="store_true",
         help="run on the TPU (default: force the CPU backend in-process)",
     )
+    parser.add_argument("--tc-h-outdim", type=int, default=4)
+    parser.add_argument("--tc-hidden", type=int, default=48)
+    parser.add_argument(
+        "--tc-dropout", type=float, default=0.0,
+        help="per-step hit-dropout probability for the TC stage "
+        "(topology-changing regularizer, utils/augmentation.HitDropout)",
+    )
     parser.add_argument(
         "--n-sectors", type=int, default=1,
         help="azimuthal sectors to split the event into (>1 enables --holdout)",
@@ -353,7 +369,11 @@ def main() -> None:
         )
     if "C" in stages:
         results.update(
-            stage_tc(graph_dir, args.workdir, args.epochs_tc, val_dir=g_val)
+            stage_tc(
+                graph_dir, args.workdir, args.epochs_tc, val_dir=g_val,
+                h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
+                dropout=args.tc_dropout,
+            )
         )
 
     side = (
