@@ -134,7 +134,7 @@ def stage_ec(
 
 def stage_ml(
     pc_dir: Path, workdir: Path, epochs: int, ks: tuple[int, ...] = (8, 12, 16),
-    val_dir: Path | None = None,
+    val_dir: Path | None = None, dropout: float = 0.0,
 ) -> dict[str, float]:
     import optax
 
@@ -181,11 +181,18 @@ def stage_ml(
             optax.cosine_decay_schedule(2e-3, decay_steps=epochs, alpha=0.01)
         ),
     )
-    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+    from gnn_tracking_tpu.utils.augmentation import (
+        Compose,
+        HitDropout,
+        PhiRotation,
+    )
 
+    transform = PhiRotation(seed=2)
+    if dropout > 0:
+        transform = Compose([transform, HitDropout(p=dropout, seed=2)])
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_ml",
-        train_transform=PhiRotation(seed=2),
+        train_transform=transform,
     )
     trainer.fit(module, dm)
 
@@ -324,6 +331,10 @@ def main() -> None:
         action="store_true",
         help="run on the TPU (default: force the CPU backend in-process)",
     )
+    parser.add_argument(
+        "--ml-dropout", type=float, default=0.0,
+        help="per-step hit-dropout probability for the ML stage",
+    )
     parser.add_argument("--tc-h-outdim", type=int, default=4)
     parser.add_argument("--tc-hidden", type=int, default=48)
     parser.add_argument(
@@ -365,7 +376,10 @@ def main() -> None:
         )
     if "B" in stages:
         results.update(
-            stage_ml(pc_dir, args.workdir, args.epochs_ml, val_dir=pc_val)
+            stage_ml(
+                pc_dir, args.workdir, args.epochs_ml, val_dir=pc_val,
+                dropout=args.ml_dropout,
+            )
         )
     if "C" in stages:
         results.update(
