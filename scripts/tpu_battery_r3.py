@@ -1150,6 +1150,45 @@ def exp_ivfcfg():
                n_uncert=int(unc))
 
 
+def exp_vmapserve():
+    """predict_batch smoke on hardware: the fixed-τ filter radius kernel
+    (round-4 dispatch fix) now runs under vmap inside _predict_batch_fn —
+    pallas_call batching on TPU is exactly the thing CPU tests can't
+    cover. Small shapes; correctness vs per-event predict."""
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.inference import TrackingPredictor
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.restore import BoundModel
+
+    rng = np.random.default_rng(11)
+    n, e = 2048, 8192
+    graphs = []
+    for s in range(3):
+        x = rng.normal(size=(n, 14)).astype(np.float32)
+        dst = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        src = np.clip(dst + rng.integers(-64, 64, size=e), 0, n - 1).astype(np.int32)
+        graphs.append(EventGraph.from_arrays(
+            x=x, edge_index=np.stack([src, dst]),
+            edge_attr=rng.normal(size=(e, 4)).astype(np.float32),
+            y=(rng.random(e) < 0.3).astype(np.float32),
+        ))
+    model = GraphTCN(h_dim=8, e_dim=8, h_outdim=4, hidden_dim=16,
+                     L_ec=1, L_hc=1)
+    params = model.init(jax.random.PRNGKey(0), graphs[0])["params"]
+    pred = TrackingPredictor(BoundModel(model, params), eps=0.3,
+                             max_num_neighbors=32)
+    try:
+        singles = [pred.predict(g)["labels"] for g in graphs]
+        batched = pred.predict_batch(graphs)
+        same = all(
+            (np.asarray(b["labels"]) == np.asarray(s)).all()
+            for b, s in zip(batched, singles)
+        )
+        report("vmapserve", ok=True, labels_match=bool(same))
+    except Exception as ex:
+        report("vmapserve", ok=False, error=describe(ex)[:400])
+
+
 def exp_ivfcfg2():
     """262k kNN after the spill-probe ladder (round-4): bucketing stats
     (n_spill/n_resid — do the expensive passes even trigger at bench
@@ -1211,6 +1250,7 @@ def exp_ivfcfg2():
 EXPS = {
     "anatomy": exp_anatomy,
     "ivfcfg2": exp_ivfcfg2,
+    "vmapserve": exp_vmapserve,
     "membw3": exp_membw3,
     "radius": exp_radius,
     "ivfcfg": exp_ivfcfg,
