@@ -198,10 +198,13 @@ def ivf_knn(
         )
     if cand_cap is None:
         # a wider CANDIDATE table costs the Pallas probe almost nothing
-        # (~+1.5 ms/probed cell) and lets the all-queries extra-set scan
-        # (battery #13: ~429 ms) be skipped whenever the widened table
-        # swallows every spill (the usual case)
-        cand_cap = cell_cap + cell_cap // 2 if probe_impl == "pallas" else cell_cap
+        # and lets the all-queries extra-set scan + full rerank be skipped
+        # whenever the widened table swallows every residual. Battery #25
+        # (262k clustered): cand_cap=1.5x cell_cap left n_resid=166 ->
+        # extra pass + full rerank ran (711 ms); 8/3x (=256 at cap 96)
+        # swallowed everything -> 369 ms, certified exact, 0/512 oracle
+        # misses.
+        cand_cap = cell_cap * 8 // 3 if probe_impl == "pallas" else cell_cap
     cand_cap = max(cand_cap, cell_cap)
     # candidate width: carry k+8 candidates through every merge, then
     # re-rank with the direct (q-p)^2 formula at the end — the norm
