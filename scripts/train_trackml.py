@@ -238,6 +238,7 @@ def stage_ml(
 def stage_tc(
     graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
     *, h_outdim: int = 4, hidden_dim: int = 48, dropout: float = 0.0,
+    cosine: bool = False,
 ) -> dict[str, float]:
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
@@ -275,7 +276,12 @@ def stage_tc(
             eps_range=(0.01, 0.5), n_trials=12, keep_best=4, seed=0
         ),
         optimizer=optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adam(2e-3)
+            optax.clip_by_global_norm(1.0),
+            optax.adam(
+                optax.cosine_decay_schedule(2e-3, 3 * epochs, alpha=0.02)
+                if cosine
+                else 2e-3
+            ),
         ),
     )
     from gnn_tracking_tpu.utils.augmentation import (
@@ -343,6 +349,10 @@ def main() -> None:
         "(topology-changing regularizer, utils/augmentation.HitDropout)",
     )
     parser.add_argument(
+        "--tc-cosine", action="store_true",
+        help="cosine-decay the TC lr over the run (stabilizes late epochs)",
+    )
+    parser.add_argument(
         "--n-sectors", type=int, default=1,
         help="azimuthal sectors to split the event into (>1 enables --holdout)",
     )
@@ -386,7 +396,7 @@ def main() -> None:
             stage_tc(
                 graph_dir, args.workdir, args.epochs_tc, val_dir=g_val,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
-                dropout=args.tc_dropout,
+                dropout=args.tc_dropout, cosine=args.tc_cosine,
             )
         )
 
