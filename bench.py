@@ -34,6 +34,21 @@ from pathlib import Path
 
 import numpy as np
 
+# Persistent XLA compilation cache: compiles through the axon tunnel run
+# ~6 min for the EC step alone on a degraded relay (2026-08-20 trial), and
+# the bench re-compiles identical programs every round — warm the cache
+# across runs. Harmless on CPU; ignored if the plugin can't serialize.
+try:
+    import jax as _jax_for_cache
+
+    _cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).parent / ".jax_cache")
+    )
+    _jax_for_cache.config.update("jax_compilation_cache_dir", _cache)
+    _jax_for_cache.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - cache is best-effort
+    pass
+
 # --- benchmark configuration (paper-scale EC on a pixel-sector graph) ---
 N_NODES = 32768
 N_EDGES = 262144
@@ -511,8 +526,14 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    def _note(msg):
+        print(f"# bench +{time.perf_counter() - t_note0:.0f}s: {msg}",
+              file=sys.stderr, flush=True)
+
+    t_note0 = time.perf_counter()
     mode = os.environ.get("BENCH_MODE", "auto")
     cpu = get_cpu_baseline()
+    _note("cpu baseline ready")
     t_start = time.perf_counter()
     extra = {}
     if mode == "auto":
@@ -527,6 +548,7 @@ def main():
                 results[m] = bench_tpu(m)
             except Exception as e:  # noqa: BLE001
                 extra[m + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            _note(f"ec mode {m} done")
         mode, tpu = max(results.items(), key=lambda kv: kv[1])
         for m, v in results.items():
             extra[m + "_edges_per_s"] = round(v)
@@ -558,6 +580,7 @@ def main():
                 extra.update({k: round(v, 3) for k, v in fn().items()})
             except Exception as e:  # noqa: BLE001
                 extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            _note(f"extra {name} done")
     done.set()
     target = 5.0 * cpu
     print(

@@ -70,20 +70,24 @@ def build_data(trackml_dir: Path, workdir: Path, n_sectors: int = 1):
 
 
 def split_sectors(
-    src_dir: Path, workdir: Path, tag: str, holdout: int, n_sectors: int
+    src_dir: Path, workdir: Path, tag: str, holdout: int, n_sectors: int,
+    fold: int | None = None,
 ) -> tuple[Path, Path]:
-    """Symlink-split per-sector files into train/val dirs: the LAST
-    ``holdout`` sector indices are held out (azimuthal sectors are
-    statistically exchangeable, so any fixed split is unbiased). This is
-    the single-event analog of the reference's event-level train/val
-    directories (reference ``utils/loading.py`` TrackingDataModule)."""
+    """Symlink-split per-sector files into train/val dirs: ``holdout``
+    consecutive sector indices starting at ``fold`` (default: the last
+    ``holdout``) are held out (azimuthal sectors are statistically
+    exchangeable, so any fixed split is unbiased; sweeping ``fold`` gives
+    k-fold cross-validation). This is the single-event analog of the
+    reference's event-level train/val directories (reference
+    ``utils/loading.py`` TrackingDataModule)."""
     train_dir = workdir / f"{tag}_train"
     val_dir = workdir / f"{tag}_val"
     for d in (train_dir, val_dir):
         d.mkdir(parents=True, exist_ok=True)
         for f in d.glob("*.npz"):
             f.unlink()
-    val_sectors = set(range(n_sectors - holdout, n_sectors))
+    start = n_sectors - holdout if fold is None else fold
+    val_sectors = {(start + i) % n_sectors for i in range(holdout)}
     for f in sorted(src_dir.glob("*.npz")):
         s = int(f.stem.rsplit("_s", 1)[1])
         dst = (val_dir if s in val_sectors else train_dir) / f.name
@@ -361,6 +365,11 @@ def main() -> None:
         help="number of sectors held out for validation: all reported "
         "metrics then come from sectors the model never trained on",
     )
+    parser.add_argument(
+        "--fold", type=int, default=None,
+        help="first held-out sector index (default: last `holdout` "
+        "sectors); sweep 0..n_sectors-1 for cross-validation",
+    )
     args = parser.parse_args()
     if args.holdout and args.holdout >= args.n_sectors:
         parser.error("--holdout must be < --n-sectors")
@@ -374,10 +383,12 @@ def main() -> None:
     pc_val = g_val = None
     if args.holdout:
         pc_dir, pc_val = split_sectors(
-            pc_dir, args.workdir, "pc", args.holdout, args.n_sectors
+            pc_dir, args.workdir, "pc", args.holdout, args.n_sectors,
+            fold=args.fold,
         )
         graph_dir, g_val = split_sectors(
-            graph_dir, args.workdir, "graphs", args.holdout, args.n_sectors
+            graph_dir, args.workdir, "graphs", args.holdout, args.n_sectors,
+            fold=args.fold,
         )
     stages = {s.strip().upper() for s in args.stages.split(",")}
     if "A" in stages:
