@@ -316,7 +316,12 @@ def stage_tc(
             out["tc." + key] = metrics[key]
     # best-epoch companion metrics (the model checkpoint_best serves)
     for key, val in trainer.best_metrics.items():
-        if key.startswith("trk.") and "double_majority" in key:
+        if (
+            key.startswith("trk.")
+            and "double_majority" in key
+            and not key.endswith("_std")
+            and np.isfinite(val)
+        ):
             out["tc.best_epoch." + key] = val
     return out
 
