@@ -138,7 +138,10 @@ def stage_ec(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
     }
 
 
-def stage_tc(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
+def stage_tc(
+    train_dir, val_dir, workdir, epochs, *, h_outdim: int = 4,
+    hidden_dim: int = 48,
+) -> dict[str, float]:
     import optax
 
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
@@ -162,7 +165,8 @@ def stage_tc(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
     # stage-C recipe from scripts/train_trackml.py (sweep 2026-08-17)
     module = TCModule(
         model=PerfectECGraphTCN(
-            h_dim=16, e_dim=16, h_outdim=4, hidden_dim=48, L_hc=3
+            h_dim=16, e_dim=16, h_outdim=h_outdim, hidden_dim=hidden_dim,
+            L_hc=3,
         ),
         loss_fct=CondensationLossTiger(
             q_min=0.5, lw_noise=1.0, lw_coward=0.5, max_n_objects=512
@@ -204,6 +208,8 @@ def main() -> None:
     parser.add_argument("--epochs-ec", type=int, default=40)
     parser.add_argument("--epochs-tc", type=int, default=300)
     parser.add_argument("--stages", default="A,C")
+    parser.add_argument("--tc-h-outdim", type=int, default=4)
+    parser.add_argument("--tc-hidden", type=int, default=48)
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument("--tpu", action="store_true")
     args = parser.parse_args()
@@ -220,7 +226,12 @@ def main() -> None:
     if "A" in stages:
         results.update(stage_ec(train_dir, val_dir, args.workdir, args.epochs_ec))
     if "C" in stages:
-        results.update(stage_tc(train_dir, val_dir, args.workdir, args.epochs_tc))
+        results.update(
+            stage_tc(
+                train_dir, val_dir, args.workdir, args.epochs_tc,
+                h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
+            )
+        )
 
     print(
         f"\n=== Multi-event generalization ({args.n_events - 1} train events, "
