@@ -1150,6 +1150,123 @@ def exp_ivfcfg():
                n_uncert=int(unc))
 
 
+def exp_fdattr():
+    """Attribution of the 3.25 s/step full-detector datum (BASELINE
+    config 5; naive scale-up of the 92.7 ms bench TC step predicts
+    0.76 s). Arms at the REAL fd event (267k hits / 2.14M edges, bf16):
+    plain fwd, plain fwd+bwd (remat on/off), edge-BCE-only step, the
+    sharded condensation loss alone, and the full sharded trainer step."""
+    import optax
+
+    from train_fulldetector import full_detector_event
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.sharded_tc import (
+        partition_condensation,
+        sharded_condensation_loss,
+    )
+    from gnn_tracking_tpu.parallel.halo import partition_event
+
+    n_tracks = 512 if SMOKE else 16384
+    g = full_detector_event(0, n_tracks=n_tracks).sort_edges_by_target()
+    gb = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+    iters = 2 if SMOKE else 5
+    for remat in (True, False):
+        model = GraphTCN(
+            h_dim=32, e_dim=32, h_outdim=8, hidden_dim=128,
+            L_ec=6, L_hc=3, sorted_edges=True, remat=remat,
+        )
+        params = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16),
+            model.init(jax.random.PRNGKey(0), gb),
+        )
+        tag = "remat" if remat else "noremat"
+        try:
+            fwd = lambda p, g_: sum(
+                v.astype(jnp.float32).sum()
+                for k, v in model.apply(p, g_).items()
+                if k in ("W", "H", "B")
+            )
+            c = jax.jit(fwd).lower(params, gb).compile()
+            sync(c(params, gb))
+            report(f"fdattr_fwd_{tag}",
+                   ms=timeit(lambda: c(params, gb), iters=iters) * 1e3)
+            fb = jax.jit(jax.grad(fwd)).lower(params, gb).compile()
+            sync(jax.tree.leaves(fb(params, gb))[0])
+            report(f"fdattr_fb_{tag}",
+                   ms=timeit(lambda: fb(params, gb), iters=iters) * 1e3)
+        except Exception as ex:
+            report(f"fdattr_{tag}", error=describe(ex)[:300])
+        if not remat:
+            continue
+        # edge-BCE-only adam step (isolates model + optimizer, no TC loss)
+        try:
+            tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+            opt_state = tx.init(params)
+
+            def step(p, s, g_):
+                def loss(p):
+                    w = model.apply(p, g_)["W"].astype(jnp.float32)
+                    return binary_focal_loss(
+                        inpt=w, target=g_.y.astype(jnp.float32)
+                    )
+
+                l, gr = jax.value_and_grad(loss)(p)
+                up, s = tx.update(gr, s, p)
+                return optax.apply_updates(p, up), s, l
+
+            cs = jax.jit(step).lower(params, opt_state, gb).compile()
+            p2, s2, l = cs(params, opt_state, gb)
+            sync(l)
+            report("fdattr_edgestep_remat",
+                   ms=timeit(lambda: cs(params, opt_state, gb), iters=iters) * 1e3)
+        except Exception as ex:
+            report("fdattr_edgestep", error=describe(ex)[:300])
+
+    # sharded condensation loss alone (1-shard partition, fwd+bwd)
+    try:
+        sg = partition_event(g, 1, sort_edges=True)
+        cd = partition_condensation(g, sg, max_n_objects=512)
+        h0 = jnp.asarray(
+            np.random.default_rng(0).normal(size=(sg.x.shape[1], 8)),
+            jnp.float32,
+        )
+        beta0 = jnp.asarray(
+            np.random.default_rng(1).random(sg.x.shape[1]), jnp.float32
+        )
+        cd1 = jax.tree.map(lambda v: v[0] if hasattr(v, "shape") and v.ndim and v.shape[0] == 1 else v, cd)
+
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]), ("graph",))
+
+        def tc_loss(h, b):
+            def body(h_, b_):
+                out = sharded_condensation_loss(
+                    b_, h_, cd1, q_min=0.01, max_n_objects=512,
+                    axis_name="graph",
+                )
+                return sum(v for v in out.values())
+
+            return shard_map(
+                body, mesh=mesh1, in_specs=(P("graph"), P("graph")),
+                out_specs=P(),
+            )(h, b)
+
+        cl = jax.jit(jax.grad(tc_loss, argnums=(0, 1))).lower(h0, beta0).compile()
+        sync(cl(h0, beta0)[0])
+        report("fdattr_tcloss_fb",
+               ms=timeit(lambda: cl(h0, beta0), iters=iters) * 1e3)
+    except Exception as ex:
+        report("fdattr_tcloss", error=describe(ex)[:300])
+
+
 def exp_vmapserve():
     """predict_batch smoke on hardware: the fixed-τ filter radius kernel
     (round-4 dispatch fix) now runs under vmap inside _predict_batch_fn —
@@ -1251,6 +1368,7 @@ EXPS = {
     "anatomy": exp_anatomy,
     "ivfcfg2": exp_ivfcfg2,
     "vmapserve": exp_vmapserve,
+    "fdattr": exp_fdattr,
     "membw3": exp_membw3,
     "radius": exp_radius,
     "ivfcfg": exp_ivfcfg,
