@@ -1231,7 +1231,9 @@ def exp_fdattr():
     # sharded condensation loss alone (1-shard partition, fwd+bwd)
     try:
         sg = partition_event(g, 1, sort_edges=True)
-        cd = partition_condensation(g, sg, max_n_objects=512)
+        cd = partition_condensation(
+            g, sg, max_n_objects=512, subsample_seed=1000
+        )
         h0 = jnp.asarray(
             np.random.default_rng(0).normal(size=(sg.x.shape[1], 8)),
             jnp.float32,
