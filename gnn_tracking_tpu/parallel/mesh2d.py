@@ -174,7 +174,67 @@ class DataGraphTCNTrainer:
         self.opt_state = self.tx.init(self.params)
 
     # ------------------------------------------------------------------
+    def _build_step_single(self, sgs: ShardedGraph) -> Callable:
+        """1x1-mesh fast path: no shard_map, no halo exchange, identity
+        collectives. Battery #26 (full-detector, 267k hits / 2.1M edges):
+        the shard_map + halo machinery cost ~1.4 s/step with nothing to
+        exchange — this path runs the same losses with axis_name=None on
+        the plain EventGraph view."""
+        from gnn_tracking_tpu.parallel.sharded_model import shard_as_eventgraph
+
+        n_local = sgs.x.shape[2]
+        loss_keys = ["attractive", "repulsive", "coward", "noise", "edge"]
+
+        def loss_fn(params, sg_in, cd_in):
+            sg_l = self._slice_local(sg_in)
+            cd_l = self._slice_cd(cd_in)
+            if self.precision == "bf16":
+
+                def _cast(v):
+                    if hasattr(v, "dtype") and v.dtype == jnp.float32:
+                        return v.astype(jnp.bfloat16)
+                    return v
+
+                params = jax.tree.map(_cast, params)
+                sg_l = jax.tree.map(_cast, sg_l)
+            data = shard_as_eventgraph(sg_l)
+            # inner module directly (params stay nested under model/ for
+            # checkpoint compatibility with the sharded path)
+            out = self.model.model.apply({"params": params["model"]}, data)
+            h, beta, w = (
+                out["H"].astype(jnp.float32),
+                out["B"].astype(jnp.float32),
+                out["W"].astype(jnp.float32),
+            )
+            losses = sharded_condensation_loss(
+                beta, h, cd_l, q_min=self.q_min,
+                max_n_objects=self.max_n_objects, axis_name=None,
+            )
+            losses["edge"] = sharded_edge_bce(
+                w, sg_l.y, sg_l.edge_mask, None
+            )
+            total = sum(
+                self.loss_weights.get(k, 0.0) * v for k, v in losses.items()
+            )
+            return total, {k: losses[k] for k in loss_keys}
+
+        def step(params, opt_state, sg_in, cd_in):
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, sg_in, cd_in
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses["total"] = total
+            return params, opt_state, losses
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
     def _build_step(self, sgs: ShardedGraph) -> Callable:
+        if self.mesh.devices.size == 1:
+            return self._build_step_single(sgs)
+        return self._build_step_sharded(sgs)
+
+    def _build_step_sharded(self, sgs: ShardedGraph) -> Callable:
         from jax import shard_map
 
         spec_sg = jax.tree_util.tree_map(lambda _: P("data", "graph"), sgs)

@@ -119,16 +119,20 @@ def sharded_edge_bce(
     w: jax.Array,
     y: jax.Array,
     edge_mask: jax.Array,
-    axis_name: str = "graph",
+    axis_name: str | None = "graph",
 ) -> jax.Array:
     """Globally-reduced masked binary cross-entropy over sharded edge weights
     (the EC loss term of the full GraphTCN; reference
     ``metrics/losses/ec.py:19-42``). Per-shard masked sums, psum over the
-    graph axis — exactly the unsharded masked mean."""
+    graph axis — exactly the unsharded masked mean. ``axis_name=None``:
+    single-shard mode (no collectives)."""
     m = edge_mask.astype(w.dtype)
     bce = -(y * jnp.log(w) + (1.0 - y) * jnp.log(1.0 - w))
-    s = jax.lax.psum(jnp.sum(bce * m), axis_name)
-    c = jax.lax.psum(jnp.sum(m), axis_name)
+    s = jnp.sum(bce * m)
+    c = jnp.sum(m)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        c = jax.lax.psum(c, axis_name)
     return s / jnp.maximum(c, 1.0)
 
 

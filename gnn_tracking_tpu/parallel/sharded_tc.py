@@ -125,13 +125,22 @@ def sharded_condensation_loss(
     *,
     q_min: float = 0.01,
     max_n_objects: int,
-    axis_name: str = "graph",
+    axis_name: str | None = "graph",
 ) -> dict[str, jax.Array]:
     """Per-shard body (call inside ``shard_map``): the tiger condensation
     loss with cross-shard reductions. Inputs are this shard's slices
     ([N_loc], [N_loc, D], per-shard `ShardedCondensationData` views).
     Returns the (replicated) loss dict.
+
+    ``axis_name=None``: single-shard mode — all collectives become
+    identities, so the SAME loss body runs unsharded (the 1x1-mesh fast
+    path; battery #26: shard_map machinery cost ~1.4 s/step at
+    full-detector scale with nothing to exchange).
     """
+    if axis_name is None:
+        _pmax = _pmin = _psum = lambda v, _axis: v
+    else:
+        _pmax, _pmin, _psum = jax.lax.pmax, jax.lax.pmin, jax.lax.psum
     k = max_n_objects
     col = cd_local.obj_col  # [N_loc], -1 if not a member
     member = col >= 0
@@ -148,20 +157,20 @@ def sharded_condensation_loss(
         jnp.where(member, q_sel, -jnp.inf), col_safe, num_segments=k + 1
     )[:k]
     local_max = jnp.where(jnp.isfinite(local_max), local_max, -jnp.inf)
-    global_max = jax.lax.pmax(local_max, axis_name)  # [K]
+    global_max = _pmax(local_max, axis_name)  # [K]
 
     # tie-break toward the smallest global hit index
     is_max_hit = member & (q_sel == global_max[col_safe.clip(0, k - 1)])
     cand_idx = jnp.where(is_max_hit, cd_local.global_index, jnp.int32(2**30))
     local_best_idx = jax.ops.segment_min(cand_idx, col_safe, num_segments=k + 1)[:k]
-    global_best_idx = jax.lax.pmin(local_best_idx, axis_name)  # [K]
+    global_best_idx = _pmin(local_best_idx, axis_name)  # [K]
     is_cp = is_max_hit & (cd_local.global_index == global_best_idx[col_safe.clip(0, k - 1)])
 
     # ---- CP features via psum scatter ----
     def cp_reduce(values):
         vals = jnp.where(is_cp.reshape((-1,) + (1,) * (values.ndim - 1)), values, 0)
         local = jax.ops.segment_sum(vals, col_safe, num_segments=k + 1)[:k]
-        return jax.lax.psum(local, axis_name)
+        return _psum(local, axis_name)
 
     x_k = cp_reduce(x_local)  # [K, D]
     beta_k = cp_reduce(beta_local)  # [K]
@@ -182,7 +191,7 @@ def sharded_condensation_loss(
         (col[:, None] == jnp.arange(k)[None, :]) & member[:, None]
     ) & cd_local.obj_valid[None, :]
     qw = q[:, None] * q_k[None, :]
-    v_att = jax.lax.psum(
+    v_att = _psum(
         jnp.sum(jnp.where(attractive, qw * dist_sq, 0.0)), axis_name
     )
 
@@ -192,17 +201,17 @@ def sharded_condensation_loss(
         & cd_local.node_mask[:, None]
         & cd_local.obj_valid[None, :]
     )
-    v_rep = jax.lax.psum(
+    v_rep = _psum(
         jnp.sum(jnp.where(repulsive, qw * (1 - dist), 0.0)), axis_name
     )
 
     coward = jnp.sum(jnp.where(cd_local.obj_valid, 1 - beta_k, 0.0)) / jnp.maximum(
         cd_local.n_objects, 1
     )
-    noise_sum = jax.lax.psum(
+    noise_sum = _psum(
         jnp.sum(jnp.where(cd_local.is_noise, beta_local, 0.0)), axis_name
     )
-    noise_count = jax.lax.psum(cd_local.is_noise.sum(), axis_name)
+    noise_count = _psum(cd_local.is_noise.sum(), axis_name)
 
     n_obj = cd_local.n_objects
     norm_rep = _EPS + (n_obj - 1) * cd_local.n_hits

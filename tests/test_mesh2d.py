@@ -111,3 +111,50 @@ def test_2d_forward_matches_1d():
         np.testing.assert_allclose(
             np.asarray(w2[i]), np.asarray(w1), rtol=1e-6, atol=1e-8
         )
+
+
+def test_single_device_fast_path_matches_shard_map():
+    """The 1x1-mesh fast path (no shard_map/halo, identity collectives)
+    must produce the same losses and updated params as the general path."""
+    import copy
+
+    import jax
+    import numpy as np
+
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.halo import partition_event
+    from gnn_tracking_tpu.parallel.mesh2d import (
+        DataGraphTCNTrainer,
+        make_data_graph_mesh,
+        stack_sharded,
+    )
+    from gnn_tracking_tpu.parallel.sharded_tc import partition_condensation
+
+    from .test_training import make_graph
+
+    g = make_graph(0)
+    sg = partition_event(g, 1, sort_edges=True)
+    cd = partition_condensation(g, sg, max_n_objects=16, subsample_seed=0)
+    sgs, cds = stack_sharded([sg]), stack_sharded([cd])
+
+    mesh = make_data_graph_mesh(1, 1)
+    model = GraphTCN(h_dim=8, e_dim=8, h_outdim=4, hidden_dim=16,
+                     L_ec=1, L_hc=1, sorted_edges=True)
+
+    t1 = DataGraphTCNTrainer(mesh, model=model, max_n_objects=16)
+    t1.init(jax.random.PRNGKey(0), sgs)
+    t2 = DataGraphTCNTrainer(mesh, model=model, max_n_objects=16)
+    t2.params = copy.deepcopy(t1.params)
+    t2.opt_state = t2.tx.init(t2.params)
+
+    # force each path explicitly
+    t1._step = t1._build_step_single(sgs)
+    t2._step = t2._build_step_sharded(sgs)
+    h1 = t1.training_step(sgs, cds)
+    h2 = t2.training_step(sgs, cds)
+    for k in h2:
+        np.testing.assert_allclose(h1[k], h2[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    for p1, p2 in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-4, atol=1e-5)
