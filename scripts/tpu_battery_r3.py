@@ -1150,6 +1150,66 @@ def exp_ivfcfg():
                n_uncert=int(unc))
 
 
+def exp_dbattr():
+    """Serving DBSCAN stage attribution (battery #25: DBSCAN is now the
+    largest serving stage at 104 of 301 ms). Pieces at serving scale
+    (pid-structured latent, 2048 tracks, cap 64): degree/core, neighbor-CC
+    label propagation, compact_labels, full dbscan_from_graph."""
+    from gnn_tracking_tpu.ops.cc import (
+        compact_labels,
+        connected_components_neighbors,
+    )
+    from gnn_tracking_tpu.ops.dbscan import dbscan_from_graph
+    from gnn_tracking_tpu.ops.knn import radius_graph
+
+    rng = np.random.default_rng(7)
+    n = 2048 if SMOKE else 32768
+    n_tracks = n // 16
+    pid = rng.integers(0, n_tracks, size=n)
+    centers = rng.normal(size=(n_tracks, 8)).astype(np.float32)
+    h = jnp.asarray(
+        centers[pid] + 0.02 * rng.normal(size=(n, 8)).astype(np.float32)
+    )
+    eps, cap = 0.3, 64
+    ei, em, d = sync(radius_graph(h, eps, max_num_neighbors=cap, loop=False))
+    report("dbattr_radius", ms=timeit(
+        lambda: radius_graph(h, eps, max_num_neighbors=cap, loop=False)[2].sum(),
+        iters=ITERS) * 1e3)
+
+    src2d = ei[0].reshape(n, cap)
+    within2d = (em & (d <= eps)).reshape(n, cap)
+
+    def deg_core(w2d):
+        deg = jnp.sum(w2d, axis=1)
+        return (deg + 1 >= 1).sum()
+
+    cdc = jax.jit(deg_core).lower(within2d).compile()
+    sync(cdc(within2d))
+    report("dbattr_degcore", ms=timeit(lambda: cdc(within2d), iters=ITERS) * 1e3)
+
+    ccc = jax.jit(
+        lambda s, w: connected_components_neighbors(s, w).astype(jnp.float32).sum()
+    ).lower(src2d, within2d).compile()
+    sync(ccc(src2d, within2d))
+    report("dbattr_cc", ms=timeit(lambda: ccc(src2d, within2d), iters=ITERS) * 1e3)
+
+    comp = sync(connected_components_neighbors(src2d, within2d))
+    ccl = jax.jit(
+        lambda c: compact_labels(c, valid=jnp.ones((n,), bool), noise_value=-1).max()
+    ).lower(comp).compile()
+    sync(ccl(comp))
+    report("dbattr_compact", ms=timeit(lambda: ccl(comp), iters=ITERS) * 1e3)
+
+    cdb = jax.jit(
+        lambda ei_, d_, em_: dbscan_from_graph(
+            ei_, d_, n, eps=eps, min_samples=1, edge_mask=em_,
+            neighbor_cap=cap,
+        ).max()
+    ).lower(ei, d, em).compile()
+    sync(cdb(ei, d, em))
+    report("dbattr_full", ms=timeit(lambda: cdb(ei, d, em), iters=ITERS) * 1e3)
+
+
 def exp_fdattr():
     """Attribution of the 3.25 s/step full-detector datum (BASELINE
     config 5; naive scale-up of the 92.7 ms bench TC step predicts
@@ -1371,6 +1431,7 @@ EXPS = {
     "ivfcfg2": exp_ivfcfg2,
     "vmapserve": exp_vmapserve,
     "fdattr": exp_fdattr,
+    "dbattr": exp_dbattr,
     "membw3": exp_membw3,
     "radius": exp_radius,
     "ivfcfg": exp_ivfcfg,
