@@ -63,8 +63,7 @@ def connected_components(
 
     def body(state):
         labels, _, it = state
-        # two sweeps per convergence check (see connected_components_neighbors)
-        return propagate(propagate(labels)), labels, it + 1
+        return propagate(labels), labels, it + 1
 
     labels0 = propagate(init)
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
@@ -103,11 +102,7 @@ def connected_components_neighbors(
 
     def body(state):
         labels, _, it = state
-        # two sweeps per iteration: the loop cost is iteration latency,
-        # not bandwidth (battery #27: 31.8 ms for ~2 ms/sweep of bytes) —
-        # doubling the work per convergence check halves the latency bill
-        # for the common just-a-few-sweeps case
-        return propagate(propagate(labels)), labels, it + 1
+        return propagate(labels), labels, it + 1
 
     labels0 = propagate(init)
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
@@ -154,8 +149,7 @@ def connected_components_neighbors_many(
 
     def body(state):
         labels, _, it = state
-        # two sweeps per convergence check (see connected_components_neighbors)
-        return propagate(propagate(labels)), labels, it + 1
+        return propagate(labels), labels, it + 1
 
     labels0 = propagate(init)
     labels, _, _ = jax.lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
