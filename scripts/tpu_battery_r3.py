@@ -1150,6 +1150,49 @@ def exp_ivfcfg():
                n_uncert=int(unc))
 
 
+def exp_servefwd():
+    """Serving-forward attribution: battery #25 measured the GraphTCN
+    forward at ~114-141 ms while the EC fwd is 23.5 ms and each HC layer
+    ~4 ms — where do the other ~75 ms go? Arms: EC alone, full GraphTCN,
+    GraphTCN pieces via L_hc sweep, f32 vs bf16, sorted vs not."""
+    from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+
+    g = _bench_graph()
+
+    def arm(tag, model, graph):
+        try:
+            params = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16),
+                model.init(jax.random.PRNGKey(0), graph),
+            )
+            fn = jax.jit(
+                lambda p, g_: sum(
+                    v.astype(jnp.float32).sum()
+                    for k, v in model.apply(p, g_).items()
+                    if k in ("W", "H", "B") and v is not None
+                )
+            ).lower(params, graph).compile()
+            sync(fn(params, graph))
+            report(tag, ms=timeit(lambda: fn(params, graph), iters=ITERS) * 1e3)
+        except Exception as ex:
+            report(tag, error=describe(ex)[:300])
+
+    arm("servefwd_ec_only", ECForGraphTCN(
+        interaction_node_dim=IDIM, interaction_edge_dim=IDIM,
+        hidden_dim=HDIM, L_ec=L_FULL, sorted_edges=True), g)
+    for lhc in (0, 1, 3):
+        arm(f"servefwd_gtcn_Lhc{lhc}", GraphTCN(
+            h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM,
+            L_ec=L_FULL, L_hc=lhc, sorted_edges=True), g)
+    arm("servefwd_gtcn_unsorted", GraphTCN(
+        h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM,
+        L_ec=L_FULL, L_hc=3, sorted_edges=False), g)
+    arm("servefwd_gtcn_maskorphan", GraphTCN(
+        h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM,
+        L_ec=L_FULL, L_hc=3, sorted_edges=True, mask_orphan_nodes=True), g)
+
+
 def exp_dbattr():
     """Serving DBSCAN stage attribution (battery #25: DBSCAN is now the
     largest serving stage at 104 of 301 ms). Pieces at serving scale
@@ -1432,6 +1475,7 @@ EXPS = {
     "vmapserve": exp_vmapserve,
     "fdattr": exp_fdattr,
     "dbattr": exp_dbattr,
+    "servefwd": exp_servefwd,
     "membw3": exp_membw3,
     "radius": exp_radius,
     "ivfcfg": exp_ivfcfg,
