@@ -227,8 +227,12 @@ class TrackingPredictor:
         next event's host load + H2D with this event's compute + D2H."""
         if self.graph_transform is not None:
             graph = self.graph_transform(graph)
-        n_real = int(np.asarray(graph.node_mask).sum())
-        e_real = int(np.asarray(graph.edge_mask).sum())
+        # real sizes stay DEVICE scalars until _fetch: np.asarray here would
+        # force a host sync BEFORE the dispatch, serializing every event on
+        # the tunnel roundtrip instead of overlapping compute with the next
+        # event's load (battery #28 follow-up)
+        n_real = graph.node_mask.sum()
+        e_real = graph.edge_mask.sum()
         if self.padding is not None:
             graph = self.padding.pad(graph)
         variables = {"params": self.model.params}
@@ -240,6 +244,7 @@ class TrackingPredictor:
     @staticmethod
     def _fetch(pending) -> dict[str, np.ndarray]:
         (labels, aux), (n_real, e_real) = pending
+        n_real, e_real = int(n_real), int(e_real)
         out = {"labels": np.asarray(labels)[:n_real]}
         if "beta" in aux:
             out["beta"] = np.asarray(aux["beta"])[:n_real]
