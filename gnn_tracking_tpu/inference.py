@@ -243,7 +243,11 @@ class TrackingPredictor:
 
     @staticmethod
     def _fetch(pending) -> dict[str, np.ndarray]:
-        (labels, aux), (n_real, e_real) = pending
+        # ONE device_get for the whole result pytree: separate np.asarray /
+        # int() calls each pay a full synchronous tunnel roundtrip (battery
+        # #28: 145 ms of the 306 ms per-event wall time was fetch
+        # roundtrips, not bytes — device-side pipeline is 161 ms)
+        (labels, aux), (n_real, e_real) = jax.device_get(pending)
         n_real, e_real = int(n_real), int(e_real)
         out = {"labels": np.asarray(labels)[:n_real]}
         if "beta" in aux:
