@@ -159,6 +159,39 @@ class TrackingPredictor:
     def _predict_fn(self):
         return jax.jit(self._raw_predict)
 
+    def _raw_predict_packed(self, variables, graph: EventGraph):
+        """Pack every output + the real sizes into ONE f32 buffer.
+
+        Serving pays per-transfer tunnel/PCIe roundtrip latency on each
+        fetched leaf (battery #28: 3 result arrays + 2 size scalars =
+        ~130 ms/event through the axon relay vs ~3 ms of bytes); a single
+        result buffer makes the fetch exactly one DMA. Padding only adds
+        masked-out entries, so the real sizes are recomputable in-jit.
+        """
+        labels, aux = self._raw_predict(variables, graph)
+        parts = [
+            jnp.stack(
+                [
+                    graph.node_mask.sum().astype(jnp.float32),
+                    graph.edge_mask.sum().astype(jnp.float32),
+                ]
+            ),
+            labels.astype(jnp.float32),
+        ]
+        layout = []
+        for k in ("beta", "w"):
+            if k in aux:
+                layout.append((k, aux[k].shape[0]))
+                parts.append(aux[k].astype(jnp.float32))
+        # trace-time side channel: runs once per compile, before the first
+        # result is unpacked
+        self._packed_layout = tuple(layout)
+        return jnp.concatenate(parts)
+
+    @functools.cached_property
+    def _predict_packed_fn(self):
+        return jax.jit(self._raw_predict_packed)
+
     @functools.cached_property
     def _predict_batch_fn(self):
         """vmapped predict over a leading stacked-events axis (same bucket)."""
@@ -227,33 +260,28 @@ class TrackingPredictor:
         next event's host load + H2D with this event's compute + D2H."""
         if self.graph_transform is not None:
             graph = self.graph_transform(graph)
-        # real sizes stay DEVICE scalars until _fetch: np.asarray here would
-        # force a host sync BEFORE the dispatch, serializing every event on
-        # the tunnel roundtrip instead of overlapping compute with the next
-        # event's load (battery #28 follow-up)
-        n_real = graph.node_mask.sum()
-        e_real = graph.edge_mask.sum()
         if self.padding is not None:
             graph = self.padding.pad(graph)
         variables = {"params": self.model.params}
         if self.model.batch_stats:
             variables["batch_stats"] = self.model.batch_stats
-        labels, aux = self._predict_fn(variables, graph)
-        return (labels, aux), (n_real, e_real)
+        # everything (sizes included) rides in ONE packed device buffer —
+        # no host sync before the dispatch, exactly one transfer at fetch
+        packed = self._predict_packed_fn(variables, graph)
+        return packed, graph.x.shape[0]
 
-    @staticmethod
-    def _fetch(pending) -> dict[str, np.ndarray]:
-        # ONE device_get for the whole result pytree: separate np.asarray /
-        # int() calls each pay a full synchronous tunnel roundtrip (battery
-        # #28: 145 ms of the 306 ms per-event wall time was fetch
-        # roundtrips, not bytes — device-side pipeline is 161 ms)
-        (labels, aux), (n_real, e_real) = jax.device_get(pending)
-        n_real, e_real = int(n_real), int(e_real)
-        out = {"labels": np.asarray(labels)[:n_real]}
-        if "beta" in aux:
-            out["beta"] = np.asarray(aux["beta"])[:n_real]
-        if "w" in aux:
-            out["w"] = np.asarray(aux["w"])[:e_real]
+    def _fetch(self, pending) -> dict[str, np.ndarray]:
+        packed, n_pad = pending
+        buf = np.asarray(packed)  # the one transfer
+        n_real, e_real = int(buf[0]), int(buf[1])
+        out = {"labels": buf[2 : 2 + n_pad].astype(np.int32)[:n_real]}
+        off = 2 + n_pad
+        # _packed_layout is set at trace time (before the first result is
+        # consumed)
+        for key, length in self._packed_layout:
+            vals = buf[off : off + length]
+            off += length
+            out[key] = vals[: n_real if key == "beta" else e_real]
         return out
 
     def predict_dir(
@@ -295,9 +323,9 @@ class TrackingPredictor:
         def drain_one():
             f, g, pending = inflight.popleft()
             res = self._fetch(pending)
-            # labels for the padded graph; real hits are the prefix
-            labels_full = np.asarray(pending[0][0])[: g.num_nodes]
-            score_and_write(f, g, res, labels_full)
+            # real hits are the prefix of the padded labels, which is
+            # exactly what _fetch already trimmed to
+            score_and_write(f, g, res, res["labels"])
 
         def score_and_write(f, g, res, labels_full):
             nonlocal n_tracks

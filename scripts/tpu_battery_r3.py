@@ -1285,11 +1285,11 @@ def exp_servefwd2():
     # device-only predict (no numpy conversion of outputs): _dispatch
     # queues the compiled pipeline; block once at the end
     pending = pred._dispatch(g)
-    jax.block_until_ready(pending[0][0])
+    jax.block_until_ready(pending[0])
     t0 = _time_mod.perf_counter()
     for _ in range(5):
         pending = pred._dispatch(g)
-    jax.block_until_ready(pending[0][0])
+    jax.block_until_ready(pending[0])
     report("servefwd2_predict_device",
            ms=(_time_mod.perf_counter() - t0) / 5 * 1e3)
 
