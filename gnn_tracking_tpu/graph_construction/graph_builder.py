@@ -318,6 +318,7 @@ class GraphBuilder:
             layer=np.asarray(point_cloud.layer),
             sector=np.asarray(point_cloud.sector),
             true_edge_index=np.asarray(point_cloud.true_edge_index),
+            numpy=True,  # host ETL: never device_put through the tunnel
         )
 
     # ------------------------------------------------------------------
@@ -365,7 +366,7 @@ class GraphBuilder:
                 continue
             if f.name in outfiles and not self.redo:
                 continue
-            point_cloud = load_graph(f)
+            point_cloud = load_graph(f, numpy=True)
             edge_index, edge_attr, y, edge_pt = self.build_edges(point_cloud)
 
             if self.measurement_mode:

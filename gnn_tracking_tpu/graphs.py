@@ -102,29 +102,39 @@ class EventGraph:
         true_edge_index: np.ndarray | jax.Array | None = None,
         extras: dict[str, Any] | None = None,
         dtype: Any = jnp.float32,
+        numpy: bool = False,
     ) -> "EventGraph":
-        """Build an unpadded EventGraph from raw (host) arrays."""
-        x = jnp.asarray(x, dtype=dtype)
+        """Build an unpadded EventGraph from raw (host) arrays.
+
+        ``numpy=True`` keeps every leaf a host numpy array (the pytree
+        contract doesn't care) — REQUIRED for host-side ETL in a process
+        whose JAX default device is a remote accelerator: ``jnp.asarray``
+        would device_put each field through the tunnel and ``save_graph``
+        would pull it back (measured 265 of 307 s of a 32-sector
+        point-cloud build spent in device transfers, round-4 profile).
+        """
+        xp = np if numpy else jnp
+        x = xp.asarray(x, dtype=dtype)
         n = x.shape[0]
 
         def _node(arr, fill, adtype):
             if arr is None:
-                return jnp.full((n,), fill, dtype=adtype)
-            return jnp.asarray(arr).astype(adtype)
+                return xp.full((n,), fill, dtype=adtype)
+            return xp.asarray(arr).astype(adtype)
 
         if edge_index is None:
-            edge_index = jnp.zeros((2, 0), dtype=jnp.int32)
+            edge_index = xp.zeros((2, 0), dtype=jnp.int32)
         else:
-            edge_index = jnp.asarray(edge_index, dtype=jnp.int32)
+            edge_index = xp.asarray(edge_index, dtype=jnp.int32)
         e = edge_index.shape[1]
         if edge_attr is None:
-            edge_attr = jnp.zeros((e, 0), dtype=dtype)
+            edge_attr = xp.zeros((e, 0), dtype=dtype)
         else:
-            edge_attr = jnp.asarray(edge_attr, dtype=dtype)
+            edge_attr = xp.asarray(edge_attr, dtype=dtype)
         if true_edge_index is None:
-            true_edge_index = jnp.zeros((2, 0), dtype=jnp.int32)
+            true_edge_index = xp.zeros((2, 0), dtype=jnp.int32)
         else:
-            true_edge_index = jnp.asarray(true_edge_index, dtype=jnp.int32)
+            true_edge_index = xp.asarray(true_edge_index, dtype=jnp.int32)
 
         return cls(
             x=x,
@@ -132,16 +142,16 @@ class EventGraph:
             pt=_node(pt, 0.0, dtype),
             eta=_node(eta, 0.0, dtype),
             reconstructable=_node(reconstructable, 0.0, dtype),
-            node_mask=jnp.ones((n,), dtype=bool),
+            node_mask=xp.ones((n,), dtype=bool),
             layer=_node(layer, 0, jnp.int32),
             sector=_node(sector, 0, jnp.int32),
             batch=_node(batch, 0, jnp.int32),
             edge_index=edge_index,
             edge_attr=edge_attr,
-            y=(jnp.zeros((e,), dtype=bool) if y is None else jnp.asarray(y).astype(bool)),
-            edge_mask=jnp.ones((e,), dtype=bool),
+            y=(xp.zeros((e,), dtype=bool) if y is None else xp.asarray(y).astype(bool)),
+            edge_mask=xp.ones((e,), dtype=bool),
             true_edge_index=true_edge_index,
-            true_edge_mask=jnp.ones((true_edge_index.shape[1],), dtype=bool),
+            true_edge_mask=xp.ones((true_edge_index.shape[1],), dtype=bool),
             extras=dict(extras or {}),
         )
 

@@ -313,6 +313,7 @@ class PointCloudBuilder:
             sector=hits["sector"].to_numpy(),
             true_edge_index=true_edges,
             extras=extras,
+            numpy=True,  # host ETL: never device_put through the tunnel
         )
 
     def get_measurements(self) -> dict[str, float]:

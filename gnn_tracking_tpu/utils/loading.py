@@ -44,20 +44,30 @@ _ARRAY_FIELDS = (
 
 def save_graph(graph: EventGraph, path: str | Path) -> None:
     """Serialize an EventGraph to an ``.npz`` archive."""
-    arrays = {f: np.asarray(getattr(graph, f)) for f in _ARRAY_FIELDS}
+    import jax
+
+    # one batched device_get: per-field np.asarray pays a synchronous
+    # transfer roundtrip each (no-op for numpy-leaved ETL graphs)
+    arrays = {f: getattr(graph, f) for f in _ARRAY_FIELDS}
     for k, v in graph.extras.items():
-        arrays[f"extra_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **arrays)
+        arrays[f"extra_{k}"] = v
+    arrays = jax.device_get(arrays)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
 
 
-def load_graph(path: str | Path) -> EventGraph:
-    """Load an EventGraph from an ``.npz`` archive."""
+def load_graph(path: str | Path, *, numpy: bool = False) -> EventGraph:
+    """Load an EventGraph from an ``.npz`` archive.
+
+    ``numpy=True`` keeps host numpy leaves (ETL consumers — e.g. the
+    geometric GraphBuilder reading point clouds — must not bounce every
+    field through a remote accelerator)."""
     import jax.numpy as jnp
 
+    xp = np if numpy else jnp
     with np.load(path) as data:
-        kwargs = {f: jnp.asarray(data[f]) for f in _ARRAY_FIELDS if f in data}
+        kwargs = {f: xp.asarray(data[f]) for f in _ARRAY_FIELDS if f in data}
         extras = {
-            k[len("extra_") :]: jnp.asarray(data[k])
+            k[len("extra_") :]: xp.asarray(data[k])
             for k in data.files
             if k.startswith("extra_")
         }
