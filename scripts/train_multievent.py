@@ -140,7 +140,7 @@ def stage_ec(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
 
 def stage_tc(
     train_dir, val_dir, workdir, epochs, *, h_outdim: int = 4,
-    hidden_dim: int = 48,
+    hidden_dim: int = 48, dropout: float = 0.0,
 ) -> dict[str, float]:
     import optax
 
@@ -178,9 +178,19 @@ def stage_tc(
             optax.clip_by_global_norm(1.0), optax.adam(2e-3)
         ),
     )
+    from gnn_tracking_tpu.utils.augmentation import (
+        Compose,
+        HitDropout,
+        PhiRotation,
+    )
+
+    transform = PhiRotation(seed=4)
+    if dropout > 0:
+        transform = Compose([transform, HitDropout(p=dropout, seed=4)])
     metrics = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
         monitor="trk.double_majority_pt0.9",
+        train_transform=transform,
     ).fit(module, dm)
     return {
         "tc." + k: metrics[k]
@@ -210,6 +220,7 @@ def main() -> None:
     parser.add_argument("--stages", default="A,C")
     parser.add_argument("--tc-h-outdim", type=int, default=4)
     parser.add_argument("--tc-hidden", type=int, default=48)
+    parser.add_argument("--tc-dropout", type=float, default=0.0)
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument("--tpu", action="store_true")
     args = parser.parse_args()
@@ -230,6 +241,7 @@ def main() -> None:
             stage_tc(
                 train_dir, val_dir, args.workdir, args.epochs_tc,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
+                dropout=args.tc_dropout,
             )
         )
 
