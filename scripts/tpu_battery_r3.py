@@ -1473,6 +1473,66 @@ def exp_fdattr():
         report("fdattr_tcloss", error=describe(ex)[:300])
 
 
+def exp_fdattr2():
+    """fd attribution take 2: battery #26's parts (sum-sink fwd+bwd
+    1.75 s + TC loss 0.12 s) undershoot the 3.25-3.58 s trainer step.
+    Suspect: constant (ones) cotangents in the sum-sink arms let XLA
+    simplify the real backward. Arm: REAL composite loss (edge focal +
+    sharded TC with axis_name=None) fwd+bwd wrt params at fd scale."""
+    from train_fulldetector import full_detector_event
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.halo import partition_event
+    from gnn_tracking_tpu.parallel.sharded_tc import (
+        partition_condensation,
+        sharded_condensation_loss,
+    )
+
+    n_tracks = 512 if SMOKE else 16384
+    g = full_detector_event(0, n_tracks=n_tracks).sort_edges_by_target()
+    sg = partition_event(g, 1, sort_edges=True)
+    cd = partition_condensation(g, sg, max_n_objects=512, subsample_seed=1000)
+    cd1 = jax.tree.map(
+        lambda v: v[0] if hasattr(v, "shape") and v.ndim and v.shape[0] == 1 else v,
+        cd,
+    )
+    gb = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+    iters = 2 if SMOKE else 5
+    model = GraphTCN(
+        h_dim=32, e_dim=32, h_outdim=8, hidden_dim=128,
+        L_ec=6, L_hc=3, sorted_edges=True, remat=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), gb)
+
+    def real_loss(p):
+        out = model.apply(p, gb)
+        w = out["W"].astype(jnp.float32)
+        h = out["H"].astype(jnp.float32)
+        b = out["B"].astype(jnp.float32)
+        l_edge = binary_focal_loss(inpt=w, target=gb.y.astype(jnp.float32))
+        tc = sharded_condensation_loss(
+            b, h, cd1, q_min=0.01, max_n_objects=512, axis_name=None
+        )
+        return l_edge + sum(tc.values())
+
+    try:
+        c = jax.jit(real_loss).lower(params).compile()
+        sync(c(params))
+        report("fdattr2_realloss_fwd",
+               ms=timeit(lambda: c(params), iters=iters) * 1e3)
+        cg = jax.jit(jax.grad(real_loss)).lower(params).compile()
+        sync(jax.tree.leaves(cg(params))[0])
+        report("fdattr2_realloss_fb",
+               ms=timeit(lambda: cg(params), iters=iters) * 1e3)
+    except Exception as ex:
+        report("fdattr2", error=describe(ex)[:400])
+
+
 def exp_vmapserve():
     """predict_batch smoke on hardware: the fixed-τ filter radius kernel
     (round-4 dispatch fix) now runs under vmap inside _predict_batch_fn —
@@ -1575,6 +1635,7 @@ EXPS = {
     "ivfcfg2": exp_ivfcfg2,
     "vmapserve": exp_vmapserve,
     "fdattr": exp_fdattr,
+    "fdattr2": exp_fdattr2,
     "dbattr": exp_dbattr,
     "servefwd": exp_servefwd,
     "servefwd2": exp_servefwd2,
