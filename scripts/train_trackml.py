@@ -336,7 +336,7 @@ def main() -> None:
     )
     parser.add_argument("--epochs-ec", type=int, default=80)
     parser.add_argument("--epochs-ml", type=int, default=4800)
-    parser.add_argument("--epochs-tc", type=int, default=800)
+    parser.add_argument("--epochs-tc", type=int, default=1600)
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument(
         "--stages", default="A,B,C", help="comma subset of A (EC), B (ML), C (TC)"
@@ -346,14 +346,17 @@ def main() -> None:
         action="store_true",
         help="run on the TPU (default: force the CPU backend in-process)",
     )
+    # defaults = the locked round-4 recipe (BENCH_NOTES: sector-CV DM 0.941)
     parser.add_argument(
-        "--ml-dropout", type=float, default=0.0,
-        help="per-step hit-dropout probability for the ML stage",
+        "--ml-dropout", type=float, default=0.05,
+        help="per-step hit-dropout probability for the ML stage "
+        "(dose-response: 0 -> 0.587, 0.05 -> 0.683, 0.10 -> 0.558 "
+        "held-out eff@k12)",
     )
-    parser.add_argument("--tc-h-outdim", type=int, default=4)
-    parser.add_argument("--tc-hidden", type=int, default=48)
+    parser.add_argument("--tc-h-outdim", type=int, default=8)
+    parser.add_argument("--tc-hidden", type=int, default=64)
     parser.add_argument(
-        "--tc-dropout", type=float, default=0.0,
+        "--tc-dropout", type=float, default=0.08,
         help="per-step hit-dropout probability for the TC stage "
         "(topology-changing regularizer, utils/augmentation.HitDropout)",
     )
