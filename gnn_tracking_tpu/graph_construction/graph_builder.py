@@ -306,6 +306,18 @@ class GraphBuilder:
             negate = np.array([[-1.0], [-1.0], [-1.0], [1.0]])
             edge_attr = np.concatenate([edge_attr, negate * edge_attr], axis=1)
             y = np.concatenate([y, y])
+        # carry node-level extras from the point cloud (cell_refl gets the
+        # same geta/gphi scaling as its x columns so the ZReflection
+        # augmentation can swap them in directly)
+        n = np.asarray(point_cloud.x).shape[0]
+        extras = {}
+        for k, v in (point_cloud.extras or {}).items():
+            v = np.asarray(v)
+            if v.shape[:1] != (n,):
+                continue
+            if k == "cell_refl" and len(self.feature_scale) > 13:
+                v = v / self.feature_scale[[12, 13]]
+            extras[k] = v
         return EventGraph.from_arrays(
             x=np.asarray(point_cloud.x) / self.feature_scale,
             edge_index=edge_index,
@@ -318,6 +330,7 @@ class GraphBuilder:
             layer=np.asarray(point_cloud.layer),
             sector=np.asarray(point_cloud.sector),
             true_edge_index=np.asarray(point_cloud.true_edge_index),
+            extras=extras,
             numpy=True,  # host ETL: never device_put through the tunnel
         )
 

@@ -27,7 +27,18 @@ def preprocess_detector(detector: pd.DataFrame) -> dict[str, np.ndarray]:
     """Build dense per-(volume, layer, module) lookup arrays from the
     detector table: rotation matrices [V,L,M,3,3], thicknesses [V,L,M],
     pixel pitches [V,L,M,2]. Vectorized (reference iterates rows:
-    ``exatrkx_cell_features.py:94-98,130-133,152-156``)."""
+    ``exatrkx_cell_features.py:94-98,130-133,152-156``).
+
+    Also builds ``mirror_rotations`` [V,L,M,3,3]: the rotation matrix of
+    each module's z-mirror partner (the module nearest to the reflected
+    center ``(cx, cy, -cz)``; every TrackML module has one within 0.5 mm
+    — barrel stagger). Used for the exact z-reflection augmentation: the
+    cluster-shape extents (l_u, l_v, l_w) are reflection-invariant, but
+    the GLOBAL direction of the mirrored cluster is the MIRROR module's
+    rotation applied to those extents, NOT ``diag(1,1,-1) @ g`` (the local
+    frames of mirror pairs differ by a u- or v-axis sign flip; the naive
+    mapping errs by up to 2.1 rad in gphi on the bundled event).
+    """
     v = detector["volume_id"].to_numpy(dtype=int)
     l = detector["layer_id"].to_numpy(dtype=int)
     m = detector["module_id"].to_numpy(dtype=int)
@@ -54,7 +65,49 @@ def preprocess_detector(detector: pd.DataFrame) -> dict[str, np.ndarray]:
     pixel_size[v, l, m, 0] = detector["pitch_u"].to_numpy()
     pixel_size[v, l, m, 1] = detector["pitch_v"].to_numpy()
 
-    return {"rotations": rot, "thicknesses": thicknesses, "pixel_size": pixel_size}
+    centers = detector[["cx", "cy", "cz"]].to_numpy(dtype=float)
+    mirror_rot_rows = _mirror_rotation_rows(centers, rot_cols)
+    mirror_rot = np.zeros((max_v, max_l, max_m, 3, 3))
+    mirror_rot[v, l, m] = mirror_rot_rows
+
+    return {
+        "rotations": rot,
+        "thicknesses": thicknesses,
+        "pixel_size": pixel_size,
+        "mirror_rotations": mirror_rot,
+    }
+
+
+#: matching tolerance for z-mirror module centers (mm). TrackML mirror
+#: partners land within 0.5 mm of the reflected center (barrel stagger).
+_MIRROR_TOL_MM = 1.0
+
+
+def _mirror_rotation_rows(
+    centers: np.ndarray, rotations: np.ndarray
+) -> np.ndarray:
+    """Per detector row, the rotation of the z-mirror partner module.
+
+    Falls back to ``diag(1,1,-1) @ R`` (flip the global z of the
+    direction) for modules with no partner within tolerance — none in
+    TrackML, but keeps non-mirror-symmetric geometries functional.
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(centers)
+    dist, j = tree.query(centers * np.array([1.0, 1.0, -1.0]))
+    out = rotations[j].copy()
+    missing = dist > _MIRROR_TOL_MM
+    if missing.any():
+        cf_logger.warning(
+            "%d modules have no z-mirror partner within %.1f mm; their "
+            "z-reflection cell features use the diag(1,1,-1) approximation",
+            int(missing.sum()),
+            _MIRROR_TOL_MM,
+        )
+        flip = np.diag([1.0, 1.0, -1.0])
+        out[missing] = np.einsum("ij,njk->nik", flip, rotations[missing])
+    return out
 
 
 #: process-level memo: (resolved path, mtime) -> (csv table, dense arrays).
@@ -75,9 +128,13 @@ def load_detector(detector_path: Path) -> tuple[pd.DataFrame, dict[str, np.ndarr
     cache = detector_path.parent / (detector_path.stem + "_dense.npz")
     if cache.exists():
         with np.load(cache) as data:
-            out = detector_orig, {k: data[k] for k in data.files}
-        _DETECTOR_MEMO[key] = out
-        return out
+            dense = {k: data[k] for k in data.files}
+        # cache written before mirror_rotations existed: rebuild below
+        if "mirror_rotations" in dense:
+            out = detector_orig, dense
+            _DETECTOR_MEMO[key] = out
+            return out
+        cf_logger.info("Detector cache lacks mirror_rotations; rebuilding")
     cf_logger.info("Building dense detector arrays...")
     detector = preprocess_detector(detector_orig)
     tmp = cache.with_suffix(f".tmp{np.random.randint(1 << 31)}.npz")
@@ -132,7 +189,7 @@ def get_cluster_shapes(
     _, g_theta, g_phi = cartesian_to_spherical(*g_dirs.T)
     _, l_theta, l_phi = cartesian_to_spherical(l_u, l_v, l_w)
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "hit_id": hits["hit_id"].to_numpy(),
             "leta": theta_to_eta(l_theta),
@@ -144,6 +201,18 @@ def get_cluster_shapes(
             "gphi": g_phi,
         }
     )
+    # Exact z-reflection companions: the global cluster direction this hit
+    # would have in the z-mirrored event — the MIRROR module's rotation
+    # applied to the (reflection-invariant) local extents. Consumed by the
+    # ZReflection augmentation (utils/augmentation.py) via the point
+    # cloud's ``cell_refl`` extra.
+    if "mirror_rotations" in detector:
+        m_rot = detector["mirror_rotations"][vols, layers, modules]
+        g_refl = np.matmul(m_rot, dirs).squeeze(2)
+        _, gr_theta, gr_phi = cartesian_to_spherical(*g_refl.T)
+        out["geta_refl"] = theta_to_eta(gr_theta)
+        out["gphi_refl"] = gr_phi
+    return out
 
 
 def augment_hit_features(

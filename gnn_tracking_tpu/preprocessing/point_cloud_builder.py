@@ -294,6 +294,17 @@ class PointCloudBuilder:
             "n_hits": np.asarray(hits["n_hits"].to_numpy()),
             "n_layers_hit": np.asarray(hits["n_layers_hit"].to_numpy()),
         }
+        # Exact z-reflection companions (geta, gphi of the mirrored
+        # cluster), scaled like their x columns — consumed by the
+        # ZReflection augmentation (utils/augmentation.py).
+        if "geta_refl" in hits.columns:
+            scale = np.ones(2)
+            for i, name in enumerate(("geta", "gphi")):
+                if name in self.feature_names:
+                    scale[i] = self.feature_scale[self.feature_names.index(name)]
+            extras["cell_refl"] = (
+                hits[["geta_refl", "gphi_refl"]].to_numpy() / scale
+            ).astype(np.float32)
         if self.relabel_pids:
             extras["particle_id_original"] = pid.astype(np.int64)
             unique = np.unique(pid[pid != 0])

@@ -23,6 +23,7 @@ Edge attributes are φ-DIFFERENCES (dr, dφ, dz, dR — reference
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,11 +41,21 @@ def _wrap(angle: jax.Array) -> jax.Array:
     return jnp.mod(angle + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
-@jax.jit
-def rotate_phi(x: jax.Array, delta: jax.Array) -> jax.Array:
-    """Rotate the φ-dependent node-feature columns of ``x`` by ``delta``."""
+@functools.partial(jax.jit, static_argnames=("phi_scale",))
+def rotate_phi(
+    x: jax.Array, delta: jax.Array, *, phi_scale: float = PHI_SCALE
+) -> jax.Array:
+    """Rotate the φ-dependent node-feature columns of ``x`` by ``delta``.
+
+    ``phi_scale`` is the stored-φ convention of column 1: graph-stage
+    features store φ/π (``graph_builder.py`` feature_scale), so the
+    default is π; POINT-CLOUD stage features store raw radians
+    (``point_cloud_builder.py`` unit feature_scale), so pass 1.0 there —
+    with the wrong scale the wrap maps raw φ into [-1, 1) and the column
+    no longer matches the u/v rotation (or the untransformed val data).
+    """
     n_cols = x.shape[1]
-    phi = _wrap(x[:, PHI_COLUMN] * PHI_SCALE + delta) / PHI_SCALE
+    phi = _wrap(x[:, PHI_COLUMN] * phi_scale + delta) / phi_scale
     x = x.at[:, PHI_COLUMN].set(phi.astype(x.dtype))
     if n_cols > max(UV_COLUMNS):
         c, s = jnp.cos(delta), jnp.sin(delta)
@@ -64,9 +75,12 @@ class PhiRotation:
     Deterministic in (seed, step) so resumed runs replay the same
     augmentation stream. Rotates ``batch.x`` only — edge attributes and
     truth are rotation-invariant by construction (see module docstring).
+    ``phi_scale``: see :func:`rotate_phi` — π for graph-stage features
+    (φ stored as φ/π), 1.0 for point-cloud-stage features (raw radians).
     """
 
     seed: int = 0
+    phi_scale: float = PHI_SCALE
 
     def __call__(self, batch, step: int):
         # SeedSequence entropy list keys the stream by (seed, step) without
@@ -76,7 +90,82 @@ class PhiRotation:
                 -np.pi, np.pi
             )
         )
-        return batch.replace(x=rotate_phi(batch.x, jnp.float32(delta)))
+        return batch.replace(
+            x=rotate_phi(batch.x, jnp.float32(delta), phi_scale=self.phi_scale)
+        )
+
+#: z-dependent DEFAULT_FEATURES columns (see module docstring for layout)
+Z_COLUMN = 2
+ETA_RZ_COLUMN = 3
+GETA_COLUMN = 12
+#: graph-stage edge_attr layout is (dr, dphi, dz, dR) — only dz is z-odd
+#: (dR = sqrt(deta^2 + dphi^2) is even; reference ``graph_builder.py``)
+EDGE_DZ_COLUMN = 2
+
+
+@jax.jit
+def reflect_z(batch):
+    """Reflect the event through the z=0 plane (exact detector symmetry).
+
+    Feature action: ``z`` and ``eta_rz`` flip sign; ``geta``/``gphi`` are
+    REPLACED by the precomputed mirror-module values in
+    ``extras["cell_refl"]`` (the local frames of z-mirror module pairs
+    differ by an in-plane axis flip, so the naive ``geta -> -geta,
+    gphi -> gphi`` mapping errs by up to ~2 rad in gphi — see
+    ``preprocessing/exatrkx_cell_features.py``); local cluster extents
+    (leta, lphi, lx, ly, lz) are intrinsic positives and invariant; the
+    truth ``eta`` flips; edge ``dz`` flips. The swap writes the OLD
+    (geta, gphi) back into ``cell_refl``, making the transform an exact
+    involution.
+
+    Graphs without ``cell_refl`` (built before round 4) fall back to the
+    approximate ``geta -> -geta`` mapping.
+    """
+    x = batch.x
+    n_cols = x.shape[1]
+    x = x.at[:, Z_COLUMN].multiply(-1.0)
+    if n_cols > ETA_RZ_COLUMN:
+        x = x.at[:, ETA_RZ_COLUMN].multiply(-1.0)
+    extras = dict(batch.extras)
+    if "cell_refl" in extras and n_cols > GPHI_COLUMN:
+        refl = extras["cell_refl"]
+        old = jnp.stack([x[:, GETA_COLUMN], x[:, GPHI_COLUMN]], axis=1)
+        x = x.at[:, GETA_COLUMN].set(refl[:, 0].astype(x.dtype))
+        x = x.at[:, GPHI_COLUMN].set(refl[:, 1].astype(x.dtype))
+        extras["cell_refl"] = old.astype(refl.dtype)
+    elif n_cols > GETA_COLUMN:
+        x = x.at[:, GETA_COLUMN].multiply(-1.0)
+    edge_attr = batch.edge_attr
+    if edge_attr.ndim == 2 and edge_attr.shape[1] > EDGE_DZ_COLUMN:
+        edge_attr = edge_attr.at[:, EDGE_DZ_COLUMN].multiply(-1.0)
+    return batch.replace(
+        x=x, edge_attr=edge_attr, eta=-batch.eta, extras=extras
+    )
+
+
+@dataclasses.dataclass
+class ZReflection:
+    """Trainer ``train_transform``: reflect the event in z with
+    probability ``p`` per step (deterministic in (seed, step)).
+
+    Doubles the effective φ-rotation group to the full O(2)×Z2 detector
+    symmetry. In a ``Compose``, place BEFORE ``PhiRotation``: the
+    reflected (geta, gphi) in ``cell_refl`` are stored in the unrotated
+    frame, so the reflection must run first and the rotation then acts on
+    the reflected azimuth.
+    """
+
+    p: float = 0.5
+    seed: int = 0
+
+    def __call__(self, batch, step: int):
+        coin = np.random.default_rng(
+            [self.seed + 2_000_003, int(step)]
+        ).random()
+        if coin >= self.p:
+            return batch
+        return reflect_z(batch)
+
 
 @jax.jit
 def drop_hits(batch, keep: jax.Array):

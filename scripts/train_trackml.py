@@ -96,7 +96,8 @@ def split_sectors(
 
 
 def stage_ec(
-    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None
+    graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
+    z_reflect: bool = True,
 ) -> dict[str, float]:
     from gnn_tracking_tpu.losses.ec import EdgeWeightFocalLoss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
@@ -121,11 +122,20 @@ def stage_ec(
         loss_fct=EdgeWeightFocalLoss(alpha=0.25, gamma=2.0),
         lr=2e-3,
     )
-    from gnn_tracking_tpu.utils.augmentation import PhiRotation
+    from gnn_tracking_tpu.utils.augmentation import (
+        Compose,
+        PhiRotation,
+        ZReflection,
+    )
 
+    transform = (
+        Compose([ZReflection(p=0.5, seed=1), PhiRotation(seed=1)])
+        if z_reflect
+        else PhiRotation(seed=1)
+    )
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_ec",
-        train_transform=PhiRotation(seed=1),
+        train_transform=transform,
     )
     metrics = trainer.fit(module, dm)
     return {
@@ -139,6 +149,7 @@ def stage_ec(
 def stage_ml(
     pc_dir: Path, workdir: Path, epochs: int, ks: tuple[int, ...] = (8, 12, 16),
     val_dir: Path | None = None, dropout: float = 0.0,
+    z_reflect: bool = True,
 ) -> dict[str, float]:
     import optax
 
@@ -189,11 +200,19 @@ def stage_ml(
         Compose,
         HitDropout,
         PhiRotation,
+        ZReflection,
     )
 
-    transform = PhiRotation(seed=2)
+    # point-cloud features store RAW phi radians (unit feature_scale), so
+    # phi_scale=1.0 — the graph-stage default pi would wrap-distort col 1.
+    # ZReflection must precede PhiRotation (cell_refl is unrotated-frame).
+    parts = []
+    if z_reflect:
+        parts.append(ZReflection(p=0.5, seed=2))
+    parts.append(PhiRotation(seed=2, phi_scale=1.0))
     if dropout > 0:
-        transform = Compose([transform, HitDropout(p=dropout, seed=2)])
+        parts.append(HitDropout(p=dropout, seed=2))
+    transform = parts[0] if len(parts) == 1 else Compose(parts)
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_ml",
         train_transform=transform,
@@ -242,7 +261,7 @@ def stage_ml(
 def stage_tc(
     graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
     *, h_outdim: int = 4, hidden_dim: int = 48, dropout: float = 0.0,
-    cosine: bool = False,
+    cosine: bool = False, z_reflect: bool = True,
 ) -> dict[str, float]:
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
@@ -292,11 +311,16 @@ def stage_tc(
         Compose,
         HitDropout,
         PhiRotation,
+        ZReflection,
     )
 
-    transform = PhiRotation(seed=3)
+    parts = []
+    if z_reflect:
+        parts.append(ZReflection(p=0.5, seed=3))
+    parts.append(PhiRotation(seed=3))
     if dropout > 0:
-        transform = Compose([transform, HitDropout(p=dropout, seed=3)])
+        parts.append(HitDropout(p=dropout, seed=3))
+    transform = parts[0] if len(parts) == 1 else Compose(parts)
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
         train_transform=transform,
@@ -365,6 +389,11 @@ def main() -> None:
         help="cosine-decay the TC lr over the run (stabilizes late epochs)",
     )
     parser.add_argument(
+        "--no-z-reflect", action="store_true",
+        help="disable the exact z-reflection augmentation (on by default "
+        "in all stages; utils/augmentation.ZReflection)",
+    )
+    parser.add_argument(
         "--n-sectors", type=int, default=1,
         help="azimuthal sectors to split the event into (>1 enables --holdout)",
     )
@@ -399,15 +428,19 @@ def main() -> None:
             fold=args.fold,
         )
     stages = {s.strip().upper() for s in args.stages.split(",")}
+    z_reflect = not args.no_z_reflect
     if "A" in stages:
         results.update(
-            stage_ec(graph_dir, args.workdir, args.epochs_ec, val_dir=g_val)
+            stage_ec(
+                graph_dir, args.workdir, args.epochs_ec, val_dir=g_val,
+                z_reflect=z_reflect,
+            )
         )
     if "B" in stages:
         results.update(
             stage_ml(
                 pc_dir, args.workdir, args.epochs_ml, val_dir=pc_val,
-                dropout=args.ml_dropout,
+                dropout=args.ml_dropout, z_reflect=z_reflect,
             )
         )
     if "C" in stages:
@@ -416,6 +449,7 @@ def main() -> None:
                 graph_dir, args.workdir, args.epochs_tc, val_dir=g_val,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
                 dropout=args.tc_dropout, cosine=args.tc_cosine,
+                z_reflect=z_reflect,
             )
         )
 

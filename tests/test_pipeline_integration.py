@@ -177,3 +177,149 @@ def test_pid_relabeling(point_clouds_path):
     assert ((pid == 0) == (orig == 0)).all()
     pairs = set(zip(pid.tolist(), orig.tolist()))
     assert len({p for p, _ in pairs}) == len({o for _, o in pairs})
+
+
+# ---------------------------------------------------------------------------
+# z-reflection augmentation: end-to-end exactness against a physically
+# mirrored raw event (z -> -z, hits remapped to their z-mirror modules)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mirrored_event_dir(tmp_path_factory):
+    """Write a z-mirrored copy of the bundled raw event: hit z flips and
+    every hit moves to its mirror module (cluster cells are extent-only
+    and reflection-invariant); particle/truth z-odd quantities flip."""
+    import pandas as pd
+    from scipy.spatial import cKDTree
+
+    out = tmp_path_factory.mktemp("mirrored_event")
+    det = pd.read_csv(TRACKML_DIR / "detectors.csv.gz")
+    centers = det[["cx", "cy", "cz"]].to_numpy(float)
+    _, j = cKDTree(centers).query(centers * np.array([1.0, 1.0, -1.0]))
+    ids = det[["volume_id", "layer_id", "module_id"]].to_numpy()
+    mirror_of = {tuple(ids[i]): tuple(ids[j[i]]) for i in range(len(det))}
+
+    hits, particles, truth, cells = simple_data_loader(
+        TRACKML_DIR / "event000000001"
+    )
+    hits = hits.copy()
+    hits["z"] = -hits["z"]
+    mids = np.array(
+        [
+            mirror_of[(v, l, m)]
+            for v, l, m in hits[
+                ["volume_id", "layer_id", "module_id"]
+            ].to_numpy()
+        ]
+    )
+    hits[["volume_id", "layer_id", "module_id"]] = mids
+    particles = particles.copy()
+    particles["pz"] = -particles["pz"]
+    particles["vz"] = -particles["vz"]
+    truth = truth.copy()
+    truth["tz"] = -truth["tz"]
+    truth["tpz"] = -truth["tpz"]
+
+    prefix = "event000000001"
+    hits.to_csv(out / f"{prefix}-hits.csv.gz", index=False)
+    cells.to_csv(out / f"{prefix}-cells.csv.gz", index=False)
+    particles.to_csv(out / f"{prefix}-particles.csv.gz", index=False)
+    truth.to_csv(out / f"{prefix}-truth.csv.gz", index=False)
+    return out
+
+
+def _canonical_order(x):
+    """Reflection-invariant stable row order (r, phi, u, lx, ly)."""
+    key = np.round(np.asarray(x)[:, [0, 1, 4, 9, 10]].astype(np.float64), 4)
+    return np.lexsort(key.T[::-1])
+
+
+def test_z_reflection_matches_mirrored_event(mirrored_event_dir):
+    """reflect_z of the built point cloud reproduces, feature-exactly, the
+    point cloud built from the physically mirrored raw event — including
+    the geta/gphi columns that the naive sign-flip mapping gets wrong (the
+    mirror module's local frame differs by an in-plane axis flip)."""
+    from gnn_tracking_tpu.utils.augmentation import reflect_z
+
+    def build(indir):
+        b = PointCloudBuilder(
+            outdir=indir / "pc",
+            indir=indir,
+            detector_config=TRACKML_DIR / "detectors.csv.gz",
+            n_sectors=1,
+            pixel_only=True,
+            add_true_edges=False,
+            write_output=False,
+        )
+        return b.process()[0]
+
+    g_orig = build(TRACKML_DIR)
+    g_mirr = build(mirrored_event_dir)
+    g_refl = reflect_z(g_orig.pad_to(g_orig.num_nodes, 0))
+
+    xr = np.asarray(g_refl.x)[_canonical_order(g_refl.x)]
+    xm = np.asarray(g_mirr.x)[_canonical_order(g_mirr.x)]
+    assert xr.shape == xm.shape
+    from gnn_tracking_tpu.preprocessing.point_cloud_builder import (
+        DEFAULT_FEATURES,
+    )
+
+    for col, name in enumerate(DEFAULT_FEATURES):
+        np.testing.assert_allclose(
+            xr[:, col], xm[:, col], rtol=1e-4, atol=1e-4,
+            err_msg=f"feature {name} mismatch under z-reflection",
+        )
+    # truth eta flips too
+    er = np.asarray(g_refl.eta)[_canonical_order(g_refl.x)]
+    em = np.asarray(g_mirr.eta)[_canonical_order(g_mirr.x)]
+    np.testing.assert_allclose(er, em, rtol=1e-4, atol=1e-4)
+
+
+def test_z_reflection_involution_and_transform(built_graphs_path):
+    """ZReflection on a graph-stage EventGraph: exact involution, dz
+    edge-attr flip, coin determinism, cell_refl passthrough from the
+    point cloud."""
+    from gnn_tracking_tpu.utils.augmentation import ZReflection, reflect_z
+
+    _, builder = built_graphs_path
+    g = builder.data_list[0]
+    assert "cell_refl" in g.extras  # GraphBuilder passes it through
+
+    g1 = reflect_z(g)
+    x0, x1 = np.asarray(g.x), np.asarray(g1.x)
+    np.testing.assert_allclose(x1[:, 2], -x0[:, 2], rtol=1e-6)  # z
+    np.testing.assert_allclose(x1[:, 3], -x0[:, 3], rtol=1e-6)  # eta_rz
+    # geta/gphi come from the precomputed mirror values, NOT a sign flip
+    cr = np.asarray(g.extras["cell_refl"])
+    np.testing.assert_allclose(x1[:, 12], cr[:, 0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x1[:, 13], cr[:, 1], rtol=1e-5, atol=1e-6)
+    # invariant columns untouched
+    for col in (0, 1, 4, 5, 6, 7, 8, 9, 10, 11):
+        np.testing.assert_array_equal(x1[:, col], x0[:, col])
+    # edge dz flips, dr/dphi/dR don't
+    ea0, ea1 = np.asarray(g.edge_attr), np.asarray(g1.edge_attr)
+    np.testing.assert_allclose(ea1[:, 2], -ea0[:, 2], rtol=1e-6)
+    np.testing.assert_array_equal(ea1[:, [0, 1, 3]], ea0[:, [0, 1, 3]])
+    np.testing.assert_allclose(
+        np.asarray(g1.eta), -np.asarray(g.eta), rtol=1e-6
+    )
+
+    # exact involution (cell_refl swap restores geta/gphi bit-exactly)
+    g2 = reflect_z(g1)
+    np.testing.assert_array_equal(np.asarray(g2.x), x0)
+    np.testing.assert_array_equal(
+        np.asarray(g2.extras["cell_refl"]), cr
+    )
+
+    # transform: deterministic coin in (seed, step); p=1 always reflects
+    tr = ZReflection(p=1.0, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(tr(g, step=0).x), x1
+    )
+    coins = [
+        (np.asarray(ZReflection(p=0.5, seed=3)(g, step=s).x)[:, 2]
+         == x0[:, 2]).all()
+        for s in range(16)
+    ]
+    assert any(coins) and not all(coins)  # both outcomes occur
