@@ -55,10 +55,14 @@ def derive_event(g, seed: int, n_events: int, keep_frac: float):
     event)."""
     import jax.numpy as jnp
 
-    from gnn_tracking_tpu.utils.augmentation import rotate_phi
+    from gnn_tracking_tpu.utils.augmentation import reflect_z, rotate_phi
 
     rng = np.random.default_rng([97, seed])
     delta = 2.0 * np.pi * seed / n_events + rng.uniform(-0.2, 0.2)
+    # z-reflect half the variants (exact detector symmetry; must precede
+    # the rotation — cell_refl is stored in the unrotated frame)
+    if rng.random() < 0.5:
+        g = reflect_z(g)
 
     node_mask = np.asarray(g.node_mask)
     keep = rng.random(node_mask.shape[0]) < keep_frac
@@ -182,9 +186,12 @@ def stage_tc(
         Compose,
         HitDropout,
         PhiRotation,
+        ZReflection,
     )
 
-    transform = PhiRotation(seed=4)
+    transform = Compose(
+        [ZReflection(p=0.5, seed=4), PhiRotation(seed=4)]
+    )
     if dropout > 0:
         transform = Compose([transform, HitDropout(p=dropout, seed=4)])
     metrics = Trainer(
