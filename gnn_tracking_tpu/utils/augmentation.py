@@ -157,6 +157,7 @@ class ZReflection:
 
     p: float = 0.5
     seed: int = 0
+    _warned: bool = dataclasses.field(default=False, repr=False)
 
     def __call__(self, batch, step: int):
         coin = np.random.default_rng(
@@ -164,6 +165,15 @@ class ZReflection:
         ).random()
         if coin >= self.p:
             return batch
+        if "cell_refl" not in (batch.extras or {}) and not self._warned:
+            from gnn_tracking_tpu.utils.log import get_logger
+
+            get_logger("ZReflection").warning(
+                "batch has no cell_refl extra (graphs predate round 4?); "
+                "geta/gphi use the approximate sign-flip mapping — rebuild "
+                "point clouds for the exact mirror-module features"
+            )
+            self._warned = True
         return reflect_z(batch)
 
 
