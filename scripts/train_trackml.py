@@ -183,6 +183,8 @@ def stage_ml(
     # that starves the loss); (2) training length — epochs are the dominant
     # lever, 120 -> 4800 takes eff@12 from 0.59 to 0.91; (3) out_dim=16 +
     # cosine decay (+0.015). lw_repulsive=0.5 stabilizes late training.
+    # Round-4 battery #30: phi_scale=1.0 (raw-radian point-cloud phi) +
+    # ZReflection take held-out eff@k12 0.683 -> 0.845 on fold 3.
     module = MLModule(
         model=GraphConstructionFCNN(
             in_dim=in_dim, hidden_dim=128, out_dim=16, depth=4
@@ -374,8 +376,9 @@ def main() -> None:
     parser.add_argument(
         "--ml-dropout", type=float, default=0.05,
         help="per-step hit-dropout probability for the ML stage "
-        "(dose-response: 0 -> 0.587, 0.05 -> 0.683, 0.10 -> 0.558 "
-        "held-out eff@k12)",
+        "(dose-response under the pre-#30 recipe: 0 -> 0.587, "
+        "0.05 -> 0.683, 0.10 -> 0.558 held-out eff@k12; with the "
+        "phi-convention fix + z-reflection, 0.05 -> 0.845)",
     )
     parser.add_argument("--tc-h-outdim", type=int, default=8)
     parser.add_argument("--tc-hidden", type=int, default=64)
