@@ -314,9 +314,12 @@ class GraphBuilder:
         for k, v in (point_cloud.extras or {}).items():
             v = np.asarray(v)
             if v.shape[:1] != (n,):
+                self.logger.debug(
+                    "skipping non-node extra %r (shape %s, n=%d)", k, v.shape, n
+                )
                 continue
             if k == "cell_refl" and len(self.feature_scale) > 13:
-                v = v / self.feature_scale[[12, 13]]
+                v = (v / self.feature_scale[[12, 13]]).astype(np.float32)
             extras[k] = v
         return EventGraph.from_arrays(
             x=np.asarray(point_cloud.x) / self.feature_scale,

@@ -66,7 +66,8 @@ def preprocess_detector(detector: pd.DataFrame) -> dict[str, np.ndarray]:
     pixel_size[v, l, m, 1] = detector["pitch_v"].to_numpy()
 
     centers = detector[["cx", "cy", "cz"]].to_numpy(dtype=float)
-    mirror_rot_rows = _mirror_rotation_rows(centers, rot_cols)
+    props = detector[["pitch_u", "pitch_v", "module_t"]].to_numpy(dtype=float)
+    mirror_rot_rows = _mirror_rotation_rows(centers, rot_cols, props)
     mirror_rot = np.zeros((max_v, max_l, max_m, 3, 3))
     mirror_rot[v, l, m] = mirror_rot_rows
 
@@ -84,13 +85,17 @@ _MIRROR_TOL_MM = 1.0
 
 
 def _mirror_rotation_rows(
-    centers: np.ndarray, rotations: np.ndarray
+    centers: np.ndarray, rotations: np.ndarray, props: np.ndarray | None = None
 ) -> np.ndarray:
     """Per detector row, the rotation of the z-mirror partner module.
 
     Falls back to ``diag(1,1,-1) @ R`` (flip the global z of the
     direction) for modules with no partner within tolerance — none in
     TrackML, but keeps non-mirror-symmetric geometries functional.
+    ``props`` rows are (pitch_u, pitch_v, module_t): pushing the original
+    cluster extents through the partner's rotation is only exact when the
+    partner shares pixel pitch and thickness, so a property mismatch also
+    demotes the pair to the approximation (with the warning below).
     """
     from scipy.spatial import cKDTree
 
@@ -98,6 +103,8 @@ def _mirror_rotation_rows(
     dist, j = tree.query(centers * np.array([1.0, 1.0, -1.0]))
     out = rotations[j].copy()
     missing = dist > _MIRROR_TOL_MM
+    if props is not None:
+        missing |= ~np.isclose(props, props[j], rtol=1e-6).all(axis=1)
     if missing.any():
         cf_logger.warning(
             "%d modules have no z-mirror partner within %.1f mm; their "

@@ -147,6 +147,7 @@ class Trainer:
         val_every_n_epochs: int = 1,
         async_checkpoints: bool = False,
         train_transform=None,
+        ema_decay: float | None = None,
     ):
         """
         Args:
@@ -161,6 +162,16 @@ class Trainer:
                 every TRAIN batch (never validation) — e.g.
                 :class:`~gnn_tracking_tpu.utils.augmentation.PhiRotation`.
                 Shape-preserving transforms only (no recompiles).
+            ema_decay: When set (e.g. 0.998), maintain an exponential moving
+                average of the parameters over training steps. ALL validation
+                (including the ``monitor`` selection and ``checkpoint_best``)
+                then evaluates and saves the EMA weights — the low-variance
+                estimate of the late-training model. Variance reduction for
+                noisy, quantized selection metrics (few-particle
+                double-majority); the functional-JAX analog of the reference
+                ecosystem's ``StochasticWeightAveraging``/EMA callbacks.
+                Last-epoch raw params stay in ``module.params``; the EMA tree
+                is exposed as :attr:`ema_params`.
         """
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -178,6 +189,10 @@ class Trainer:
 
             train_transform = obj_from_config(train_transform)
         self.train_transform = train_transform
+        self.ema_decay = ema_decay
+        #: EMA parameter tree (populated during fit when ``ema_decay`` set)
+        self.ema_params = None
+        self._ema_update = None
         self._best_monitor: float | None = None
         #: full validation dict of the best-monitor epoch (model selection,
         #: reference: Lightning ModelCheckpoint(monitor=...) + its
@@ -246,6 +261,25 @@ class Trainer:
                 metrics = safe_step(batch)
                 if metrics is None:  # skipped OOM batch
                     continue
+                if self.ema_decay is not None:
+                    import jax
+
+                    if self.ema_params is None:
+                        # deep-copy: module.params' buffers are donated into
+                        # the next train step — an alias would be deleted
+                        self.ema_params = jax.tree.map(
+                            lambda a: a.copy(), module.params
+                        )
+                        d = float(self.ema_decay)
+                        self._ema_update = jax.jit(
+                            lambda e, p: jax.tree.map(
+                                lambda a, b: a * d + b * (1.0 - d), e, p
+                            )
+                        )
+                    else:
+                        self.ema_params = self._ema_update(
+                            self.ema_params, module.params
+                        )
                 acc.update(metrics)
                 n_steps += 1
                 if module.step % self.log_every_n_steps == 0:
@@ -263,7 +297,9 @@ class Trainer:
                 n_steps,
             )
             if val_loader is not None and (epoch + 1) % self.val_every_n_epochs == 0:
-                last_val = self.validate(module, loader=val_loader)
+                last_val = self.validate(
+                    module, loader=val_loader, params=self.ema_params
+                )
                 if self.monitor is not None and self.monitor in last_val:
                     value = last_val[self.monitor]
                     better = self._best_monitor is None or (
@@ -274,7 +310,19 @@ class Trainer:
                     if better:
                         self._best_monitor = value
                         self.best_metrics = dict(last_val)
-                        self.checkpointer.save(module, config=config, tag="best")
+                        # checkpoint_best holds the weights that were
+                        # evaluated — the EMA tree when ema_decay is on
+                        if self.ema_params is not None:
+                            raw = module.params
+                            module.params = self.ema_params
+                            try:
+                                self.checkpointer.save(
+                                    module, config=config, tag="best"
+                                )
+                            finally:
+                                module.params = raw
+                        else:
+                            self.checkpointer.save(module, config=config, tag="best")
                         logger.info(
                             "New best %s=%.5f (checkpoint_best)", self.monitor, value
                         )
@@ -299,16 +347,27 @@ class Trainer:
             out[f"best_{self.monitor}"] = self._best_monitor
         return out
 
-    def validate(self, module, datamodule=None, loader=None) -> dict[str, float]:
+    def validate(
+        self, module, datamodule=None, loader=None, params=None
+    ) -> dict[str, float]:
+        """Run validation; ``params`` (e.g. :attr:`ema_params` or a restored
+        checkpoint tree) temporarily replaces ``module.params`` for the pass."""
         if loader is None:
             datamodule.setup("validate")
             loader = datamodule.val_dataloader()
-        acc = MetricAccumulator()
-        for i, batch in enumerate(loader):
-            module.setup_params(batch)
-            acc.update(module.validation_step(batch, i))
-        metrics = acc.compute()
-        metrics |= module.on_validation_epoch_end()
+        raw = module.params
+        if params is not None:
+            module.params = params
+        try:
+            acc = MetricAccumulator()
+            for i, batch in enumerate(loader):
+                module.setup_params(batch)
+                acc.update(module.validation_step(batch, i))
+            metrics = acc.compute()
+            metrics |= module.on_validation_epoch_end()
+        finally:
+            if params is not None:
+                module.params = raw
         if self.print_validation_results:
             print(format_results_table(metrics, highlight=module.highlight_metric))
         return metrics

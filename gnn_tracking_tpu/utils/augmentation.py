@@ -90,9 +90,25 @@ class PhiRotation:
                 -np.pi, np.pi
             )
         )
-        return batch.replace(
-            x=rotate_phi(batch.x, jnp.float32(delta), phi_scale=self.phi_scale)
-        )
+        x = rotate_phi(batch.x, jnp.float32(delta), phi_scale=self.phi_scale)
+        extras = batch.extras
+        if extras and "cell_refl" in extras and x.shape[1] > GPHI_COLUMN:
+            # keep the stored mirror-partner gphi (raw radians, same scale
+            # as the gphi column) in the rotated frame, so a ZReflection
+            # composed AFTER the rotation is still exact — the transform
+            # order no longer matters.
+            refl = extras["cell_refl"]
+            extras = dict(extras)
+            wrapped = (
+                (refl[:, 1] + delta + np.pi) % (2.0 * np.pi) - np.pi
+            ).astype(refl.dtype)
+            if isinstance(refl, np.ndarray):  # host-ETL numpy leaves
+                refl = refl.copy()
+                refl[:, 1] = wrapped
+            else:
+                refl = refl.at[:, 1].set(wrapped)
+            extras["cell_refl"] = refl
+        return batch.replace(x=x, extras=extras)
 
 #: z-dependent DEFAULT_FEATURES columns (see module docstring for layout)
 Z_COLUMN = 2
@@ -149,10 +165,9 @@ class ZReflection:
     probability ``p`` per step (deterministic in (seed, step)).
 
     Doubles the effective φ-rotation group to the full O(2)×Z2 detector
-    symmetry. In a ``Compose``, place BEFORE ``PhiRotation``: the
-    reflected (geta, gphi) in ``cell_refl`` are stored in the unrotated
-    frame, so the reflection must run first and the rotation then acts on
-    the reflected azimuth.
+    symmetry. Order within a ``Compose`` is immaterial: ``PhiRotation``
+    co-rotates the stored mirror-frame ``cell_refl`` gphi, so reflection
+    before or after a rotation yields the same exact features.
     """
 
     p: float = 0.5

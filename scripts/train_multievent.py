@@ -92,22 +92,36 @@ def derive_event(g, seed: int, n_events: int, keep_frac: float):
 
 
 def make_event_dirs(
-    graph_path: Path, workdir: Path, n_events: int, keep_frac: float
-) -> tuple[Path, Path]:
+    graph_path: Path, workdir: Path, n_events: int, keep_frac: float,
+    n_select: int = 0, n_val: int = 1,
+) -> tuple[Path, Path, Path | None]:
+    """Derive ``n_events`` variants: the first ``n_events - n_select -
+    n_val`` train, the next ``n_select`` form the SELECTION split (the TC
+    monitor sees only these), and the last ``n_val`` are the REPORT split
+    (evaluated only after training — leak-free; the single-file analog of
+    the reference's separate val/test event dirs,
+    ``utils/loading.py:116-248``)."""
     from gnn_tracking_tpu.utils.loading import load_graph, save_graph
 
     g = load_graph(graph_path)
     train_dir = workdir / "events_train"
+    sel_dir = workdir / "events_select"
     val_dir = workdir / "events_val"
-    for d in (train_dir, val_dir):
+    for d in (train_dir, sel_dir, val_dir):
         d.mkdir(parents=True, exist_ok=True)
         for f in d.glob("*.npz"):
             f.unlink()
+    n_train = n_events - n_select - n_val
     for i in range(n_events):
         gi = derive_event(g, i, n_events, keep_frac)
-        dst = (val_dir if i == n_events - 1 else train_dir) / f"event{i:03d}.npz"
-        save_graph(gi, dst)
-    return train_dir, val_dir
+        if i < n_train:
+            d = train_dir
+        elif i < n_train + n_select:
+            d = sel_dir
+        else:
+            d = val_dir
+        save_graph(gi, d / f"event{i:03d}.npz")
+    return train_dir, val_dir, (sel_dir if n_select else None)
 
 
 def stage_ec(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
@@ -145,7 +159,13 @@ def stage_ec(train_dir, val_dir, workdir, epochs) -> dict[str, float]:
 def stage_tc(
     train_dir, val_dir, workdir, epochs, *, h_outdim: int = 4,
     hidden_dim: int = 48, dropout: float = 0.0,
+    select_dir=None, ema_decay: float | None = None,
 ) -> dict[str, float]:
+    """TC stage. With ``select_dir``, the monitor/checkpoint_best selects on
+    the selection events only; each report event in ``val_dir`` is then
+    evaluated individually post-training with (a) the final EMA weights and
+    (b) the selected checkpoint, and the summary reports mean±std across
+    the unseen report events (VERDICT r4 #3 leak-free protocol)."""
     import optax
 
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
@@ -159,12 +179,13 @@ def stage_tc(
     from gnn_tracking_tpu.training.trainer import Trainer
     from gnn_tracking_tpu.utils.loading import PaddingConfig, TrackingDataModule
 
+    padding = PaddingConfig(
+        node_bucket=4096, edge_bucket=16384, true_edge_bucket=16384
+    )
     dm = TrackingDataModule(
         train={"dirs": [train_dir], "batch_size": 1},
-        val={"dirs": [val_dir]},
-        padding=PaddingConfig(
-            node_bucket=4096, edge_bucket=16384, true_edge_bucket=16384
-        ),
+        val={"dirs": [select_dir or val_dir]},
+        padding=padding,
     )
     # stage-C recipe from scripts/train_trackml.py (sweep 2026-08-17)
     module = TCModule(
@@ -194,13 +215,17 @@ def stage_tc(
     )
     if dropout > 0:
         transform = Compose([transform, HitDropout(p=dropout, seed=4)])
-    metrics = Trainer(
+    trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
         monitor="trk.double_majority_pt0.9",
         train_transform=transform,
-    ).fit(module, dm)
-    return {
-        "tc." + k: metrics[k]
+        ema_decay=ema_decay,
+        checkpoint_every_epoch=False,
+    )
+    metrics = trainer.fit(module, dm)
+    prefix = "tc.select." if select_dir is not None else "tc."
+    out = {
+        prefix + k: metrics[k]
         for k in (
             "trk.double_majority_pt0.9",
             "trk.lhc_pt0.9",
@@ -210,6 +235,42 @@ def stage_tc(
         )
         if k in metrics
     }
+    if select_dir is not None:
+        from gnn_tracking_tpu.utils.loading import TrackingDataModule as TDM
+
+        n_val = len(sorted(Path(val_dir).glob("*.npz")))
+        per_event: dict[str, list[float]] = {"last": [], "selected": []}
+        best_ckpt = trainer.log_dir / "checkpoints" / "checkpoint_best"
+        for i in range(n_val):
+            ev_dm = TDM(
+                val={"dirs": [val_dir], "start": i, "stop": i + 1},
+                padding=padding,
+            )
+            ev_dm.setup("validate")
+            loader = ev_dm.val_dataloader()
+            m = trainer.validate(
+                module, loader=loader, params=trainer.ema_params
+            )
+            per_event["last"].append(m.get("trk.double_majority_pt0.9", float("nan")))
+            out[f"tc.test.ev{i}.last.dm_pt0.9"] = per_event["last"][-1]
+        if best_ckpt.exists():
+            trainer.checkpointer.restore(module, best_ckpt)
+            for i in range(n_val):
+                ev_dm = TDM(
+                    val={"dirs": [val_dir], "start": i, "stop": i + 1},
+                    padding=padding,
+                )
+                ev_dm.setup("validate")
+                m = trainer.validate(module, loader=ev_dm.val_dataloader())
+                per_event["selected"].append(
+                    m.get("trk.double_majority_pt0.9", float("nan"))
+                )
+                out[f"tc.test.ev{i}.selected.dm_pt0.9"] = per_event["selected"][-1]
+        for tag, vals in per_event.items():
+            if vals:
+                out[f"tc.test.{tag}.dm_pt0.9_mean"] = float(np.mean(vals))
+                out[f"tc.test.{tag}.dm_pt0.9_std"] = float(np.std(vals))
+    return out
 
 
 def main() -> None:
@@ -221,6 +282,15 @@ def main() -> None:
         default=Path(__file__).parent.parent / "tests" / "test_data" / "trackml",
     )
     parser.add_argument("--n-events", type=int, default=8)
+    parser.add_argument(
+        "--n-select", type=int, default=0,
+        help="events reserved for model SELECTION (monitor/checkpoint_best "
+        "sees only these; leak-free protocol)",
+    )
+    parser.add_argument(
+        "--n-val", type=int, default=1,
+        help="unseen REPORT events (evaluated only after training)",
+    )
     parser.add_argument("--keep-frac", type=float, default=0.9)
     parser.add_argument("--epochs-ec", type=int, default=40)
     parser.add_argument("--epochs-tc", type=int, default=300)
@@ -228,19 +298,27 @@ def main() -> None:
     parser.add_argument("--tc-h-outdim", type=int, default=4)
     parser.add_argument("--tc-hidden", type=int, default=48)
     parser.add_argument("--tc-dropout", type=float, default=0.0)
+    parser.add_argument(
+        "--ema-decay", type=float, default=0.998,
+        help="parameter-EMA decay for validation/selection (0 disables)",
+    )
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument("--tpu", action="store_true")
     args = parser.parse_args()
+    if args.n_select + args.n_val >= args.n_events:
+        parser.error("--n-select + --n-val must be < --n-events")
 
     from train_trackml import build_data
 
     _, graph_dir, _ = build_data(args.trackml_dir, args.workdir, n_sectors=1)
     graph_path = sorted(Path(graph_dir).glob("*.npz"))[0]
-    train_dir, val_dir = make_event_dirs(
-        graph_path, args.workdir, args.n_events, args.keep_frac
+    train_dir, val_dir, sel_dir = make_event_dirs(
+        graph_path, args.workdir, args.n_events, args.keep_frac,
+        n_select=args.n_select, n_val=args.n_val,
     )
     results: dict[str, float] = {}
     stages = {s.strip().upper() for s in args.stages.split(",")}
+    ema_decay = args.ema_decay if args.ema_decay > 0 else None
     if "A" in stages:
         results.update(stage_ec(train_dir, val_dir, args.workdir, args.epochs_ec))
     if "C" in stages:
@@ -248,13 +326,16 @@ def main() -> None:
             stage_tc(
                 train_dir, val_dir, args.workdir, args.epochs_tc,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
-                dropout=args.tc_dropout,
+                dropout=args.tc_dropout, select_dir=sel_dir,
+                ema_decay=ema_decay,
             )
         )
 
+    n_train = args.n_events - args.n_select - args.n_val
     print(
-        f"\n=== Multi-event generalization ({args.n_events - 1} train events, "
-        f"1 unseen val event, keep_frac={args.keep_frac}) ==="
+        f"\n=== Multi-event generalization ({n_train} train events, "
+        f"{args.n_select} selection events, {args.n_val} unseen report "
+        f"events, keep_frac={args.keep_frac}) ==="
     )
     for k in sorted(results):
         print(f"  {k:<40} {results[k]:.4f}")

@@ -71,33 +71,47 @@ def build_data(trackml_dir: Path, workdir: Path, n_sectors: int = 1):
 
 def split_sectors(
     src_dir: Path, workdir: Path, tag: str, holdout: int, n_sectors: int,
-    fold: int | None = None,
-) -> tuple[Path, Path]:
-    """Symlink-split per-sector files into train/val dirs: ``holdout``
-    consecutive sector indices starting at ``fold`` (default: the last
-    ``holdout``) are held out (azimuthal sectors are statistically
-    exchangeable, so any fixed split is unbiased; sweeping ``fold`` gives
-    k-fold cross-validation). This is the single-event analog of the
-    reference's event-level train/val directories (reference
-    ``utils/loading.py`` TrackingDataModule)."""
+    fold: int | None = None, select: int = 0,
+) -> tuple[Path, Path, Path | None]:
+    """Symlink-split per-sector files into train/val(test)/select dirs:
+    ``holdout`` consecutive sector indices starting at ``fold`` (default:
+    the last ``holdout``) are held out as the TEST split, and — when
+    ``select > 0`` — the next ``select`` sectors become a disjoint
+    SELECTION split (azimuthal sectors are statistically exchangeable, so
+    any fixed split is unbiased; sweeping ``fold`` gives k-fold
+    cross-validation). The selection split is what the trainer's
+    ``monitor`` sees; the test split is only ever evaluated, never
+    selected on — the leak-free protocol of the reference's
+    train/val/test event directories (reference ``utils/loading.py``
+    TrackingDataModule)."""
     train_dir = workdir / f"{tag}_train"
     val_dir = workdir / f"{tag}_val"
-    for d in (train_dir, val_dir):
+    sel_dir = workdir / f"{tag}_select"
+    for d in (train_dir, val_dir, sel_dir):
         d.mkdir(parents=True, exist_ok=True)
         for f in d.glob("*.npz"):
             f.unlink()
     start = n_sectors - holdout if fold is None else fold
     val_sectors = {(start + i) % n_sectors for i in range(holdout)}
+    sel_sectors = {
+        (start + holdout + i) % n_sectors for i in range(select)
+    }
     for f in sorted(src_dir.glob("*.npz")):
         s = int(f.stem.rsplit("_s", 1)[1])
-        dst = (val_dir if s in val_sectors else train_dir) / f.name
+        if s in val_sectors:
+            dst = val_dir / f.name
+        elif s in sel_sectors:
+            dst = sel_dir / f.name
+        else:
+            dst = train_dir / f.name
         dst.symlink_to(f.resolve())
-    return train_dir, val_dir
+    return train_dir, val_dir, (sel_dir if select else None)
 
 
 def stage_ec(
     graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
-    z_reflect: bool = True,
+    z_reflect: bool = True, select_dir: Path | None = None,
+    ema_decay: float | None = None,
 ) -> dict[str, float]:
     from gnn_tracking_tpu.losses.ec import EdgeWeightFocalLoss
     from gnn_tracking_tpu.models.edge_classifier import ECForGraphTCN
@@ -105,12 +119,13 @@ def stage_ec(
     from gnn_tracking_tpu.training.trainer import Trainer
     from gnn_tracking_tpu.utils.loading import PaddingConfig, TrackingDataModule
 
+    padding = PaddingConfig(
+        node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
+    )
     dm = TrackingDataModule(
         train={"dirs": [graph_dir], "batch_size": 1},
-        val={"dirs": [val_dir or graph_dir]},
-        padding=PaddingConfig(
-            node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
-        ),
+        val={"dirs": [select_dir or val_dir or graph_dir]},
+        padding=padding,
     )
     module = ECModule(
         model=ECForGraphTCN(
@@ -136,8 +151,21 @@ def stage_ec(
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_ec",
         train_transform=transform,
+        ema_decay=ema_decay,
+        checkpoint_every_epoch=False,
     )
     metrics = trainer.fit(module, dm)
+    if select_dir is not None and val_dir is not None:
+        # final-model evaluation on the report (test) sectors — no
+        # selection happened in this stage, so last-epoch (EMA) weights
+        # on the test split are leak-free
+        from gnn_tracking_tpu.utils.loading import TrackingDataModule as TDM
+
+        test_dm = TDM(val={"dirs": [val_dir]}, padding=padding)
+        test_dm.setup("validate")
+        metrics = trainer.validate(
+            module, loader=test_dm.val_dataloader(), params=trainer.ema_params
+        )
     return {
         "ec.roc_auc": metrics.get("roc_auc", float("nan")),
         "ec.max_mcc": metrics.get("max_mcc", float("nan")),
@@ -147,9 +175,10 @@ def stage_ec(
 
 
 def stage_ml(
-    pc_dir: Path, workdir: Path, epochs: int, ks: tuple[int, ...] = (8, 12, 16),
+    pc_dir: Path | list[Path], workdir: Path, epochs: int,
+    ks: tuple[int, ...] = (8, 12, 16),
     val_dir: Path | None = None, dropout: float = 0.0,
-    z_reflect: bool = True,
+    z_reflect: bool = True, ema_decay: float | None = None,
 ) -> dict[str, float]:
     import optax
 
@@ -166,14 +195,15 @@ def stage_ml(
         load_graph,
     )
 
+    pc_dirs = [pc_dir] if isinstance(pc_dir, (str, Path)) else list(pc_dir)
     dm = TrackingDataModule(
-        train={"dirs": [pc_dir], "batch_size": 1},
-        val={"dirs": [val_dir or pc_dir]},
+        train={"dirs": pc_dirs, "batch_size": 1},
+        val={"dirs": [val_dir or pc_dirs[0]]},
         padding=PaddingConfig(
             node_bucket=1024, edge_bucket=4096, true_edge_bucket=65536
         ),
     )
-    g_probe = load_graph(sorted(Path(pc_dir).glob("*.npz"))[0])
+    g_probe = load_graph(sorted(Path(pc_dirs[0]).glob("*.npz"))[0])
     in_dim = g_probe.x.shape[1]
     # Recipe (mlb_scan sweep, BENCH_NOTES round 3): the round-2 defaults
     # (pt_thld=0.9, out_dim=8, 120 epochs) plateaued at eff 0.47 @ k=8.
@@ -218,13 +248,19 @@ def stage_ml(
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_ml",
         train_transform=transform,
+        ema_decay=ema_decay,
+        checkpoint_every_epoch=False,
     )
     trainer.fit(module, dm)
 
     # learned-embedding kNN graph: efficiency/purity vs truth edges
-    # (on the held-out sector when a val split is active)
+    # (on the held-out sector when a val split is active); EMA weights
+    # when enabled — the ML stage has no model selection, so last/EMA on
+    # the test sectors is leak-free
     loader = dm.val_dataloader() if val_dir else dm.train_dataloader()
     g = next(iter(loader))
+    if trainer.ema_params is not None:
+        module.params = trainer.ema_params
     out = module.forward(g)
     h = out["H"]
     pid = np.asarray(g.particle_id)
@@ -264,7 +300,17 @@ def stage_tc(
     graph_dir: Path, workdir: Path, epochs: int, val_dir: Path | None = None,
     *, h_outdim: int = 4, hidden_dim: int = 48, dropout: float = 0.0,
     cosine: bool = False, z_reflect: bool = True,
+    select_dir: Path | None = None, ema_decay: float | None = None,
 ) -> dict[str, float]:
+    """TC stage. With ``select_dir`` set, runs the LEAK-FREE protocol
+    (VERDICT r4 #1): the trainer's monitor selects ``checkpoint_best`` on
+    the selection sectors, and the ``val_dir`` (test) sectors are evaluated
+    exactly twice after training — once with the final (EMA) weights
+    (``tc.test.last.*``) and once with the selected checkpoint
+    (``tc.test.selected.*``). Selection split and report split are
+    disjoint; reference protocol: ``training/tc.py:86-105`` +
+    ``postprocessing/dbscanscanner.py:74-188`` with Lightning's separate
+    val/test dirs (``utils/loading.py:116-248``)."""
     from gnn_tracking_tpu.losses.oc import CondensationLossTiger
     from gnn_tracking_tpu.models.track_condensation_networks import PerfectECGraphTCN
     from gnn_tracking_tpu.postprocessing.dbscanscanner import DBSCANHyperParamScanner
@@ -272,12 +318,13 @@ def stage_tc(
     from gnn_tracking_tpu.training.trainer import Trainer
     from gnn_tracking_tpu.utils.loading import PaddingConfig, TrackingDataModule
 
+    padding = PaddingConfig(
+        node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
+    )
     dm = TrackingDataModule(
         train={"dirs": [graph_dir], "batch_size": 1},
-        val={"dirs": [val_dir or graph_dir]},
-        padding=PaddingConfig(
-            node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
-        ),
+        val={"dirs": [select_dir or val_dir or graph_dir]},
+        padding=padding,
     )
     import optax
 
@@ -303,7 +350,11 @@ def stage_tc(
         optimizer=optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adam(
-                optax.cosine_decay_schedule(2e-3, 3 * epochs, alpha=0.02)
+                optax.cosine_decay_schedule(
+                    2e-3,
+                    max(len(list(Path(graph_dir).glob("*.npz"))), 1) * epochs,
+                    alpha=0.02,
+                )
                 if cosine
                 else 2e-3
             ),
@@ -327,6 +378,8 @@ def stage_tc(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
         train_transform=transform,
         monitor="trk.double_majority_pt0.9",
+        ema_decay=ema_decay,
+        checkpoint_every_epoch=False,
     )
     metrics = trainer.fit(module, dm)
     out = {}
@@ -339,7 +392,8 @@ def stage_tc(
         "best_trk.double_majority_pt0.9",
     ):
         if key in metrics:
-            out["tc." + key] = metrics[key]
+            prefix = "tc.select." if select_dir is not None else "tc."
+            out[prefix + key] = metrics[key]
     # best-epoch companion metrics (the model checkpoint_best serves)
     for key, val in trainer.best_metrics.items():
         if (
@@ -349,6 +403,35 @@ def stage_tc(
             and np.isfinite(val)
         ):
             out["tc.best_epoch." + key] = val
+    if select_dir is not None and val_dir is not None:
+        # leak-free test-split evaluation (the selection monitor never saw
+        # these sectors)
+        from gnn_tracking_tpu.utils.loading import TrackingDataModule as TDM
+
+        test_dm = TDM(val={"dirs": [val_dir]}, padding=padding)
+        test_dm.setup("validate")
+        test_loader = test_dm.val_dataloader()
+        report_keys = (
+            "trk.double_majority_pt0.9",
+            "trk.lhc_pt0.9",
+            "trk.perfect_pt0.9",
+            "trk.fake_double_majority_pt0.9",
+        )
+        last = trainer.validate(
+            module, loader=test_loader, params=trainer.ema_params
+        )
+        out |= {
+            "tc.test.last." + k: v for k, v in last.items() if k in report_keys
+        }
+        best_ckpt = trainer.log_dir / "checkpoints" / "checkpoint_best"
+        if best_ckpt.exists():
+            trainer.checkpointer.restore(module, best_ckpt)
+            sel = trainer.validate(module, loader=test_loader)
+            out |= {
+                "tc.test.selected." + k: v
+                for k, v in sel.items()
+                if k in report_keys
+            }
     return out
 
 
@@ -410,9 +493,25 @@ def main() -> None:
         help="first held-out sector index (default: last `holdout` "
         "sectors); sweep 0..n_sectors-1 for cross-validation",
     )
+    parser.add_argument(
+        "--select-holdout", type=int, default=0,
+        help="number of additional sectors held out as the SELECTION "
+        "split: the TC monitor/checkpoint_best then selects on these, and "
+        "the --holdout (test) sectors are only evaluated after training "
+        "(leak-free protocol; reported as tc.test.last.* / "
+        "tc.test.selected.*)",
+    )
+    parser.add_argument(
+        "--ema-decay", type=float, default=0.998,
+        help="parameter-EMA decay used for validation/selection/final "
+        "eval (0 disables; variance reduction for the noisy quantized "
+        "double-majority selection metric)",
+    )
     args = parser.parse_args()
-    if args.holdout and args.holdout >= args.n_sectors:
-        parser.error("--holdout must be < --n-sectors")
+    if args.holdout and args.holdout + args.select_holdout >= args.n_sectors:
+        parser.error("--holdout + --select-holdout must be < --n-sectors")
+    if args.select_holdout and not args.holdout:
+        parser.error("--select-holdout requires --holdout")
 
     pc_dir, graph_dir, gstats = build_data(
         args.trackml_dir, args.workdir, n_sectors=args.n_sectors
@@ -420,30 +519,35 @@ def main() -> None:
     results: dict[str, float] = {
         "graph." + k: float(v) for k, v in gstats.items() if np.isscalar(v)
     }
-    pc_val = g_val = None
+    pc_val = g_val = pc_sel = g_sel = None
     if args.holdout:
-        pc_dir, pc_val = split_sectors(
+        pc_dir, pc_val, pc_sel = split_sectors(
             pc_dir, args.workdir, "pc", args.holdout, args.n_sectors,
-            fold=args.fold,
+            fold=args.fold, select=args.select_holdout,
         )
-        graph_dir, g_val = split_sectors(
+        graph_dir, g_val, g_sel = split_sectors(
             graph_dir, args.workdir, "graphs", args.holdout, args.n_sectors,
-            fold=args.fold,
+            fold=args.fold, select=args.select_holdout,
         )
     stages = {s.strip().upper() for s in args.stages.split(",")}
     z_reflect = not args.no_z_reflect
+    ema_decay = args.ema_decay if args.ema_decay > 0 else None
     if "A" in stages:
         results.update(
             stage_ec(
                 graph_dir, args.workdir, args.epochs_ec, val_dir=g_val,
-                z_reflect=z_reflect,
+                z_reflect=z_reflect, select_dir=g_sel, ema_decay=ema_decay,
             )
         )
     if "B" in stages:
+        # the ML stage does no model selection, so the selection sectors
+        # are legitimate extra TRAIN data for it (test stays untouched)
+        ml_train = [pc_dir] if pc_sel is None else [pc_dir, pc_sel]
         results.update(
             stage_ml(
-                pc_dir, args.workdir, args.epochs_ml, val_dir=pc_val,
+                ml_train, args.workdir, args.epochs_ml, val_dir=pc_val,
                 dropout=args.ml_dropout, z_reflect=z_reflect,
+                ema_decay=ema_decay,
             )
         )
     if "C" in stages:
@@ -452,7 +556,7 @@ def main() -> None:
                 graph_dir, args.workdir, args.epochs_tc, val_dir=g_val,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
                 dropout=args.tc_dropout, cosine=args.tc_cosine,
-                z_reflect=z_reflect,
+                z_reflect=z_reflect, select_dir=g_sel, ema_decay=ema_decay,
             )
         )
 

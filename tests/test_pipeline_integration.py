@@ -323,3 +323,32 @@ def test_z_reflection_involution_and_transform(built_graphs_path):
         for s in range(16)
     ]
     assert any(coins) and not all(coins)  # both outcomes occur
+
+
+def test_reflection_rotation_compose_order_independent(built_graphs_path):
+    """PhiRotation co-rotates the stored mirror-frame cell_refl gphi, so
+    ZReflection-after-rotation equals rotation-after-ZReflection exactly
+    (ADVICE r4: the old ordering constraint is gone)."""
+    from gnn_tracking_tpu.utils.augmentation import (
+        Compose,
+        PhiRotation,
+        ZReflection,
+    )
+
+    _, builder = built_graphs_path
+    g = builder.data_list[0]
+    assert "cell_refl" in g.extras
+    refl_first = Compose([ZReflection(p=1.0, seed=7), PhiRotation(seed=9)])
+    rot_first = Compose([PhiRotation(seed=9), ZReflection(p=1.0, seed=7)])
+    for step in (0, 3):
+        ga = refl_first(g, step=step)
+        gb = rot_first(g, step=step)
+        np.testing.assert_allclose(
+            np.asarray(ga.x), np.asarray(gb.x), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ga.extras["cell_refl"]),
+            np.asarray(gb.extras["cell_refl"]),
+            rtol=1e-5,
+            atol=1e-6,
+        )
