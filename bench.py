@@ -321,6 +321,13 @@ def extra_serving() -> dict[str, float]:
     keeping the FULL GraphTCN forward in the compiled program — the
     clustering then does representative work (~2k tracks of ~16 hits).
     Also reports a stage split: forward / radius graph / DBSCAN.
+
+    ``serving_events_per_s`` is the PRODUCTION loop figure: the
+    ``inference.predict_dir`` dispatch/fetch pipeline (2 events in flight,
+    distinct events, post-compile, min-of-3 with spread). The serial
+    per-event latency is ``serving_synced_ms`` — through the axon relay it
+    carries one synchronous roundtrip the pipelined loop amortizes away
+    (battery #28).
     """
     import jax
     import jax.numpy as jnp
@@ -377,13 +384,19 @@ def extra_serving() -> dict[str, float]:
         max_num_neighbors=cap, sort_edges=True, precision="bf16",
     )
 
-    def _time(f, iters=5):
+    def _time(f, iters=5, reps=3):
+        """min-of-reps timing (each rep averages ``iters`` calls) + spread
+        (max-min over reps) — VERDICT r4 #6: committed bench numbers must be
+        stable enough to compare across rounds."""
         f()  # compile
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters, out
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f()
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) / iters)
+        return min(ts), max(ts) - min(ts), out
 
     # stage split (each stage jitted separately; sums can exceed the fused
     # end-to-end time, which XLA overlaps) — same sorted/bf16 config as the
@@ -398,27 +411,73 @@ def extra_serving() -> dict[str, float]:
     g_b = jax.tree.map(_cast, g.sort_edges_by_target())
     params_b = jax.tree.map(_cast, {"params": params})
     fwd = jax.jit(lambda v, g_: model.apply(v, g_)["H"].astype(jnp.float32))
-    t_fwd, h = _time(lambda: fwd(params_b, g_b))
+    t_fwd, _, h = _time(lambda: fwd(params_b, g_b))
     rg = jax.jit(
         lambda h_: radius_graph(h_, eps, max_num_neighbors=cap, loop=False)
     )
-    t_rg, (ei, em, dists) = _time(lambda: rg(h))
+    t_rg, _, (ei, em, dists) = _time(lambda: rg(h))
     db = jax.jit(
         lambda ei_, d_, em_: dbscan_from_graph(
             ei_, d_, N_NODES, eps=eps, min_samples=min_samples,
             edge_mask=em_, neighbor_cap=cap,
         )
     )
-    t_db, _ = _time(lambda: db(ei, dists, em))
+    t_db, t_db_spread, _ = _time(lambda: db(ei, dists, em))
 
-    t_all, out = _time(lambda: pred.predict(g))
+    # synced per-event latency (dispatch + one-buffer fetch, serial)
+    t_sync, t_sync_spread, out = _time(lambda: pred.predict(g))
+
+    # production serving loop (the `inference.predict_dir` pattern,
+    # committed API): keep 2 events in flight so host fetch/dispatch ride
+    # under device compute — this is the committed throughput figure;
+    # per-event latency stays reported as serving_synced_ms. Distinct
+    # events (fresh latents/graphs per slot) keep the work honest.
+    from collections import deque
+
+    events = [g]
+    for s in (11, 12, 13):
+        r2 = np.random.default_rng(s)
+        pid2 = r2.integers(0, n_tracks, size=N_NODES)
+        centers2 = r2.normal(size=(n_tracks, 8)).astype(np.float32)
+        lat2 = (
+            centers2[pid2] + 0.02 * r2.normal(size=(N_NODES, 8))
+        ).astype(np.float32)
+        events.append(
+            g.replace(
+                particle_id=jnp.asarray(pid2),
+                extras={"serving_centers": jnp.asarray(lat2)},
+            )
+        )
+    for ev in events:
+        pred.predict(ev)  # warm every slot
+    rates = []
+    for _ in range(3):
+        inflight: deque = deque()
+        n_done = 0
+        t0 = time.perf_counter()
+        for rep in range(3):
+            for ev in events:
+                inflight.append(pred._dispatch(ev))
+                while len(inflight) >= 2:
+                    pred._fetch(inflight.popleft())
+                    n_done += 1
+        while inflight:
+            pred._fetch(inflight.popleft())
+            n_done += 1
+        rates.append((time.perf_counter() - t0) / n_done)
+    t_pipe = min(rates)
     return {
-        "serving_events_per_s": 1.0 / t_all,
-        "serving_ms": t_all * 1e3,
+        "serving_events_per_s": 1.0 / t_pipe,
+        "serving_ms": t_pipe * 1e3,
+        "serving_ms_spread": (max(rates) - t_pipe) * 1e3,
+        "serving_synced_ms": t_sync * 1e3,
+        "serving_synced_ms_spread": t_sync_spread * 1e3,
+        "serving_synced_events_per_s": 1.0 / t_sync,
         "serving_n_tracks": float(out["labels"].max() + 1),
         "serving_forward_ms": t_fwd * 1e3,
         "serving_radius_ms": t_rg * 1e3,
         "serving_dbscan_ms": t_db * 1e3,
+        "serving_dbscan_ms_spread": t_db_spread * 1e3,
     }
 
 
@@ -437,12 +496,16 @@ def extra_knn() -> dict[str, float]:
     )
     d, i, unc = ivf_knn(x, k=8)
     _sync(d[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        d, _, _ = ivf_knn(x, k=8)
-    _sync(d[0, 0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            d, _, _ = ivf_knn(x, k=8)
+        _sync(d[0, 0])
+        ts.append((time.perf_counter() - t0) / 3 * 1e3)
     return {
-        "knn_262k_ms": (time.perf_counter() - t0) / 5 * 1e3,
+        "knn_262k_ms": min(ts),
+        "knn_262k_ms_spread": max(ts) - min(ts),
         "knn_uncertified": float(unc),
     }
 
@@ -460,10 +523,16 @@ def extra_dbscan() -> dict[str, float]:
     rescan = DBSCANFastRescan(x, max_eps=0.5, max_num_neighbors=64)
     trials = [{"eps": e, "min_samples": 3} for e in np.linspace(0.02, 0.5, 12)]
     labels = rescan.cluster_many(trials)  # compile
-    t0 = time.perf_counter()
-    labels = rescan.cluster_many(trials)
-    np.asarray(labels)
-    return {"dbscan_ms_per_trial": (time.perf_counter() - t0) / len(trials) * 1e3}
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        labels = rescan.cluster_many(trials)
+        np.asarray(labels)
+        ts.append((time.perf_counter() - t0) / len(trials) * 1e3)
+    return {
+        "dbscan_ms_per_trial": min(ts),
+        "dbscan_ms_per_trial_spread": max(ts) - min(ts),
+    }
 
 
 def extra_graphtcn() -> dict[str, float]:
@@ -503,12 +572,19 @@ def extra_graphtcn() -> dict[str, float]:
     )
     module.setup_params(g)
     _sync(module.training_step(g)["total"])  # compile
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = module.training_step(g)
-    _sync(out["total"])
-    dt = (time.perf_counter() - t0) / 5
-    return {"graphtcn_events_per_s": 1.0 / dt, "graphtcn_ms": dt * 1e3}
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = module.training_step(g)
+        _sync(out["total"])
+        ts.append((time.perf_counter() - t0) / 5)
+    dt = min(ts)
+    return {
+        "graphtcn_events_per_s": 1.0 / dt,
+        "graphtcn_ms": dt * 1e3,
+        "graphtcn_ms_spread": (max(ts) - dt) * 1e3,
+    }
 
 
 def main():

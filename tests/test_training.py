@@ -369,3 +369,69 @@ def test_trainer_resume_from_checkpoint(datamodule, tmp_path):
         jax.tree_util.tree_leaves(m2.params),
     ):
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_ema_selection(datamodule, tmp_path):
+    """ema_decay: the EMA tree is maintained over steps, differs from the
+    raw params, is what validation/monitor/checkpoint_best see, and
+    validate(params=...) restores raw params afterwards (round-5 leak-free
+    protocol machinery)."""
+    module = ECModule(
+        model=ECForGraphTCN(
+            interaction_node_dim=4, interaction_edge_dim=4, L_ec=2,
+            hidden_dim=12,
+        ),
+        loss_fct=EdgeWeightFocalLoss(),
+    )
+    trainer = Trainer(
+        max_epochs=3, log_dir=tmp_path, print_validation_results=False,
+        monitor="roc_auc", ema_decay=0.9,
+    )
+    trainer.fit(module, datamodule)
+    assert trainer.ema_params is not None
+    # EMA differs from the raw last-step params (decay < 1, >1 step)
+    diffs = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            trainer.ema_params,
+            module.params,
+        )
+    )
+    assert max(diffs) > 0
+
+    # checkpoint_best holds the EMA weights, not the raw ones
+    best = tmp_path / trainer.name / "checkpoints" / "checkpoint_best"
+    assert best.exists()
+    raw_before = jax.tree.map(lambda a: np.asarray(a).copy(), module.params)
+    trainer.checkpointer.restore(module, best)
+    ema_vs_best = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            trainer.ema_params,
+            module.params,
+        )
+    )
+    # best checkpoint was saved from SOME epoch's EMA tree; it must be
+    # closer to the final EMA than the raw params are (sanity, not equality:
+    # the best epoch may precede the last)
+    raw_vs_best = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            raw_before,
+            module.params,
+        )
+    )
+    assert max(ema_vs_best) <= max(raw_vs_best) + 1e-6
+
+    # params override in validate(): module params restored afterwards
+    module.params = raw_before
+    loader = datamodule.val_dataloader()
+    trainer.validate(module, loader=loader, params=trainer.ema_params)
+    after = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            module.params,
+            raw_before,
+        )
+    )
+    assert max(after) == 0
