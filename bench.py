@@ -558,6 +558,9 @@ def extra_graphtcn() -> dict[str, float]:
         eta=(8 * (rng.random(2048) - 0.5))[pid],
         reconstructable=np.ones(N_NODES),
     )
+    # sorted_edges: same aggregation knob as the EC headline (bf16_sorted)
+    # and the serving predictor — the bench graph is already dst-sorted
+    g = g.sort_edges_by_target()
     module = TCModule(
         model=GraphTCN(
             h_dim=INTERACTION_DIM,
@@ -566,6 +569,7 @@ def extra_graphtcn() -> dict[str, float]:
             hidden_dim=HIDDEN_DIM,
             L_ec=L_EC,
             L_hc=3,
+            sorted_edges=True,
         ),
         loss_fct=CondensationLossTiger(max_n_objects=2048, object_block_size=256),
         precision="bf16",
