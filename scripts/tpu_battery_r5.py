@@ -397,10 +397,87 @@ def exp_servepipe():
         )
 
 
+def exp_fdanat():
+    """Full-detector per-stage split of the real-cotangent fwd+bwd
+    (VERDICT r4 #4 second instrument): battery #29 measured the composite
+    loss (edge focal + TC) at 2.30 s fwd+bwd but never split it. Arms:
+    (L_ec, L_hc) = (6,3) total / (6,0) minus-HC-stack / (3,3)
+    minus-3-EC-layers, grad each, + total fwd."""
+    from train_fulldetector import full_detector_event
+
+    from gnn_tracking_tpu.losses.ec import binary_focal_loss
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.parallel.halo import partition_event
+    from gnn_tracking_tpu.parallel.sharded_tc import (
+        partition_condensation,
+        sharded_condensation_loss,
+    )
+
+    n_tracks = 512 if SMOKE else 16384
+    g = full_detector_event(0, n_tracks=n_tracks).sort_edges_by_target()
+    sg = partition_event(g, 1, sort_edges=True)
+    cd = partition_condensation(g, sg, max_n_objects=512, subsample_seed=1000)
+    cd1 = jax.tree.map(
+        lambda v: v[0]
+        if hasattr(v, "shape") and v.ndim and v.shape[0] == 1
+        else v,
+        cd,
+    )
+    gb = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        g,
+    )
+    iters = 2 if SMOKE else 4
+
+    def arm(tag, l_ec, l_hc, with_fwd=False):
+        model = GraphTCN(
+            h_dim=32, e_dim=32, h_outdim=8, hidden_dim=128,
+            L_ec=l_ec, L_hc=l_hc, sorted_edges=True, remat=True,
+        )
+        params = model.init(jax.random.PRNGKey(0), gb)
+
+        def real_loss(p):
+            out = model.apply(p, gb)
+            w = out["W"].astype(jnp.float32)
+            h = out["H"].astype(jnp.float32)
+            b = out["B"].astype(jnp.float32)
+            l_edge = binary_focal_loss(
+                inpt=w, target=gb.y.astype(jnp.float32)
+            )
+            tc = sharded_condensation_loss(
+                b, h, cd1, q_min=0.01, max_n_objects=512, axis_name=None
+            )
+            return l_edge + sum(tc.values())
+
+        try:
+            if with_fwd:
+                c = jax.jit(real_loss).lower(params).compile()
+                sync(c(params))
+                report(
+                    f"fdanat_{tag}_fwd",
+                    ms=timeit(lambda: c(params), iters=iters) * 1e3,
+                )
+            cg = jax.jit(jax.grad(real_loss)).lower(params).compile()
+            sync(jax.tree.leaves(cg(params))[0])
+            report(
+                f"fdanat_{tag}_fb",
+                ms=timeit(lambda: cg(params), iters=iters) * 1e3,
+            )
+        except Exception as ex:
+            report(f"fdanat_{tag}", error=describe(ex)[:400])
+
+    arm("Lec6_Lhc3", 6, 3, with_fwd=True)
+    arm("Lec6_Lhc0", 6, 0)
+    arm("Lec3_Lhc3", 3, 3)
+
+
 EXPERIMENTS = {
     "hcanat": exp_hcanat,
     "ccanat": exp_ccanat,
     "servepipe": exp_servepipe,
+    "fdanat": exp_fdanat,
 }
 
 

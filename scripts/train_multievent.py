@@ -160,6 +160,7 @@ def stage_tc(
     train_dir, val_dir, workdir, epochs, *, h_outdim: int = 4,
     hidden_dim: int = 48, dropout: float = 0.0,
     select_dir=None, ema_decay: float | None = None,
+    cosine: bool = False,
 ) -> dict[str, float]:
     """TC stage. With ``select_dir``, the monitor/checkpoint_best selects on
     the selection events only; each report event in ``val_dir`` is then
@@ -200,7 +201,17 @@ def stage_tc(
             eps_range=(0.01, 0.5), n_trials=12, keep_best=4, seed=0
         ),
         optimizer=optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adam(2e-3)
+            optax.clip_by_global_norm(1.0),
+            optax.adam(
+                optax.cosine_decay_schedule(
+                    2e-3,
+                    max(len(sorted(Path(train_dir).glob("*.npz"))), 1)
+                    * epochs,
+                    alpha=0.02,
+                )
+                if cosine
+                else 2e-3
+            ),
         ),
     )
     from gnn_tracking_tpu.utils.augmentation import (
@@ -302,6 +313,10 @@ def main() -> None:
         "--ema-decay", type=float, default=0.998,
         help="parameter-EMA decay for validation/selection (0 disables)",
     )
+    parser.add_argument(
+        "--tc-cosine", action="store_true",
+        help="cosine-decay the TC lr over the run",
+    )
     parser.add_argument("--json", type=Path, default=None)
     parser.add_argument("--tpu", action="store_true")
     args = parser.parse_args()
@@ -327,7 +342,7 @@ def main() -> None:
                 train_dir, val_dir, args.workdir, args.epochs_tc,
                 h_outdim=args.tc_h_outdim, hidden_dim=args.tc_hidden,
                 dropout=args.tc_dropout, select_dir=sel_dir,
-                ema_decay=ema_decay,
+                ema_decay=ema_decay, cosine=args.tc_cosine,
             )
         )
 

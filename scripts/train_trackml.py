@@ -122,8 +122,11 @@ def stage_ec(
     padding = PaddingConfig(
         node_bucket=1024, edge_bucket=4096, true_edge_bucket=4096
     )
+    # like the ML stage, EC does no model selection, so the selection
+    # sectors are legitimate extra train data (the test split stays unseen)
+    train_dirs = [graph_dir] if select_dir is None else [graph_dir, select_dir]
     dm = TrackingDataModule(
-        train={"dirs": [graph_dir], "batch_size": 1},
+        train={"dirs": train_dirs, "batch_size": 1},
         val={"dirs": [select_dir or val_dir or graph_dir]},
         padding=padding,
     )
