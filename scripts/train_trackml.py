@@ -182,6 +182,7 @@ def stage_ml(
     ks: tuple[int, ...] = (8, 12, 16),
     val_dir: Path | None = None, dropout: float = 0.0,
     z_reflect: bool = True, ema_decay: float | None = None,
+    hidden_dim: int = 128, out_dim: int = 16, depth: int = 4,
 ) -> dict[str, float]:
     import optax
 
@@ -220,7 +221,8 @@ def stage_ml(
     # ZReflection take held-out eff@k12 0.683 -> 0.845 on fold 3.
     module = MLModule(
         model=GraphConstructionFCNN(
-            in_dim=in_dim, hidden_dim=128, out_dim=16, depth=4
+            in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
+            depth=depth,
         ),
         loss_fct=GraphConstructionHingeEmbeddingLoss(
             r_emb=1.0, max_num_neighbors=64, p_attr=1.0, p_rep=1.0,
@@ -468,6 +470,9 @@ def main() -> None:
         "0.05 -> 0.683, 0.10 -> 0.558 held-out eff@k12; with the "
         "phi-convention fix + z-reflection, 0.05 -> 0.845)",
     )
+    parser.add_argument("--ml-hidden", type=int, default=128)
+    parser.add_argument("--ml-out-dim", type=int, default=16)
+    parser.add_argument("--ml-depth", type=int, default=4)
     parser.add_argument("--tc-h-outdim", type=int, default=8)
     parser.add_argument("--tc-hidden", type=int, default=64)
     parser.add_argument(
@@ -571,7 +576,8 @@ def main() -> None:
             stage_ml(
                 ml_train, args.workdir, args.epochs_ml, val_dir=pc_val,
                 dropout=args.ml_dropout, z_reflect=z_reflect,
-                ema_decay=ema_decay,
+                ema_decay=ema_decay, hidden_dim=args.ml_hidden,
+                out_dim=args.ml_out_dim, depth=args.ml_depth,
             )
         )
     if "C" in stages:
