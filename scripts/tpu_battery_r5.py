@@ -473,11 +473,86 @@ def exp_fdanat():
     arm("Lec3_Lhc3", 3, 3)
 
 
+def exp_servebatch():
+    """Throughput of vmapped predict_batch (B events per dispatch) vs the
+    depth-2 dispatch/fetch pipeline: does batching amortize dispatch and
+    lift VPU occupancy past 7.0 ev/s?"""
+    from flax import linen as nn
+
+    from gnn_tracking_tpu.graphs import EventGraph
+    from gnn_tracking_tpu.inference import TrackingPredictor
+    from gnn_tracking_tpu.models.track_condensation_networks import GraphTCN
+    from gnn_tracking_tpu.training.restore import BoundModel
+    from tpu_battery_r2 import local_graph
+
+    rng = np.random.default_rng(7)
+    n_tracks = 2048
+    events = []
+    for s in range(4):
+        src, dst = local_graph(np.random.default_rng(s), N, E, 1024)
+        pid = rng.integers(0, n_tracks, size=N)
+        centers = rng.normal(size=(n_tracks, 8)).astype(np.float32)
+        latent = (centers[pid] + 0.02 * rng.normal(size=(N, 8))).astype(
+            np.float32
+        )
+        events.append(
+            EventGraph.from_arrays(
+                x=rng.normal(size=(N, 14)).astype(np.float32),
+                edge_index=np.stack([src, dst]),
+                edge_attr=rng.normal(size=(E, 4)).astype(np.float32),
+                y=((pid[src] == pid[dst]) & (pid[src] > 0)),
+                particle_id=pid,
+                extras={"serving_centers": latent},
+            )
+        )
+
+    class _CondensedGraphTCN(nn.Module):
+        tcn: nn.Module
+
+        @nn.compact
+        def __call__(self, data, exchange=None):
+            out = self.tcn(data, exchange=exchange)
+            out["H"] = (
+                data.extras["serving_centers"].astype(jnp.float32)
+                + 0.02 * out["H"].astype(jnp.float32)
+            )
+            return out
+
+    model = _CondensedGraphTCN(
+        tcn=GraphTCN(
+            h_dim=IDIM, e_dim=IDIM, h_outdim=8, hidden_dim=HDIM,
+            L_ec=6, L_hc=3, sorted_edges=True,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), events[0])["params"]
+    pred = TrackingPredictor(
+        BoundModel(model, params), eps=0.3, min_samples=1,
+        max_num_neighbors=64, sort_edges=True, precision="bf16",
+    )
+    for b in (2, 4):
+        try:
+            pred.predict_batch(events[:b])  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    pred.predict_batch(events[:b])
+                ts.append((time.perf_counter() - t0) / (2 * b))
+            report(
+                f"servebatch_b{b}", ms=min(ts) * 1e3,
+                events_per_s=1.0 / min(ts),
+                spread_ms=(max(ts) - min(ts)) * 1e3,
+            )
+        except Exception as ex:
+            report(f"servebatch_b{b}", error=describe(ex)[:300])
+
+
 EXPERIMENTS = {
     "hcanat": exp_hcanat,
     "ccanat": exp_ccanat,
     "servepipe": exp_servepipe,
     "fdanat": exp_fdanat,
+    "servebatch": exp_servebatch,
 }
 
 
