@@ -106,11 +106,15 @@ def _mirror_rotation_rows(
     if props is not None:
         missing |= ~np.isclose(props, props[j], rtol=1e-6).all(axis=1)
     if missing.any():
+        n_far = int((dist > _MIRROR_TOL_MM).sum())
         cf_logger.warning(
-            "%d modules have no z-mirror partner within %.1f mm; their "
-            "z-reflection cell features use the diag(1,1,-1) approximation",
+            "%d modules use the diag(1,1,-1) z-reflection approximation "
+            "(%d with no partner within %.1f mm, %d with a partner whose "
+            "pitch/thickness differs)",
             int(missing.sum()),
+            n_far,
             _MIRROR_TOL_MM,
+            int(missing.sum()) - n_far,
         )
         flip = np.diag([1.0, 1.0, -1.0])
         out[missing] = np.einsum("ij,njk->nik", flip, rotations[missing])

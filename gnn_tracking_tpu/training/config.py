@@ -70,7 +70,12 @@ def config_from_obj(obj: Any) -> Any:
 
 def find_latest_checkpoint(log_dir: str | Path, trial_name: str = "") -> Path:
     """Find the most recent checkpoint under a log directory
-    (reference ``utils/lightning.py:215-238``)."""
+    (reference ``utils/lightning.py:215-238``).
+
+    ``checkpoint_best`` is excluded: with ``Trainer(ema_decay=...)`` it
+    holds the EMA weights paired with the raw trajectory's optimizer
+    state — a model-selection artifact, not a resumable training state.
+    """
     log_dir = Path(log_dir)
     if trial_name:
         log_dir = log_dir / trial_name
@@ -78,7 +83,7 @@ def find_latest_checkpoint(log_dir: str | Path, trial_name: str = "") -> Path:
         (
             p
             for p in log_dir.glob("**/checkpoint_*")
-            if not p.name.endswith("_meta.json")
+            if not p.name.endswith("_meta.json") and p.name != "checkpoint_best"
         ),
         key=lambda p: p.stat().st_mtime,
     )

@@ -296,7 +296,14 @@ class Trainer:
                 time.perf_counter() - t0,
                 n_steps,
             )
-            if val_loader is not None and (epoch + 1) % self.val_every_n_epochs == 0:
+            # the final epoch always validates, so `val_every_n_epochs`
+            # never silently drops the last (often best) model from
+            # selection, and the returned metrics always reflect the end
+            # of training
+            if val_loader is not None and (
+                (epoch + 1) % self.val_every_n_epochs == 0
+                or epoch == self.max_epochs - 1
+            ):
                 last_val = self.validate(
                     module, loader=val_loader, params=self.ema_params
                 )

@@ -59,10 +59,19 @@ def derive_event(g, seed: int, n_events: int, keep_frac: float):
 
     rng = np.random.default_rng([97, seed])
     delta = 2.0 * np.pi * seed / n_events + rng.uniform(-0.2, 0.2)
-    # z-reflect half the variants (exact detector symmetry; must precede
-    # the rotation — cell_refl is stored in the unrotated frame)
+    # z-reflect half the variants (exact detector symmetry)
     if rng.random() < 0.5:
         g = reflect_z(g)
+    # keep the mirror-frame cell_refl gphi in the rotated frame (same
+    # invariant PhiRotation maintains): a ZReflection applied during TC
+    # training on this derived event then swaps in a CONSISTENT gphi
+    extras = g.extras
+    if extras and "cell_refl" in extras:
+        refl = np.asarray(extras["cell_refl"]).copy()
+        refl[:, 1] = (refl[:, 1] + delta + np.pi) % (2.0 * np.pi) - np.pi
+        extras = dict(extras)
+        extras["cell_refl"] = refl.astype(np.float32)
+        g = g.replace(extras=extras)
 
     node_mask = np.asarray(g.node_mask)
     keep = rng.random(node_mask.shape[0]) < keep_frac
@@ -250,37 +259,31 @@ def stage_tc(
         from gnn_tracking_tpu.utils.loading import TrackingDataModule as TDM
 
         n_val = len(sorted(Path(val_dir).glob("*.npz")))
-        per_event: dict[str, list[float]] = {"last": [], "selected": []}
-        best_ckpt = trainer.log_dir / "checkpoints" / "checkpoint_best"
-        for i in range(n_val):
-            ev_dm = TDM(
-                val={"dirs": [val_dir], "start": i, "stop": i + 1},
-                padding=padding,
-            )
-            ev_dm.setup("validate")
-            loader = ev_dm.val_dataloader()
-            m = trainer.validate(
-                module, loader=loader, params=trainer.ema_params
-            )
-            per_event["last"].append(m.get("trk.double_majority_pt0.9", float("nan")))
-            out[f"tc.test.ev{i}.last.dm_pt0.9"] = per_event["last"][-1]
-        if best_ckpt.exists():
-            trainer.checkpointer.restore(module, best_ckpt)
+
+        def eval_per_event(tag: str, params=None) -> list[float]:
+            """DM_pt0.9 per report event (``params`` overrides the
+            evaluated weights, e.g. the final EMA tree)."""
+            vals = []
             for i in range(n_val):
                 ev_dm = TDM(
                     val={"dirs": [val_dir], "start": i, "stop": i + 1},
                     padding=padding,
                 )
                 ev_dm.setup("validate")
-                m = trainer.validate(module, loader=ev_dm.val_dataloader())
-                per_event["selected"].append(
-                    m.get("trk.double_majority_pt0.9", float("nan"))
+                m = trainer.validate(
+                    module, loader=ev_dm.val_dataloader(), params=params
                 )
-                out[f"tc.test.ev{i}.selected.dm_pt0.9"] = per_event["selected"][-1]
-        for tag, vals in per_event.items():
-            if vals:
-                out[f"tc.test.{tag}.dm_pt0.9_mean"] = float(np.mean(vals))
-                out[f"tc.test.{tag}.dm_pt0.9_std"] = float(np.std(vals))
+                vals.append(m.get("trk.double_majority_pt0.9", float("nan")))
+                out[f"tc.test.ev{i}.{tag}.dm_pt0.9"] = vals[-1]
+            out[f"tc.test.{tag}.dm_pt0.9_mean"] = float(np.mean(vals))
+            out[f"tc.test.{tag}.dm_pt0.9_std"] = float(np.std(vals))
+            return vals
+
+        eval_per_event("last", params=trainer.ema_params)
+        best_ckpt = trainer.log_dir / "checkpoints" / "checkpoint_best"
+        if best_ckpt.exists():
+            trainer.checkpointer.restore(module, best_ckpt)
+            eval_per_event("selected")
     return out
 
 

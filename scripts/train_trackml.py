@@ -242,7 +242,7 @@ def stage_ml(
 
     # point-cloud features store RAW phi radians (unit feature_scale), so
     # phi_scale=1.0 — the graph-stage default pi would wrap-distort col 1.
-    # ZReflection must precede PhiRotation (cell_refl is unrotated-frame).
+    # (Transform order is immaterial: PhiRotation co-rotates cell_refl.)
     parts = []
     if z_reflect:
         parts.append(ZReflection(p=0.5, seed=2))
