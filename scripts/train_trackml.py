@@ -306,7 +306,7 @@ def stage_tc(
     *, h_outdim: int = 4, hidden_dim: int = 48, dropout: float = 0.0,
     cosine: bool = False, z_reflect: bool = True,
     select_dir: Path | None = None, ema_decay: float | None = None,
-    val_every: int = 1,
+    val_every: int = 1, seed: int = 0,
 ) -> dict[str, float]:
     """TC stage. With ``select_dir`` set, runs the LEAK-FREE protocol
     (VERDICT r4 #1): the trainer's monitor selects ``checkpoint_best`` on
@@ -343,6 +343,7 @@ def stage_tc(
     # divergence. 800 epochs -> double-majority(pt>0.9) = 1.000 on the
     # bundled event; the earlier pure-potential recipe collapsed to 0.016.
     module = TCModule(
+        rng_seed=42 + 1000 * seed,
         model=PerfectECGraphTCN(
             h_dim=16, e_dim=16, h_outdim=h_outdim, hidden_dim=hidden_dim,
             L_hc=3,
@@ -375,10 +376,10 @@ def stage_tc(
 
     parts = []
     if z_reflect:
-        parts.append(ZReflection(p=0.5, seed=3))
-    parts.append(PhiRotation(seed=3))
+        parts.append(ZReflection(p=0.5, seed=3 + 100 * seed))
+    parts.append(PhiRotation(seed=3 + 100 * seed))
     if dropout > 0:
-        parts.append(HitDropout(p=dropout, seed=3))
+        parts.append(HitDropout(p=dropout, seed=3 + 100 * seed))
     transform = parts[0] if len(parts) == 1 else Compose(parts)
     trainer = Trainer(
         max_epochs=epochs, log_dir=workdir / "runs_tc",
@@ -479,6 +480,11 @@ def main() -> None:
         "--tc-dropout", type=float, default=0.08,
         help="per-step hit-dropout probability for the TC stage "
         "(topology-changing regularizer, utils/augmentation.HitDropout)",
+    )
+    parser.add_argument(
+        "--seed", type=int, default=0,
+        help="repeat-seed for the TC stage (model init + augmentation "
+        "streams); sweep for seed-averaged CV statistics",
     )
     parser.add_argument(
         "--tc-val-every", type=int, default=1,
@@ -591,6 +597,7 @@ def main() -> None:
                 dropout=args.tc_dropout, cosine=args.tc_cosine,
                 z_reflect=z_reflect, select_dir=tc_select,
                 ema_decay=ema_decay, val_every=args.tc_val_every,
+                seed=args.seed,
             )
         )
 
