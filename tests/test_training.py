@@ -435,3 +435,26 @@ def test_ema_selection(datamodule, tmp_path):
         )
     )
     assert max(after) == 0
+
+
+def test_resume_skips_checkpoint_best(tmp_path):
+    """find_latest_checkpoint must never resume from checkpoint_best: with
+    EMA it pairs EMA weights with the raw trajectory's optimizer state
+    (a selection artifact, not a training state)."""
+    import time as _time
+
+    from gnn_tracking_tpu.training.config import find_latest_checkpoint
+
+    ck = tmp_path / "trial" / "checkpoints"
+    ck.mkdir(parents=True)
+    (ck / "checkpoint_00000005").mkdir()
+    _time.sleep(0.01)
+    (ck / "checkpoint_best").mkdir()  # newer mtime than the step save
+    latest = find_latest_checkpoint(tmp_path)
+    assert latest.name == "checkpoint_00000005"
+    # only checkpoint_best present -> no resumable checkpoint
+    import shutil
+
+    shutil.rmtree(ck / "checkpoint_00000005")
+    with pytest.raises(FileNotFoundError):
+        find_latest_checkpoint(tmp_path)
